@@ -1,0 +1,182 @@
+"""Anchor-constrained band geometry for the anti-diagonal DP.
+
+The DP matrix is (lX+1) x (lY+1) cells over x (reference k-mers, 1-based) and
+y (events, 1-based); anti-diagonal coordinates are xay = x+y and xmy = x-y.
+Cells on one anti-diagonal share xay; the band restricts each diagonal to
+[xmyL, xmyR] with xmy stepping by 2.
+
+This reproduces the geometry of the reference band iterator
+(band_construct / band_setCurrentDiagonal, /root/reference/impl/
+pairwiseAligner.c:155-246): anchors (x, y) become waypoints (x+1, y+1) in
+matrix coordinates; between consecutive waypoints the band is the
+intersection of each diagonal with a rectangle whose corners are the two
+waypoints expanded by ``expansion`` along the xmy axis.
+
+All of this is cheap integer work done host-side in NumPy; the output arrays
+(per-diagonal band origin and width) parameterize the fixed-width device
+kernels.
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence, Tuple
+
+import numpy as np
+
+
+def _x_of(xay: int, xmy: int) -> int:
+    return (xay + xmy) // 2
+
+
+def _y_of(xay: int, xmy: int) -> int:
+    return (xay - xmy) // 2
+
+
+def _fix_parity(xay: int, xmy: int) -> int:
+    return xmy if (xay + xmy) % 2 == 0 else xmy + 1
+
+
+def _bound(z: int, hi: int) -> int:
+    return 0 if z < 0 else (hi if z > hi else z)
+
+
+def _diagonal_for(xay: int, xL: int, yL: int, xU: int, yU: int) -> Tuple[int, int]:
+    """Intersect anti-diagonal ``xay`` with the rectangle [xL..xU] x [yU..yL].
+
+    Returns (xmyL, xmyR). Mirrors band_setCurrentDiagonal
+    (pairwiseAligner.c:170-194) including the off-by-one parity avoidance and
+    the sequential clamping order.
+    """
+    xmyL = _fix_parity(xay, xL - yL)
+    xmyR = _fix_parity(xay, xU - yU)
+
+    # clamp left edge: push right until x >= xL, then until y <= yL
+    if _x_of(xay, xmyL) < xL:
+        xmyL += 2 * (xL - _x_of(xay, xmyL))
+    if yL < _y_of(xay, xmyL):
+        xmyL += 2 * (_y_of(xay, xmyL) - yL)
+    # clamp right edge: pull left until x <= xU, then until y >= yU
+    if xU < _x_of(xay, xmyR):
+        xmyR -= 2 * (_x_of(xay, xmyR) - xU)
+    if _y_of(xay, xmyR) < yU:
+        xmyR -= 2 * (yU - _y_of(xay, xmyR))
+    return xmyL, xmyR
+
+
+def build_band(anchor_pairs: Sequence[Tuple[int, int]], lX: int, lY: int,
+               expansion: int) -> Tuple[np.ndarray, np.ndarray]:
+    """Per-diagonal band [xmyL[d], xmyR[d]] for d = 0..lX+lY.
+
+    ``anchor_pairs`` are (x, y) in *sequence* coordinates (0-based), strictly
+    increasing in both coordinates (pre-filtered). ``expansion`` must be even.
+    """
+    if expansion % 2 != 0:
+        raise ValueError("expansion must be even")
+    n_diag = lX + lY + 1
+    xmyL = np.zeros(n_diag, dtype=np.int64)
+    xmyR = np.zeros(n_diag, dtype=np.int64)
+
+    anchor_idx = 0
+    xay = 0
+    pxay = pxmy = 0
+    nxay = nxmy = 0
+    xL = yL = xU = yU = 0
+    while xay <= lX + lY:
+        xmyL[xay], xmyR[xay] = _diagonal_for(xay, xL, yL, xU, yU)
+        if nxay == xay:
+            xay += 1
+            pxay, pxmy = nxay, nxmy
+            x, y = lX, lY
+            if anchor_idx < len(anchor_pairs):
+                ax, ay = anchor_pairs[anchor_idx]
+                anchor_idx += 1
+                x, y = ax + 1, ay + 1  # matrix coordinates are sequence + 1
+                if not (x > _x_of(pxay, pxmy) and y > _y_of(pxay, pxmy)
+                        and 0 < x <= lX and 0 < y <= lY):
+                    raise ValueError(
+                        f"anchor ({ax},{ay}) out of order or out of range for "
+                        f"lX={lX} lY={lY}")
+            nxay, nxmy = x + y, x - y
+            xL = _bound(_x_of(pxay, pxmy - expansion), lX)
+            yL = _bound(_y_of(nxay, nxmy - expansion), lY)
+            xU = _bound(_x_of(nxay, nxmy + expansion), lX)
+            yU = _bound(_y_of(pxay, pxmy + expansion), lY)
+        else:
+            xay += 1
+    return xmyL, xmyR
+
+
+def band_widths(xmyL: np.ndarray, xmyR: np.ndarray) -> np.ndarray:
+    return (xmyR - xmyL) // 2 + 1
+
+
+def filter_to_remove_overlap(pairs: Sequence[Tuple[int, int]]) -> List[Tuple[int, int]]:
+    """Longest chain of pairs strictly increasing in both coordinates.
+
+    Mirrors filterToRemoveOverlap (pairwiseAligner.c:1755-1795): keep a pair
+    iff it is strictly below-left of everything after it and strictly
+    above-right of everything before it. Input must be sorted by (x, y).
+    """
+    pairs = list(pairs)
+    keep = set()
+    px = py = np.iinfo(np.int64).max
+    for i in range(len(pairs) - 1, -1, -1):
+        x, y = pairs[i]
+        if x < px and y < py:
+            keep.add((x, y))
+        px, py = min(x, px), min(y, py)
+    out: List[Tuple[int, int]] = []
+    px = py = np.iinfo(np.int64).min
+    for x, y in pairs:
+        if x > px and y > py and (x, y) in keep:
+            out.append((x, y))
+        px, py = max(x, px), max(y, py)
+    return out
+
+
+def get_split_points(anchor_pairs: Sequence[Tuple[int, int]], lX: int, lY: int,
+                     split_bigger_than: int,
+                     ragged_left: bool, ragged_right: bool) -> List[Tuple[int, int, int, int]]:
+    """Split the DP matrix at large anchor gaps into (x1, y1, x2, y2) blocks.
+
+    Mirrors getSplitPoints (pairwiseAligner.c:1886-1951): an inter-anchor gap
+    whose sub-matrix exceeds ``split_bigger_than`` cells is cut, leaving
+    sqrt(split)-sized ragged flanks around each anchor run.
+    """
+    split_points: List[Tuple[int, int, int, int]] = []
+    x1 = y1 = 0
+    x2 = y2 = 0
+
+    def consider(x3: int, y3: int, skip_block: bool) -> bool:
+        nonlocal x1, y1
+        lx2, ly2 = x3 - x2, y3 - y2
+        if lx2 * ly2 > split_bigger_than:
+            max_len = int(np.sqrt(split_bigger_than))
+            hX = min(lx2 // 2, max_len)
+            hY = min(ly2 // 2, max_len)
+            if not skip_block:
+                split_points.append((x1, y1, x2 + hX, y2 + hY))
+            x1, y1 = x3 - hX, y3 - hY
+            return True
+        return False
+
+    for i, (ax, ay) in enumerate(anchor_pairs):
+        consider(ax, ay, ragged_left and i == 0)
+        x2, y2 = ax + 1, ay + 1
+    ended_split = consider(lX, lY, ragged_left and len(anchor_pairs) == 0)
+    if not ended_split or not ragged_right:
+        split_points.append((x1, y1, lX, lY))
+    return split_points
+
+
+def remap_anchors_to_events(anchor_pairs: Sequence[Tuple[int, int]],
+                            event_map: np.ndarray, map_offset: int) -> List[Tuple[int, int]]:
+    """Map (ref_pos, read_pos) anchors to (ref_pos, event_index) anchors via
+    the per-base event map, rebasing events to the trimmed window.
+
+    reference: nanopore_remapAnchorPairsWithOffset (nanopore.c:535-547)
+    followed by overlap filtering (signalMachineUtils.c:166-171).
+    """
+    base = int(event_map[map_offset])
+    remapped = [(x, int(event_map[y]) - base) for x, y in anchor_pairs]
+    return filter_to_remove_overlap(remapped)
