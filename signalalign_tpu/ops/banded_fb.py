@@ -1,0 +1,613 @@
+"""TPU-native banded forward-backward: fixed-width band tensors over
+anti-diagonals, advanced by ``jax.lax.scan`` and batched over reads.
+
+Design (vs the reference's per-cell function-pointer DP,
+/root/reference/impl/pairwiseAligner.c:1450-1590):
+
+* A read segment's band is parameterized host-side by per-diagonal band
+  origins ``x0[d]`` (x coordinate of band offset 0) and ``width[d]``
+  (signalalign_tpu.ops.band_geometry reproduces the reference band
+  geometry exactly).
+* The DP state for one diagonal is a dense (S=3, P, W) tensor: S states
+  [match, gapX, gapY], P path k-mers per cell (degenerate positions), W
+  band offsets (lanes). Cells outside the band hold NEG_INF.
+* One scan step computes diagonal d from d-1 and d-2 carried tensors.
+  Neighbor alignment between diagonals with different origins is a
+  shift-window slice; emissions are contiguous dynamic slices of
+  per-position parameter arrays precomputed once per read (the model
+  gather happens outside the scan).
+* No chunked traceback (reference pairwiseAligner.c:1486-1580): the full
+  forward band stack lives in HBM (O(D*W*P*S) floats) and the backward
+  sweep streams against it; memory is bounded by the band, not the matrix.
+* Expectations (EM) accumulate per-transition posteriors inside the
+  backward scan (reference cell_signal_updateExpectations,
+  pairwiseAligner.c:914-944).
+
+Everything is float32 on device; tests compare against the float64 oracle
+(signalalign_tpu.ops.fb_oracle) within tolerance.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from functools import partial
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from signalalign_tpu.models.pore_model import (GAP_X, GAP_Y, MATCH, PoreModel,
+                                               ScalingParams, T_MM, T_MX,
+                                               T_MY, T_XM, T_XX, T_YM, T_YY)
+from signalalign_tpu.ops.band_geometry import band_widths, build_band
+from signalalign_tpu.ops.fb_oracle import LOG_GAPX_EMISSION
+from signalalign_tpu.utils.alphabet import expand_kmer_paths
+
+NEG = -1.0e30  # finite log-zero: avoids inf-inf NaNs on the VPU
+
+# emission modes
+MODE_MEAN_ONLY = 0      # log(1/var) + N(descaled mean; mu, sd)     [production]
+MODE_FULL = 1           # N(mean; mu, sd) + invGauss(noise; nm, lam) [no descale]
+MODE_FULL_DESCALED = 2  # N(descaled) + invGauss(noise)
+MODE_HDP = 3            # log((1/var) * hdp_spline(descaled mean))
+
+# per-position match/stay parameter layout (NPAR, P, LX):
+#   0: m_hat   = scale*mu + shift          (expected scaled level mean)
+#   1: inv_m   = 1/(var*sd_match)
+#   2: c_m     = -log sqrt(2pi) - log sd_match - log var   (match const)
+#   3: inv_y   = 1/(var*sd_stay)
+#   4: c_y     = const for stay (sd*1.75 table)
+#   5: nm      = noise mean (possibly rescaled)
+#   6: nlam    = noise lambda
+#   7: mu      = unscaled level mean (descaling ref, full modes)
+#   8: sd_m    = level sd
+#   9: sd_y    = stay level sd
+NPAR = 10
+# event parameter layout (NEVP, LE) in REVERSED order (see prepare):
+#   0: mean (drift-adjusted)   1: noise (sd)   2: log(noise)   3: valid(0/1)
+NEVP = 4
+
+
+@dataclasses.dataclass
+class BandedProblem:
+    """Host-side arrays describing one read segment's banded DP."""
+    # static-ish metadata
+    lX: int
+    lY: int
+    n_diag: int                    # lX + lY (index of final diagonal)
+    mode: int
+    log_trans: np.ndarray          # (9,) f32
+    start_logs: np.ndarray         # (3,) f32
+    end_logs: np.ndarray           # (3,) f32
+    var: float
+    # per-diagonal geometry (length Dpad+1)
+    x0: np.ndarray                 # i32
+    width: np.ndarray              # i32
+    # per-position tables
+    ref_params: np.ndarray         # (NPAR, P, LXpad) f32
+    kmer_ids: np.ndarray           # (P, LXpad) i32  (for HDP / outputs)
+    path_valid: np.ndarray         # (P, LXpad) bool
+    legal: np.ndarray              # (P, P, LXpad) bool  legal[p_to, q_from, x]
+    n_paths: np.ndarray            # (LXpad,) i32
+    # reversed event tables
+    ev_params: np.ndarray          # (NEVP, LEpad) f32
+    ev_front_pad: int              # index offset of j=0 in ev arrays
+    # bookkeeping for output decoding
+    path_kmers: List[List[str]]    # per position list of path kmer strings
+
+
+def _gauss_const(sd):
+    return -0.91893853320467267 - np.log(sd)
+
+
+def prepare_problem(
+    seq: str,
+    events: np.ndarray,            # (lY, >=3): mean, noise, [duration, start]
+    model: PoreModel,
+    params: ScalingParams,
+    ambig_map: Dict[str, str],
+    W: int,
+    Dpad: int,
+    P: int,
+    mode: int = MODE_MEAN_ONLY,
+    anchor_pairs: Sequence[Tuple[int, int]] = (),
+    expansion: int = 20,
+    ragged_start: bool = True,
+    ragged_end: bool = True,
+    scale_noise: bool = False,
+    drift_deltas: Optional[np.ndarray] = None,
+) -> BandedProblem:
+    """Precompute all device arrays for one segment.
+
+    ``W`` must be >= the maximum band width; ``Dpad`` >= lX+lY; ``P`` >= the
+    maximum paths per cell. ``drift_deltas`` optionally supplies per-event
+    delta-times for drift correction of event means (nanopore.c:633-653).
+    """
+    from signalalign_tpu.ops.fb_oracle import end_state_logs, start_state_logs
+
+    k = model.kmer_length
+    lX = len(seq) - k + 1
+    lY = len(events)
+    if lX < 1 or lY < 1:
+        raise ValueError("empty sequence or events")
+
+    xmyL, xmyR = build_band(anchor_pairs, lX, lY, expansion)
+    widths = band_widths(xmyL, xmyR)
+    if widths.max() > W:
+        raise ValueError(f"band width {widths.max()} exceeds W={W}")
+    D = lX + lY
+    if D > Dpad:
+        raise ValueError(f"diagonal count {D} exceeds Dpad={Dpad}")
+
+    x0 = np.zeros(Dpad + 1, dtype=np.int32)
+    width = np.zeros(Dpad + 1, dtype=np.int32)
+    x0[:D + 1] = (np.arange(D + 1) + xmyL) // 2
+    width[:D + 1] = widths
+    # pad diagonals: keep slice starts in range (masked anyway)
+    if Dpad > D:
+        x0[D + 1:] = x0[D]
+
+    # ---- per-position path expansion
+    LXpad = lX + 1 + W
+    path_kmers: List[List[str]] = []
+    kmer_ids = np.zeros((P, LXpad), dtype=np.int32)
+    path_valid = np.zeros((P, LXpad), dtype=bool)
+    n_paths = np.zeros(LXpad, dtype=np.int32)
+    n_paths[0] = 1  # null boundary cell
+    for i in range(lX):
+        paths = expand_kmer_paths(seq[i:i + k], ambig_map)
+        if len(paths) > P:
+            raise ValueError(f"position {i} expands to {len(paths)} paths > P={P}")
+        path_kmers.append(paths)
+        x = i + 1
+        n_paths[x] = len(paths)
+        for p, pk in enumerate(paths):
+            kmer_ids[p, x] = model.alphabet.kmer_index(pk)
+            path_valid[p, x] = True
+
+    # legality masks: legal[p, q, x] == transition from path q of cell x-1
+    # into path p of cell x is legal (path_checkLegal semantics)
+    legal = np.zeros((P, P, LXpad), dtype=bool)
+    for x in range(1, lX + 1):
+        if x == 1:
+            for p in range(int(n_paths[1])):
+                legal[p, 0, 1] = True  # from the null boundary path
+        else:
+            prev = path_kmers[x - 2]
+            cur = path_kmers[x - 1]
+            for p, pk in enumerate(cur):
+                for q, qk in enumerate(prev):
+                    legal[p, q, x] = qk[1:] == pk[:-1]
+
+    # ---- per-position emission parameters
+    if scale_noise:
+        nm_t, ns_t, nl_t = model.scaled_noise_tables(params)
+    else:
+        nm_t, ns_t, nl_t = model.noise_mean, model.noise_sd, model.noise_lambda
+
+    ref_params = np.zeros((NPAR, P, LXpad), dtype=np.float64)
+    ids = kmer_ids[path_valid]
+    mu = model.level_mean
+    sd_m = model.level_sd
+    sd_y = model.gap_y_level_sd
+
+    def fill(slot, values_per_kmer):
+        buf = np.zeros((P, LXpad))
+        buf[path_valid] = values_per_kmer[ids]
+        ref_params[slot] = buf
+
+    fill(0, params.scale * mu + params.shift)
+    with np.errstate(divide="ignore"):
+        fill(1, 1.0 / (params.var * sd_m))
+        fill(2, _gauss_const(sd_m) - math.log(params.var))
+        fill(3, 1.0 / (params.var * sd_y))
+        fill(4, _gauss_const(sd_y) - math.log(params.var))
+    fill(5, nm_t)
+    fill(6, nl_t)
+    fill(7, mu)
+    fill(8, sd_m)
+    fill(9, sd_y)
+
+    # ---- reversed event arrays
+    ev_front_pad = 2
+    LEpad = lY + ev_front_pad + W + 4
+    ev_params = np.zeros((NEVP, LEpad), dtype=np.float64)
+    means = events[:, 0].astype(np.float64).copy()
+    if drift_deltas is not None and params.drift != 0.0:
+        means = means - params.drift * np.asarray(drift_deltas, dtype=np.float64)
+    noise = events[:, 1].astype(np.float64)
+    noise = np.where(noise == 0.0, 1e-9, noise)
+    # j = lY - y for y in 1..lY  ->  reversed order
+    rev = slice(ev_front_pad, ev_front_pad + lY)
+    ev_params[0, rev] = means[::-1]
+    ev_params[1, rev] = noise[::-1]
+    ev_params[2, rev] = np.log(noise[::-1])
+    ev_params[3, rev] = 1.0
+
+    return BandedProblem(
+        lX=lX, lY=lY, n_diag=D, mode=mode,
+        log_trans=np.where(np.isfinite(model.log_transitions),
+                           model.log_transitions, NEG).astype(np.float32),
+        start_logs=np.where(np.isfinite(start_state_logs(model, ragged_start)),
+                            start_state_logs(model, ragged_start), NEG).astype(np.float32),
+        end_logs=np.where(np.isfinite(end_state_logs(model, ragged_end)),
+                          end_state_logs(model, ragged_end), NEG).astype(np.float32),
+        var=float(params.var),
+        x0=x0, width=width,
+        ref_params=ref_params.astype(np.float32),
+        kmer_ids=kmer_ids, path_valid=path_valid, legal=legal, n_paths=n_paths,
+        ev_params=ev_params.astype(np.float32), ev_front_pad=ev_front_pad,
+        path_kmers=path_kmers,
+    )
+
+
+# --------------------------------------------------------------------------
+# device kernel
+# --------------------------------------------------------------------------
+
+def _lae(a, b):
+    return jnp.logaddexp(a, b)
+
+
+def _window2(prev, shift, W):
+    """(..., W) diagonal tensor -> (..., W+1) window at offsets o+shift.
+
+    Index i of the result is prev[o + shift] for o = i; the caller reads
+    [..., :W] for shift and [..., 1:] for shift+1. Out-of-overlap shifts
+    produce NEG everywhere.
+    """
+    pad = [(0, 0)] * (prev.ndim - 1) + [(W + 2, W + 3)]
+    padded = jnp.pad(prev, pad, constant_values=NEG)
+    ok = (shift >= -W) & (shift <= W)
+    start = jnp.clip(shift, -W, W) + W + 2
+    win = jax.lax.dynamic_slice_in_dim(padded, start, W + 1, axis=-1)
+    return jnp.where(ok, win, NEG)
+
+
+def _slice_cols(arr, start, W):
+    """Slice W trailing-axis columns starting at ``start`` (clamped)."""
+    start = jnp.clip(start, 0, arr.shape[-1] - W)
+    return jax.lax.dynamic_slice_in_dim(arr, start, W, axis=-1)
+
+
+def _emissions_at(refw, evw, mode, var):
+    """Match / stay / gapX log emissions for one diagonal.
+
+    refw: (NPAR, P, W) parameter window for cells' k-mers
+    evw:  (NEVP, W) event window aligned to offsets
+    returns (e_match, e_stay, e_gapx): (P, W) each
+    """
+    m_hat, inv_m, c_m, inv_y, c_y, nm, nlam, mu, sd_m, sd_y = [refw[i] for i in range(NPAR)]
+    ev_mean = evw[0][None, :]
+    ev_noise = evw[1][None, :]
+    ev_lnoise = evw[2][None, :]
+    ev_valid = evw[3][None, :] > 0.5
+    kvalid = inv_m > 0.0  # invalid path slots have zeroed params
+
+    if mode == MODE_MEAN_ONLY:
+        am = (ev_mean - m_hat) * inv_m
+        ay = (ev_mean - m_hat) * inv_y
+        e_match = c_m - 0.5 * am * am
+        e_stay = c_y - 0.5 * ay * ay
+    else:
+        # descaled (or raw) level term + inverse-gaussian noise term
+        if mode == MODE_FULL:
+            xm = ev_mean
+        else:
+            # descale: (x + var*mu - scale*mu - shift)/var == mu + (x - m_hat)/var
+            xm = mu + (ev_mean - m_hat) * (1.0 / var)
+        with np.errstate(divide="ignore"):
+            pass
+        am = (xm - mu) / jnp.where(sd_m > 0, sd_m, 1.0)
+        ay = (xm - mu) / jnp.where(sd_y > 0, sd_y, 1.0)
+        lg_m = -0.91893853320467267 - jnp.log(jnp.where(sd_m > 0, sd_m, 1.0)) - 0.5 * am * am
+        lg_y = -0.91893853320467267 - jnp.log(jnp.where(sd_y > 0, sd_y, 1.0)) - 0.5 * ay * ay
+        nmok = jnp.where(nm > 0, nm, 1.0)
+        nlok = jnp.where(nlam > 0, nlam, 1.0)
+        a = (ev_noise - nmok) / nmok
+        ig = (jnp.log(nlok) - 1.8378770664093453 - 3.0 * ev_lnoise
+              - nlok * a * a / ev_noise) / 2.0
+        e_match = lg_m + ig
+        e_stay = lg_y + ig
+
+    ok = kvalid & ev_valid
+    e_match = jnp.where(ok, e_match, NEG)
+    e_stay = jnp.where(ok, e_stay, NEG)
+    e_gapx = jnp.where(kvalid, LOG_GAPX_EMISSION, NEG)
+    return e_match, e_stay, e_gapx
+
+
+def _legal_reduce(source_PW1, legal_PPW, use_plus1: bool, W: int):
+    """logsumexp over source paths q with legality mask.
+
+    source_PW1: (P, W+1) source-state window values (per source path q)
+    legal_PPW:  (P, P, W) legality legal[p, q, o]
+    returns (P, W): for each target path p, logsumexp_q masked source.
+    """
+    src = source_PW1[:, 1:] if use_plus1 else source_PW1[:, :W]
+    # (1, P_q, W) + mask -> reduce over q
+    masked = jnp.where(legal_PPW, src[None, :, :], NEG)
+    m = jnp.max(masked, axis=1)
+    s = jnp.sum(jnp.exp(masked - m[:, None, :]), axis=1)
+    return m + jnp.log(jnp.maximum(s, 1e-37))
+
+
+@partial(jax.jit, static_argnames=("W", "P", "mode", "with_expectations"))
+def banded_fb_device(
+    x0, width, ref_params, legal, ev_params,
+    log_trans, start_logs, end_logs, var,
+    lX, lY, n_diag, ev_front_pad,
+    *, W: int, P: int, mode: int, with_expectations: bool = False,
+):
+    """Full forward-backward for one (or a batch via vmap of) segment.
+
+    Returns dict of device arrays:
+      post:     (Dpad+1, P, W) posterior match probs per cell
+      total_f:  () forward total log prob
+      total_b:  () backward total log prob (consistency check)
+      texp:     (3, 3) transition expectations (if with_expectations)
+      match_tp: (Dpad+1, P, W) summed into-match transition posteriors
+                (if with_expectations; drives HDP assignment extraction)
+    """
+    Dpad = x0.shape[0] - 1
+    f32 = jnp.float32
+    legal_f = legal  # (P, P, LXpad) bool
+
+    t = log_trans
+
+    def emis_for_diag(d, xd, for_backward_to: int = 0):
+        """Emission windows for diagonal d cells (or TO-cells offset by
+        for_backward_to in x and +1 in y for the backward sweep)."""
+        xs = xd + for_backward_to
+        refw = _slice_cols(ref_params, xs, W)
+        estart = lY - d + xd + ev_front_pad - for_backward_to + (0 if for_backward_to == 0 else 0)
+        return refw, estart
+
+    def step_fwd(carry, d):
+        prev1, prev2 = carry  # (3, P, W) diagonals d-1, d-2
+        xd = x0[d]
+        wd = width[d]
+
+        refw = _slice_cols(ref_params, xd, W)
+        evw = _slice_cols(ev_params, lY - d + xd + ev_front_pad, W)
+        legw = jnp.transpose(_slice_cols(legal_f, xd, W), (2, 0, 1))  # (W,P,P)
+        legw = jnp.transpose(legw, (1, 2, 0))  # (P, P, W)
+        e_match, e_stay, e_gapx = _emissions_at(refw, evw, mode, var)
+
+        shift1 = xd - x0[d - 1] - 1
+        shift2 = xd - x0[jnp.maximum(d - 2, 0)] - 1
+        shift2 = jnp.where(d >= 2, shift2, W + 5)  # no diagonal -2
+
+        w1 = _window2(prev1, shift1, W)   # (3, P, W+1): [..., :W]=lower, [..., 1:]=upper
+        w2 = _window2(prev2, shift2, W)   # middle at [..., :W]
+
+        # gapX: from lower (x-1, y): match->gapX, gapX->gapX
+        src_x = _lae(w1[MATCH] + t[T_MX], w1[GAP_X] + t[T_XX])
+        gx = _legal_reduce(src_x, legw, False, W) + e_gapx
+
+        # match: from middle (x-1, y-1): m->m, x->m, y->m
+        src_m = _lae(_lae(w2[MATCH] + t[T_MM], w2[GAP_X] + t[T_XM]),
+                     w2[GAP_Y] + t[T_YM])
+        mm = _legal_reduce(src_m, legw, False, W) + e_match
+
+        # gapY: from upper (x, y-1), same path: m->y, y->y
+        gy = _lae(w1[MATCH][:, 1:] + t[T_MY], w1[GAP_Y][:, 1:] + t[T_YY]) + e_stay
+
+        cur = jnp.stack([mm, gx, gy])  # (3, P, W)
+        o = jnp.arange(W, dtype=jnp.int32)
+        inband = (o < wd) & (d <= n_diag)
+        cur = jnp.where(inband[None, None, :], cur, NEG)
+        cur = jnp.maximum(cur, NEG)
+        return (cur, prev1), cur
+
+    # init: diagonal 0 = single cell (0,0) with the start distribution
+    f0 = jnp.full((3, P, W), NEG, dtype=f32)
+    f0 = f0.at[:, 0, 0].set(start_logs)
+    fm1 = jnp.full((3, P, W), NEG, dtype=f32)
+
+    (_, _), fstack = jax.lax.scan(step_fwd, (f0, fm1), jnp.arange(1, Dpad + 1))
+    fstack = jnp.concatenate([f0[None], fstack], axis=0)  # (Dpad+1, 3, P, W)
+
+    # forward total prob: dot final diagonal with end distribution
+    f_end = fstack[n_diag]  # dynamic index -> gather
+    total_f = jax.scipy.special.logsumexp(
+        jnp.maximum(f_end + end_logs[:, None, None], NEG))
+
+    # ---- backward sweep (descending diagonals)
+    def step_bwd(carry, d):
+        b1, b2 = carry  # diagonals d+1, d+2
+        xd = x0[d]
+        wd = width[d]
+
+        # TO-cell parameter windows in current offsets
+        refw_x1 = _slice_cols(ref_params, xd + 1, W)       # k-mers of x+1 cells
+        refw_x0 = _slice_cols(ref_params, xd, W)           # k-mers of x cells
+        evw_y1 = _slice_cols(ev_params, lY - d + xd + ev_front_pad - 1, W)  # event y+1
+        # legality from our paths q into x+1 paths p: legal[p, q, x+1]
+        legw_x1 = _slice_cols(legal_f, xd + 1, W)          # (P, P, W)
+
+        e_match_to, e_stay_to, _ = _emissions_at(refw_x1, evw_y1, mode, var)
+        _, e_stay_same, _ = _emissions_at(refw_x0, evw_y1, mode, var)
+        gapx_valid = jnp.where(refw_x1[1] > 0.0, LOG_GAPX_EMISSION, NEG)
+
+        u1 = x0[d] - x0[jnp.minimum(d + 1, Dpad)]
+        u1 = jnp.where(d + 1 <= Dpad, u1, W + 5)
+        u2 = x0[d] + 1 - x0[jnp.minimum(d + 2, Dpad)]
+        u2 = jnp.where(d + 2 <= Dpad, u2, W + 5)
+
+        wb1 = _window2(b1, u1, W)   # [..., :W] = gapY target (x,y+1); [..., 1:] = gapX target (x+1,y)
+        wb2 = _window2(b2, u2, W)   # [..., :W] = match target (x+1,y+1)
+
+        # contribution into our state s at (x, y):
+        #   gapX target: sum over p' legal(q=us -> p'): b1[GAP_X, p', o+u1+1] + e_gapx(p') + t[s->X]
+        gx_term = wb1[GAP_X][:, 1:] + gapx_valid          # (P', W)
+        mm_term = wb2[MATCH][:, :W] + e_match_to          # (P', W)
+        #   reduce over p' with legality transposed: from our path q into p'
+        legT = jnp.transpose(legw_x1, (1, 0, 2))          # (q, p', W)
+
+        def red(term):
+            masked = jnp.where(legT, term[None, :, :], NEG)
+            m = jnp.max(masked, axis=1)
+            s = jnp.sum(jnp.exp(masked - m[:, None, :]), axis=1)
+            return m + jnp.log(jnp.maximum(s, 1e-37))
+
+        gx_red = red(gx_term)                              # (P, W) per our path
+        mm_red = red(mm_term)
+        gy_term = wb1[GAP_Y][:, :W] + e_stay_same          # same-path stay
+
+        b_match = _lae(_lae(gx_red + t[T_MX], mm_red + t[T_MM]), gy_term + t[T_MY])
+        b_gapx = _lae(gx_red + t[T_XX], mm_red + t[T_XM])
+        b_gapy = _lae(mm_red + t[T_YM], gy_term + t[T_YY])
+
+        cur = jnp.stack([b_match, b_gapx, b_gapy])
+        o = jnp.arange(W, dtype=jnp.int32)
+        inband = (o < wd) & (d <= n_diag)
+        cur = jnp.where(inband[None, None, :], cur, NEG)
+        # final diagonal keeps its end-distribution initialisation
+        is_final = d == n_diag
+        bfin = jnp.where(inband[None, None, :],
+                         jnp.broadcast_to(end_logs[:, None, None], (3, P, W)), NEG)
+        cur = jnp.where(is_final, bfin, cur)
+        cur = jnp.maximum(cur, NEG)
+        return (cur, b1), cur
+
+    bD = jnp.full((3, P, W), NEG, dtype=f32)
+    bD1 = jnp.full((3, P, W), NEG, dtype=f32)
+    (_, _), bstack_rev = jax.lax.scan(step_bwd, (bD, bD1), jnp.arange(Dpad, -1, -1))
+    bstack = bstack_rev[::-1]  # (Dpad+1, 3, P, W)
+
+    total_b = jax.scipy.special.logsumexp(
+        jnp.maximum(bstack[0] + start_logs[:, None, None], NEG))
+
+    # ---- posterior match probabilities
+    d_idx = jnp.arange(Dpad + 1, dtype=jnp.int32)[:, None]
+    o_idx = jnp.arange(W, dtype=jnp.int32)[None, :]
+    xs = x0[:, None] + o_idx                      # (Dpad+1, W)
+    ys = d_idx - xs
+    cellmask = (o_idx < width[:, None]) & (xs > 0) & (ys > 0) & (d_idx <= n_diag)
+    post = jnp.exp(jnp.maximum(
+        fstack[:, MATCH] + bstack[:, MATCH] - total_f, NEG))
+    post = jnp.where(cellmask[:, None, :], post, 0.0)
+    post = jnp.minimum(post, 1.0)
+
+    out = {"post": post, "total_f": total_f, "total_b": total_b}
+
+    if with_expectations:
+        # per-diagonal transition posteriors, accumulated over the band.
+        # For diagonal d (TO cells), FROM cells are on d-1 / d-2.
+        def step_exp(acc, d):
+            texp, match_tp = acc
+            xd = x0[d]
+            wd = width[d]
+            refw = _slice_cols(ref_params, xd, W)
+            evw = _slice_cols(ev_params, lY - d + xd + ev_front_pad, W)
+            legw = _slice_cols(legal_f, xd, W)  # (P, P, W) legal[p_to, q_from]
+            e_match, e_stay, e_gapx = _emissions_at(refw, evw, mode, var)
+
+            shift1 = xd - x0[jnp.maximum(d - 1, 0)] - 1
+            shift1 = jnp.where(d >= 1, shift1, W + 5)
+            shift2 = xd - x0[jnp.maximum(d - 2, 0)] - 1
+            shift2 = jnp.where(d >= 2, shift2, W + 5)
+
+            f1 = _window2(fstack_d(d - 1), shift1, W)
+            f2 = _window2(fstack_d(d - 2), shift2, W)
+            bcur = bstack_d(d)
+
+            o = jnp.arange(W, dtype=jnp.int32)
+            inband = (o < wd) & (d <= n_diag) & (d >= 1)
+
+            def pair_post(f_src_PW1, plus1, e_to, t_log, b_state):
+                """(P_to, P_from, W) posteriors for one transition type."""
+                src = f_src_PW1[:, 1:] if plus1 else f_src_PW1[:, :W]
+                val = (src[None, :, :] + e_to[:, None, :] + t_log
+                       + bcur[b_state][:, None, :] - total_f)
+                val = jnp.where(legw & inband[None, None, :], val, NEG)
+                return jnp.exp(jnp.maximum(val, NEG))
+
+            # into gapX (from lower)
+            p_mx = pair_post(f1[MATCH], False, e_gapx, t[T_MX], GAP_X)
+            p_xx = pair_post(f1[GAP_X], False, e_gapx, t[T_XX], GAP_X)
+            # into match (from middle)
+            p_mm = pair_post(f2[MATCH], False, e_match, t[T_MM], MATCH)
+            p_xm = pair_post(f2[GAP_X], False, e_match, t[T_XM], MATCH)
+            p_ym = pair_post(f2[GAP_Y], False, e_match, t[T_YM], MATCH)
+            # into gapY (from upper, same path)
+            up_m = f1[MATCH][:, 1:]
+            up_y = f1[GAP_Y][:, 1:]
+            val_my = jnp.exp(jnp.maximum(jnp.where(
+                inband[None, :], up_m + e_stay + t[T_MY] + bcur[GAP_Y] - total_f, NEG), NEG))
+            val_yy = jnp.exp(jnp.maximum(jnp.where(
+                inband[None, :], up_y + e_stay + t[T_YY] + bcur[GAP_Y] - total_f, NEG), NEG))
+
+            texp = texp.at[MATCH, GAP_X].add(jnp.sum(p_mx))
+            texp = texp.at[GAP_X, GAP_X].add(jnp.sum(p_xx))
+            texp = texp.at[MATCH, MATCH].add(jnp.sum(p_mm))
+            texp = texp.at[GAP_X, MATCH].add(jnp.sum(p_xm))
+            texp = texp.at[GAP_Y, MATCH].add(jnp.sum(p_ym))
+            texp = texp.at[MATCH, GAP_Y].add(jnp.sum(val_my))
+            texp = texp.at[GAP_Y, GAP_Y].add(jnp.sum(val_yy))
+
+            mtp = jnp.sum(p_mm + p_xm + p_ym, axis=1)  # (P_to, W)
+            return (texp, match_tp.at[d].set(mtp)), None
+
+        def fstack_d(d):
+            d = jnp.clip(d, 0, Dpad)
+            return fstack[d]
+
+        def bstack_d(d):
+            return bstack[d]
+
+        texp0 = jnp.zeros((3, 3), dtype=jnp.float64 if fstack.dtype == jnp.float64 else jnp.float32)
+        mtp0 = jnp.zeros((Dpad + 1, P, W), dtype=f32)
+        (texp, match_tp), _ = jax.lax.scan(step_exp, (texp0, mtp0),
+                                           jnp.arange(0, Dpad + 1))
+        out["texp"] = texp
+        out["match_tp"] = match_tp
+
+    return out
+
+
+# --------------------------------------------------------------------------
+# host wrapper
+# --------------------------------------------------------------------------
+
+def run_banded_fb(problem: BandedProblem, W: int, P: int,
+                  with_expectations: bool = False) -> Dict:
+    """Run the device kernel for one problem; decode outputs host-side."""
+    res = banded_fb_device(
+        jnp.asarray(problem.x0), jnp.asarray(problem.width),
+        jnp.asarray(problem.ref_params), jnp.asarray(problem.legal),
+        jnp.asarray(problem.ev_params),
+        jnp.asarray(problem.log_trans), jnp.asarray(problem.start_logs),
+        jnp.asarray(problem.end_logs), jnp.float32(problem.var),
+        jnp.int32(problem.lX), jnp.int32(problem.lY), jnp.int32(problem.n_diag),
+        jnp.int32(problem.ev_front_pad),
+        W=W, P=P, mode=problem.mode, with_expectations=with_expectations,
+    )
+    return {k: np.asarray(v) for k, v in res.items()}
+
+
+def extract_aligned_pairs(problem: BandedProblem, post: np.ndarray,
+                          threshold: float = 0.01) -> List[Tuple[int, int, int, str]]:
+    """Threshold the posterior band tensor into (prob_int, x, y, kmer) pairs.
+
+    Output matches diagonalCalculationPosteriorMatchProbs
+    (pairwiseAligner.c:1355-1420): coordinates are 0-based sequence indices,
+    probability is floor(p * 1e7).
+    """
+    D = problem.n_diag
+    out = []
+    hits = np.argwhere(post[:D + 1] >= threshold)
+    for d, p, o in hits:
+        x = int(problem.x0[d]) + int(o)
+        y = int(d) - x
+        if x <= 0 or y <= 0 or x > problem.lX or y > problem.lY:
+            continue
+        if p >= len(problem.path_kmers[x - 1]):
+            continue
+        prob = min(float(post[d, p, o]), 1.0)
+        out.append((int(prob * 10000000), x - 1, y - 1, problem.path_kmers[x - 1][p]))
+    out.sort(key=lambda r: (r[1] + r[2], r[1]))
+    return out

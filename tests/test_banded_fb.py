@@ -1,0 +1,155 @@
+"""Device banded forward-backward vs the float64 oracle."""
+
+import math
+import os
+
+import numpy as np
+import pytest
+
+from signalalign_tpu.models.pore_model import PoreModel, ScalingParams
+from signalalign_tpu.ops import banded_fb as bfb
+from signalalign_tpu.ops.fb_oracle import (CellPaths, Emissions,
+                                           banded_forward_backward)
+from signalalign_tpu.utils.alphabet import DEFAULT_AMBIG_BASES
+
+MODELS = "/root/reference/models"
+
+SX = "ACGATALGGACAT"
+EVENTS = np.array([
+    [58.743435, 0.887833, 0.0571, 0.0],
+    [53.604965, 0.816836, 0.0571, 0.1],
+    [58.432015, 0.735143, 0.0571, 0.2],
+    [63.684352, 0.795437, 0.0571, 0.3],
+    [58.921430, 0.812959, 0.0571, 0.4],
+    [59.895882, 0.740952, 0.0571, 0.5],
+    [61.684303, 0.722332, 0.0571, 0.67],
+])
+
+
+@pytest.fixture(scope="module")
+def r73_model():
+    return PoreModel.from_file(os.path.join(MODELS, "testModelR73_acegot_template.model"))
+
+
+@pytest.fixture(scope="module")
+def r94_model():
+    return PoreModel.from_file(os.path.join(MODELS, "testModelR9p4_acegt_template.model"))
+
+
+def test_golden_case_matches_oracle(r73_model):
+    model = r73_model
+    params = ScalingParams()
+    problem = bfb.prepare_problem(
+        SX, EVENTS, model, params, DEFAULT_AMBIG_BASES,
+        W=16, Dpad=24, P=3, mode=bfb.MODE_FULL,
+        anchor_pairs=(), expansion=2,
+        ragged_start=False, ragged_end=False)
+    res = bfb.run_banded_fb(problem, W=16, P=3, with_expectations=True)
+
+    paths = CellPaths.from_sequence(SX, model, DEFAULT_AMBIG_BASES)
+    em = Emissions(model, params, mode="full")
+    oracle = banded_forward_backward(
+        paths, EVENTS, model, em, anchor_pairs=(), expansion=2,
+        ragged_start=False, ragged_end=False, threshold=0.2,
+        compute_expectations=True)
+
+    assert math.isclose(res["total_f"], oracle["total_log_prob_f"], rel_tol=1e-4)
+    assert math.isclose(res["total_b"], oracle["total_log_prob_b"], rel_tol=1e-4)
+    assert math.isclose(res["total_f"], res["total_b"], rel_tol=1e-4)
+
+    pairs = bfb.extract_aligned_pairs(problem, res["post"], threshold=0.2)
+    opairs = oracle["aligned_pairs"]
+    assert len(pairs) == len(opairs) == 14
+    dev = {(x, y, k): p for p, x, y, k in pairs}
+    for p, x, y, k in opairs:
+        assert (x, y, k) in dev
+        assert abs(dev[(x, y, k)] - p) <= 2e-3 * 1e7  # f32 vs f64 tolerance
+
+    np.testing.assert_allclose(res["texp"], oracle["transition_expectations"],
+                               rtol=2e-3, atol=2e-3)
+
+
+def _synthetic_read(model, rng, n_kmers, params, p_stay=0.1, p_skip=0.1):
+    """Generate a plausible (sequence, events) pair from the model."""
+    letters = "ACGT"
+    seq = "".join(rng.choice(list(letters), size=n_kmers + model.kmer_length - 1))
+    ids = model.alphabet.seq_to_kmer_ids(seq)
+    events = []
+    truth = []
+    i = 0
+    while i < len(ids):
+        r = rng.random()
+        mean = model.level_mean[ids[i]] * params.scale + params.shift
+        sd = model.level_sd[ids[i]]
+        events.append([rng.normal(mean, sd * params.var), abs(rng.normal(1.0, 0.1)),
+                       0.005, len(events) * 0.005])
+        truth.append((i, len(events) - 1))
+        if r < p_stay:
+            continue  # stay: emit another event for same kmer
+        if r < p_stay + p_skip:
+            i += 2  # skip
+        else:
+            i += 1
+    return seq, np.array(events), truth
+
+
+def test_random_case_matches_oracle_with_anchors(r94_model):
+    model = r94_model
+    rng = np.random.default_rng(42)
+    params = ScalingParams(shift=2.0, scale=1.05, var=1.1)
+    seq, events, truth = _synthetic_read(model, rng, 48, params)
+    anchors = [truth[i] for i in range(4, len(truth) - 4, 8)]
+    anchors = [(x, y) for x, y in anchors]
+
+    problem = bfb.prepare_problem(
+        seq, events, model, params, DEFAULT_AMBIG_BASES,
+        W=32, Dpad=len(seq) + len(events) + 8, P=1, mode=bfb.MODE_MEAN_ONLY,
+        anchor_pairs=anchors, expansion=6,
+        ragged_start=True, ragged_end=True)
+    res = bfb.run_banded_fb(problem, W=32, P=1, with_expectations=True)
+
+    paths = CellPaths.from_sequence(seq, model, DEFAULT_AMBIG_BASES)
+    em = Emissions(model, params, mode="mean_only")
+    oracle = banded_forward_backward(
+        paths, events, model, em, anchor_pairs=anchors, expansion=6,
+        ragged_start=True, ragged_end=True, threshold=0.01,
+        compute_expectations=True)
+
+    assert math.isclose(res["total_f"], oracle["total_log_prob_f"], rel_tol=1e-4)
+    assert math.isclose(res["total_f"], res["total_b"], rel_tol=1e-4)
+
+    pairs = bfb.extract_aligned_pairs(problem, res["post"], threshold=0.01)
+    opairs = oracle["aligned_pairs"]
+    dev = {(x, y): p for p, x, y, k in pairs}
+    orc = {(x, y): p for p, x, y, k in opairs}
+    # identical cells above threshold (allow boundary flips right at 0.01)
+    sym = set(dev) ^ set(orc)
+    for x, y in sym:
+        p = dev.get((x, y), orc.get((x, y)))
+        assert abs(p / 1e7 - 0.01) < 2e-3
+    for key in set(dev) & set(orc):
+        assert abs(dev[key] - orc[key]) <= 3e-3 * 1e7
+
+    np.testing.assert_allclose(res["texp"], oracle["transition_expectations"],
+                               rtol=5e-3, atol=5e-3)
+    # most true (kmer, event) matches should be recovered
+    hits = sum(1 for t in truth if t in dev)
+    assert hits / len(truth) > 0.8
+
+
+def test_full_descaled_mode_matches_oracle(r94_model):
+    model = r94_model
+    rng = np.random.default_rng(7)
+    params = ScalingParams(shift=1.0, scale=0.98, var=1.05, scale_sd=1.1, var_sd=0.9)
+    seq, events, _ = _synthetic_read(model, rng, 24, params)
+    problem = bfb.prepare_problem(
+        seq, events, model, params, DEFAULT_AMBIG_BASES,
+        W=64, Dpad=len(seq) + len(events) + 8, P=1, mode=bfb.MODE_FULL_DESCALED,
+        anchor_pairs=(), expansion=4, scale_noise=True)
+    res = bfb.run_banded_fb(problem, W=64, P=1)
+
+    paths = CellPaths.from_sequence(seq, model, DEFAULT_AMBIG_BASES)
+    em = Emissions(model, params, mode="full_descaled", scale_noise=True)
+    oracle = banded_forward_backward(paths, events, model, em,
+                                     anchor_pairs=(), expansion=4)
+    assert math.isclose(res["total_f"], oracle["total_log_prob_f"], rel_tol=1e-4)
