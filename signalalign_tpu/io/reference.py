@@ -1,0 +1,148 @@
+"""Reference FASTA handling and ambiguity editing.
+
+reference: src/signalalign/utils/sequenceTools.py (processReferenceFasta,
+CustomAmbiguityPositions, motif replacement) and impl/fasta_handler.c
+(window trimming / strand orientation).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Dict, Iterator, List, Optional, Tuple
+
+import numpy as np
+
+from signalalign_tpu.utils.alphabet import reverse_complement
+
+
+def iter_fasta(path: str) -> Iterator[Tuple[str, str]]:
+    name, chunks = None, []
+    with open(path) as fh:
+        for line in fh:
+            line = line.strip()
+            if not line:
+                continue
+            if line.startswith(">"):
+                if name is not None:
+                    yield name, "".join(chunks)
+                name = line[1:].split()[0]
+                chunks = []
+            else:
+                chunks.append(line)
+    if name is not None:
+        yield name, "".join(chunks)
+
+
+def load_fasta(path: str) -> Dict[str, str]:
+    return dict(iter_fasta(path))
+
+
+def write_fasta(path: str, records: Dict[str, str], width: int = 80) -> None:
+    with open(path, "w") as fh:
+        for name, seq in records.items():
+            fh.write(f">{name}\n")
+            for i in range(0, len(seq), width):
+                fh.write(seq[i:i + width] + "\n")
+
+
+@dataclasses.dataclass
+class AmbiguityPositions:
+    """Positions-file driven reference editing.
+
+    File format (CustomAmbiguityPositions, sequenceTools.py:551-648):
+    tab-separated ``contig  position  strand(+/-)  change_from  change_to``.
+    """
+    data: List[Tuple[str, int, str, str, str]]
+
+    @classmethod
+    def from_file(cls, path: str) -> "AmbiguityPositions":
+        rows = []
+        with open(path) as fh:
+            for line in fh:
+                parts = line.split()
+                if len(parts) >= 5:
+                    rows.append((parts[0], int(parts[1]), parts[2], parts[3], parts[4]))
+        return cls(rows)
+
+    def edit(self, contig: str, seq: str, strand: str) -> str:
+        s = list(seq)
+        for c, pos, st, frm, to in self.data:
+            if c != contig or st != strand:
+                continue
+            if pos >= len(s):
+                raise ValueError(f"position {pos} beyond contig {contig}")
+            if s[pos].upper() != frm.upper() and s[pos].upper() not in to.upper():
+                raise ValueError(
+                    f"contig {contig} pos {pos}: expected {frm}, found {s[pos]}")
+            s[pos] = to
+        return "".join(s)
+
+
+def replace_motifs(seq: str, motifs: List[Tuple[str, str]]) -> str:
+    """Substitute every occurrence of each motif (e.g. CCAGG -> CEAGG).
+
+    reference: replace_motif / make_positions_file motif path
+    (sequenceTools.py:166-257).
+    """
+    out = seq
+    for find, repl in motifs:
+        if len(find) != len(repl):
+            raise ValueError("motif find/replace must have equal length")
+        out = out.replace(find, repl)
+    return out
+
+
+class ProcessedReference:
+    """Forward + backward edited reference sequences per contig.
+
+    The "backward" sequence follows fasta_handler.c semantics: the
+    complement (not reverse complement) read back-to-front; equivalently we
+    store forward and backward editions and take windows with orientation at
+    query time.
+
+    reference: processReferenceFasta (sequenceTools.py:652-698) writes flat
+    forward/backward files; here both editions stay in memory.
+    """
+
+    def __init__(self, fasta_path: str,
+                 positions: Optional[AmbiguityPositions] = None,
+                 motifs: Optional[List[Tuple[str, str]]] = None):
+        self.forward: Dict[str, str] = {}
+        self.backward: Dict[str, str] = {}  # complement strand, forward coords
+        for name, seq in iter_fasta(fasta_path):
+            seq = seq.upper()
+            fwd = seq
+            bwd = reverse_complement(seq)[::-1]  # = complement, forward coords
+            if motifs:
+                fwd = replace_motifs(fwd, motifs)
+                bwd_rc = replace_motifs(reverse_complement(seq), motifs)
+                bwd = bwd_rc[::-1]
+            if positions:
+                fwd = positions.edit(name, fwd, "+")
+                bwd = positions.edit(name, bwd, "-")
+            self.forward[name] = fwd
+            self.backward[name] = bwd
+
+    def contig_length(self, name: str) -> int:
+        return len(self.forward[name])
+
+    def template_target(self, name: str, start: int, end: int,
+                        forward_mapped: bool) -> str:
+        """Trimmed target sequence for the template strand.
+
+        forward-mapped: the edited forward window [start, end).
+        reverse-mapped: reverse of the backward (complement) window = the
+        reverse-complement of the window, carrying '-'-strand edits.
+        (fasta_handler.c:47-100 with backward file from processReferenceFasta)
+        """
+        if forward_mapped:
+            return self.forward[name][start:end]
+        return self.backward[name][start:end][::-1]
+
+    def complement_target(self, name: str, start: int, end: int,
+                          forward_mapped: bool) -> str:
+        """Target for the complement strand of a 2D read (opposite edition)."""
+        if forward_mapped:
+            return self.backward[name][start:end][::-1]
+        return self.forward[name][start:end]

@@ -16,3 +16,30 @@ def reference_dir():
     if not os.path.isdir(REFERENCE_DIR):
         pytest.skip("reference checkout not available")
     return REFERENCE_DIR
+
+
+@pytest.fixture(scope="session")
+def ecoli_fasta(tmp_path_factory):
+    """Reconstruct the E. coli reference windows covered by the bundled 1D
+    test BAM (the genome fasta itself is not shipped in the reference
+    snapshot; MD tags let us rebuild the exact aligned windows)."""
+    from signalalign_tpu.io.sam import read_bam, reconstruct_reference_window
+
+    bam = os.path.join(REFERENCE_DIR, "tests/minion_test_reads/1D/1D.bam")
+    refs, records = read_bam(bam)
+    genome = np.full(4641652, ord("A"), dtype=np.uint8)
+    for rec in records:
+        window = reconstruct_reference_window(rec)
+        assert window is not None
+        genome[rec.pos:rec.pos + len(window)] = np.frombuffer(
+            window.encode("latin-1"), dtype=np.uint8)
+    path = tmp_path_factory.mktemp("ref") / "ecoli_reconstructed.fa"
+    with open(path, "w") as fh:
+        fh.write(">gi_ecoli\n")
+        s = genome.tobytes().decode("latin-1")
+        for i in range(0, len(s), 10000):
+            fh.write(s[i:i + 10000] + "\n")
+    return str(path)
+
+
+import numpy as np  # noqa: E402

@@ -1,0 +1,119 @@
+"""I/O layer tests against the bundled reference test data."""
+
+import glob
+import os
+
+import numpy as np
+import pytest
+
+from signalalign_tpu.io.fast5 import Fast5
+from signalalign_tpu.io.guide import find_guide_alignment, guide_from_sam_record
+from signalalign_tpu.io.read import NanoporeReadData, make_event_map, mean_fastq_quality
+from signalalign_tpu.io.reference import ProcessedReference, load_fasta
+from signalalign_tpu.io.sam import filter_reads, read_bam
+from signalalign_tpu.utils.alphabet import reverse_complement
+
+TESTS = "/root/reference/tests"
+ONED = os.path.join(TESTS, "minion_test_reads/1D")
+
+
+@pytest.fixture(scope="module")
+def oned_fast5s():
+    return sorted(glob.glob(os.path.join(ONED, "*.fast5")))
+
+
+def test_fast5_basic(oned_fast5s):
+    with Fast5(oned_fast5s[0]) as f5:
+        assert f5.read_id
+        assert not f5.is_rna()
+        raw = f5.raw_signal_pA()
+        assert raw.ndim == 1 and len(raw) > 1000
+        assert 0 < raw.mean() < 300  # plausible pA values
+        analysis = f5.latest_analysis()
+        assert analysis is not None
+        events = f5.template_events(analysis)
+        assert events is not None and len(events) > 100
+        fq = f5.template_fastq(analysis)
+        assert fq.startswith("@")
+
+
+def test_make_event_map_simple():
+    moves = np.array([0, 1, 0, 2, 1])
+    probs = np.array([0.5, 0.6, 0.7, 0.2, 0.9])
+    # k=3, bases = 1 + moves sum = 1+1+0+2+1 = 5 bases + (k-1) padding = 7
+    em = make_event_map(moves, probs, 5 + 2, 3)
+    # i=2 (move 0, higher prob) replaces the last entry; i=3 (move 2) fills
+    # the skipped base with the previous event then appends itself
+    assert list(em) == [0, 2, 2, 3, 4, 4, 4]
+    assert (np.diff(em) >= 0).all()
+
+
+def test_nanopore_read_from_fast5(oned_fast5s):
+    rd = NanoporeReadData.from_fast5(oned_fast5s[0])
+    assert rd.kmer_length in (5, 6)
+    assert len(rd.event_map) == rd.read_length
+    assert rd.event_map[-1] == rd.event_map[-rd.kmer_length]
+    assert (np.diff(rd.event_map) >= 0).all()
+    assert rd.events.shape[1] == 4
+    assert rd.events[0, 3] == 0.0  # start rebased to 0
+    # event means in pA range
+    assert 40 < np.mean(rd.events[:, 0]) < 160
+
+
+def test_read_bam(oned_fast5s):
+    refs, records = read_bam(os.path.join(ONED, "1D.bam"))
+    recs = list(records)
+    assert len(recs) >= 1
+    assert any("gi" in (r or "") or len(refs) > 0 for r in refs)
+    rec = recs[0]
+    assert rec.seq and rec.cigar
+    assert rec.reference_span() > len(rec.seq) * 0.8
+
+
+def test_filter_reads_matches_fast5s(oned_fast5s):
+    pairs = filter_reads(os.path.join(ONED, "1D.bam"),
+                         os.path.join(ONED, "1D.fastq.index.readdb"),
+                         [ONED], quality_threshold=7.0)
+    assert len(pairs) >= 1
+    for f5, rec in pairs:
+        assert os.path.exists(f5)
+
+
+def test_guide_alignment_anchor_consistency(oned_fast5s, ecoli_fasta):
+    """Anchors must pair read bases with target bases that mostly agree."""
+    ref = load_fasta(ecoli_fasta)
+    pairs = filter_reads(os.path.join(ONED, "1D.bam"),
+                         os.path.join(ONED, "1D.fastq.index.readdb"),
+                         [ONED], quality_threshold=7.0)
+    checked = 0
+    for f5path, rec in pairs:
+        guide = guide_from_sam_record(rec)
+        assert guide is not None
+        rd = NanoporeReadData.from_fast5(f5path)
+        assert guide.validate(rd.read_length)
+        window = ref[guide.contig][guide.window_start:guide.window_end]
+        target = window if guide.forward else reverse_complement(window)
+        anchors = guide.anchor_pairs(trim=14)
+        assert len(anchors) > 100
+        agree = 0
+        for x, k in anchors[:2000]:
+            if target[x] == rd.template_read[k]:
+                agree += 1
+        frac = agree / min(len(anchors), 2000)
+        assert frac > 0.8, f"anchor base agreement too low: {frac}"
+        # anchors strictly increasing in both coords
+        xs = [a[0] for a in anchors]
+        ks = [a[1] for a in anchors]
+        assert all(b > a for a, b in zip(xs, xs[1:]))
+        assert all(b > a for a, b in zip(ks, ks[1:]))
+        checked += 1
+    assert checked >= 1
+
+
+def test_processed_reference_targets(ecoli_fasta):
+    pr = ProcessedReference(ecoli_fasta)
+    name = next(iter(pr.forward))
+    fwd = pr.template_target(name, 100, 160, True)
+    assert fwd == pr.forward[name][100:160]
+    rev = pr.template_target(name, 100, 160, False)
+    assert rev == reverse_complement(pr.forward[name][100:160])
