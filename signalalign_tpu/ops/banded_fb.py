@@ -47,6 +47,12 @@ from signalalign_tpu.utils.alphabet import expand_kmer_paths
 
 NEG = -1.0e30  # finite log-zero: avoids inf-inf NaNs on the VPU
 
+# Device dtype: float32 in production (TPU); tests may set
+# SIGNALALIGN_TPU_DTYPE=float64 (with JAX_ENABLE_X64=1) to isolate
+# precision effects.
+import os as _os
+DTYPE = np.float64 if _os.environ.get("SIGNALALIGN_TPU_DTYPE") == "float64" else np.float32
+
 # emission modes
 MODE_MEAN_ONLY = 0      # log(1/var) + N(descaled mean; mu, sd)     [production]
 MODE_FULL = 1           # N(mean; mu, sd) + invGauss(noise; nm, lam) [no descale]
@@ -118,6 +124,7 @@ def prepare_problem(
     ragged_end: bool = True,
     scale_noise: bool = False,
     drift_deltas: Optional[np.ndarray] = None,
+    hdp=None,
 ) -> BandedProblem:
     """Precompute all device arrays for one segment.
 
@@ -229,16 +236,16 @@ def prepare_problem(
     return BandedProblem(
         lX=lX, lY=lY, n_diag=D, mode=mode,
         log_trans=np.where(np.isfinite(model.log_transitions),
-                           model.log_transitions, NEG).astype(np.float32),
+                           model.log_transitions, NEG).astype(DTYPE),
         start_logs=np.where(np.isfinite(start_state_logs(model, ragged_start)),
-                            start_state_logs(model, ragged_start), NEG).astype(np.float32),
+                            start_state_logs(model, ragged_start), NEG).astype(DTYPE),
         end_logs=np.where(np.isfinite(end_state_logs(model, ragged_end)),
-                          end_state_logs(model, ragged_end), NEG).astype(np.float32),
+                          end_state_logs(model, ragged_end), NEG).astype(DTYPE),
         var=float(params.var),
         x0=x0, width=width,
-        ref_params=ref_params.astype(np.float32),
+        ref_params=ref_params.astype(DTYPE),
         kmer_ids=kmer_ids, path_valid=path_valid, legal=legal, n_paths=n_paths,
-        ev_params=ev_params.astype(np.float32), ev_front_pad=ev_front_pad,
+        ev_params=ev_params.astype(DTYPE), ev_front_pad=ev_front_pad,
         path_kmers=path_kmers,
     )
 
@@ -334,54 +341,54 @@ def _legal_reduce(source_PW1, legal_PPW, use_plus1: bool, W: int):
     return m + jnp.log(jnp.maximum(s, 1e-37))
 
 
-@partial(jax.jit, static_argnames=("W", "P", "mode", "with_expectations"))
-def banded_fb_device(
+def _diag_max(cur):
+    """Max over a diagonal tensor, guarded for all-NEG (empty) diagonals."""
+    m = jnp.max(cur)
+    return jnp.where(m > NEG * 0.5, m, 0.0)
+
+
+@partial(jax.jit, static_argnames=("W", "P", "mode"))
+def banded_sweeps_device(
     x0, width, ref_params, legal, ev_params,
     log_trans, start_logs, end_logs, var,
     lX, lY, n_diag, ev_front_pad,
-    *, W: int, P: int, mode: int, with_expectations: bool = False,
+    *, W: int, P: int, mode: int,
 ):
-    """Full forward-backward for one (or a batch via vmap of) segment.
+    """Forward + backward banded sweeps with per-diagonal max-rescaling.
 
-    Returns dict of device arrays:
-      post:     (Dpad+1, P, W) posterior match probs per cell
-      total_f:  () forward total log prob
-      total_b:  () backward total log prob (consistency check)
-      texp:     (3, 3) transition expectations (if with_expectations)
-      match_tp: (Dpad+1, P, W) summed into-match transition posteriors
-                (if with_expectations; drives HDP assignment extraction)
+    Every stored diagonal is normalized so its max cell is ~0; the scalar
+    log-offsets are returned as per-diagonal increments whose prefix sums
+    (computed host-side in float64) restore absolute log-probabilities.
+    This keeps float32 fully accurate regardless of read length (absolute
+    log-probs reach -1e4..-1e5 where f32 resolution would be ~1e-2).
+
+    Returns (fstack, f_incr, lse_f, bstack, b_incr, lse_b):
+      fstack/bstack: (Dpad+1, 3, P, W) normalized band values
+      f_incr/b_incr: (Dpad+1,) per-diagonal offset increments
+      lse_f: logsumexp(fstack[n_diag] + end_logs)  (+ f offsets = total)
+      lse_b: logsumexp(bstack[0] + start_logs)     (+ b offsets = total)
     """
     Dpad = x0.shape[0] - 1
-    f32 = jnp.float32
-    legal_f = legal  # (P, P, LXpad) bool
-
+    f32 = jnp.dtype(DTYPE)
     t = log_trans
 
-    def emis_for_diag(d, xd, for_backward_to: int = 0):
-        """Emission windows for diagonal d cells (or TO-cells offset by
-        for_backward_to in x and +1 in y for the backward sweep)."""
-        xs = xd + for_backward_to
-        refw = _slice_cols(ref_params, xs, W)
-        estart = lY - d + xd + ev_front_pad - for_backward_to + (0 if for_backward_to == 0 else 0)
-        return refw, estart
-
     def step_fwd(carry, d):
-        prev1, prev2 = carry  # (3, P, W) diagonals d-1, d-2
+        prev1, prev2, m_prev = carry  # diagonals d-1 (offset base), d-2
         xd = x0[d]
         wd = width[d]
 
         refw = _slice_cols(ref_params, xd, W)
         evw = _slice_cols(ev_params, lY - d + xd + ev_front_pad, W)
-        legw = jnp.transpose(_slice_cols(legal_f, xd, W), (2, 0, 1))  # (W,P,P)
-        legw = jnp.transpose(legw, (1, 2, 0))  # (P, P, W)
+        legw = _slice_cols(legal, xd, W)  # (P_to, P_from, W)
         e_match, e_stay, e_gapx = _emissions_at(refw, evw, mode, var)
 
         shift1 = xd - x0[d - 1] - 1
         shift2 = xd - x0[jnp.maximum(d - 2, 0)] - 1
         shift2 = jnp.where(d >= 2, shift2, W + 5)  # no diagonal -2
 
-        w1 = _window2(prev1, shift1, W)   # (3, P, W+1): [..., :W]=lower, [..., 1:]=upper
-        w2 = _window2(prev2, shift2, W)   # middle at [..., :W]
+        w1 = _window2(prev1, shift1, W)   # [..., :W]=lower, [..., 1:]=upper
+        # prev2 values are relative to offset(prev2) = offset(prev1) - m_prev
+        w2 = _window2(prev2, shift2, W)
 
         # gapX: from lower (x-1, y): match->gapX, gapX->gapX
         src_x = _lae(w1[MATCH] + t[T_MX], w1[GAP_X] + t[T_XX])
@@ -389,46 +396,46 @@ def banded_fb_device(
 
         # match: from middle (x-1, y-1): m->m, x->m, y->m
         src_m = _lae(_lae(w2[MATCH] + t[T_MM], w2[GAP_X] + t[T_XM]),
-                     w2[GAP_Y] + t[T_YM])
+                     w2[GAP_Y] + t[T_YM]) - m_prev
         mm = _legal_reduce(src_m, legw, False, W) + e_match
 
         # gapY: from upper (x, y-1), same path: m->y, y->y
         gy = _lae(w1[MATCH][:, 1:] + t[T_MY], w1[GAP_Y][:, 1:] + t[T_YY]) + e_stay
 
-        cur = jnp.stack([mm, gx, gy])  # (3, P, W)
+        cur = jnp.stack([mm, gx, gy])  # (3, P, W), offset base = offset(prev1)
         o = jnp.arange(W, dtype=jnp.int32)
         inband = (o < wd) & (d <= n_diag)
         cur = jnp.where(inband[None, None, :], cur, NEG)
-        cur = jnp.maximum(cur, NEG)
-        return (cur, prev1), cur
+        m = _diag_max(cur)
+        cur = jnp.maximum(cur - m, NEG)
+        return (cur, prev1, m), (cur, m)
 
     # init: diagonal 0 = single cell (0,0) with the start distribution
     f0 = jnp.full((3, P, W), NEG, dtype=f32)
     f0 = f0.at[:, 0, 0].set(start_logs)
     fm1 = jnp.full((3, P, W), NEG, dtype=f32)
 
-    (_, _), fstack = jax.lax.scan(step_fwd, (f0, fm1), jnp.arange(1, Dpad + 1))
-    fstack = jnp.concatenate([f0[None], fstack], axis=0)  # (Dpad+1, 3, P, W)
+    _, (fstack, f_incr) = jax.lax.scan(
+        step_fwd, (f0, fm1, jnp.asarray(0.0, f32)), jnp.arange(1, Dpad + 1))
+    fstack = jnp.concatenate([f0[None], fstack], axis=0)
+    f_incr = jnp.concatenate([jnp.zeros(1, f32), f_incr])
 
-    # forward total prob: dot final diagonal with end distribution
-    f_end = fstack[n_diag]  # dynamic index -> gather
-    total_f = jax.scipy.special.logsumexp(
-        jnp.maximum(f_end + end_logs[:, None, None], NEG))
+    lse_f = jax.scipy.special.logsumexp(
+        jnp.maximum(fstack[n_diag] + end_logs[:, None, None], NEG))
 
     # ---- backward sweep (descending diagonals)
     def step_bwd(carry, d):
-        b1, b2 = carry  # diagonals d+1, d+2
+        b1, b2, m_prev = carry  # diagonals d+1 (offset base), d+2
         xd = x0[d]
         wd = width[d]
 
-        # TO-cell parameter windows in current offsets
-        refw_x1 = _slice_cols(ref_params, xd + 1, W)       # k-mers of x+1 cells
-        refw_x0 = _slice_cols(ref_params, xd, W)           # k-mers of x cells
-        evw_y1 = _slice_cols(ev_params, lY - d + xd + ev_front_pad - 1, W)  # event y+1
-        # legality from our paths q into x+1 paths p: legal[p, q, x+1]
-        legw_x1 = _slice_cols(legal_f, xd + 1, W)          # (P, P, W)
+        # TO-cell parameter windows aligned to current offsets
+        refw_x1 = _slice_cols(ref_params, xd + 1, W)
+        refw_x0 = _slice_cols(ref_params, xd, W)
+        evw_y1 = _slice_cols(ev_params, lY - d + xd + ev_front_pad - 1, W)
+        legw_x1 = _slice_cols(legal, xd + 1, W)  # legal[p_to, q_from] at x+1
 
-        e_match_to, e_stay_to, _ = _emissions_at(refw_x1, evw_y1, mode, var)
+        e_match_to, _, _ = _emissions_at(refw_x1, evw_y1, mode, var)
         _, e_stay_same, _ = _emissions_at(refw_x0, evw_y1, mode, var)
         gapx_valid = jnp.where(refw_x1[1] > 0.0, LOG_GAPX_EMISSION, NEG)
 
@@ -437,15 +444,12 @@ def banded_fb_device(
         u2 = x0[d] + 1 - x0[jnp.minimum(d + 2, Dpad)]
         u2 = jnp.where(d + 2 <= Dpad, u2, W + 5)
 
-        wb1 = _window2(b1, u1, W)   # [..., :W] = gapY target (x,y+1); [..., 1:] = gapX target (x+1,y)
-        wb2 = _window2(b2, u2, W)   # [..., :W] = match target (x+1,y+1)
+        wb1 = _window2(b1, u1, W)   # [..., :W]=gapY target (x,y+1); [..., 1:]=gapX target (x+1,y)
+        wb2 = _window2(b2, u2, W)   # [..., :W]=match target (x+1,y+1), offset -m_prev
 
-        # contribution into our state s at (x, y):
-        #   gapX target: sum over p' legal(q=us -> p'): b1[GAP_X, p', o+u1+1] + e_gapx(p') + t[s->X]
-        gx_term = wb1[GAP_X][:, 1:] + gapx_valid          # (P', W)
-        mm_term = wb2[MATCH][:, :W] + e_match_to          # (P', W)
-        #   reduce over p' with legality transposed: from our path q into p'
-        legT = jnp.transpose(legw_x1, (1, 0, 2))          # (q, p', W)
+        gx_term = wb1[GAP_X][:, 1:] + gapx_valid
+        mm_term = wb2[MATCH][:, :W] + e_match_to - m_prev
+        legT = jnp.transpose(legw_x1, (1, 0, 2))  # (q_from, p_to, W)
 
         def red(term):
             masked = jnp.where(legT, term[None, :, :], NEG)
@@ -453,9 +457,9 @@ def banded_fb_device(
             s = jnp.sum(jnp.exp(masked - m[:, None, :]), axis=1)
             return m + jnp.log(jnp.maximum(s, 1e-37))
 
-        gx_red = red(gx_term)                              # (P, W) per our path
+        gx_red = red(gx_term)
         mm_red = red(mm_term)
-        gy_term = wb1[GAP_Y][:, :W] + e_stay_same          # same-path stay
+        gy_term = wb1[GAP_Y][:, :W] + e_stay_same
 
         b_match = _lae(_lae(gx_red + t[T_MX], mm_red + t[T_MM]), gy_term + t[T_MY])
         b_gapx = _lae(gx_red + t[T_XX], mm_red + t[T_XM])
@@ -465,108 +469,124 @@ def banded_fb_device(
         o = jnp.arange(W, dtype=jnp.int32)
         inband = (o < wd) & (d <= n_diag)
         cur = jnp.where(inband[None, None, :], cur, NEG)
-        # final diagonal keeps its end-distribution initialisation
         is_final = d == n_diag
         bfin = jnp.where(inband[None, None, :],
                          jnp.broadcast_to(end_logs[:, None, None], (3, P, W)), NEG)
         cur = jnp.where(is_final, bfin, cur)
-        cur = jnp.maximum(cur, NEG)
-        return (cur, b1), cur
+        m = jnp.where(is_final, 0.0, _diag_max(cur))
+        cur = jnp.maximum(cur - m, NEG)
+        return (cur, b1, m), (cur, m)
 
     bD = jnp.full((3, P, W), NEG, dtype=f32)
     bD1 = jnp.full((3, P, W), NEG, dtype=f32)
-    (_, _), bstack_rev = jax.lax.scan(step_bwd, (bD, bD1), jnp.arange(Dpad, -1, -1))
-    bstack = bstack_rev[::-1]  # (Dpad+1, 3, P, W)
+    _, (bstack_rev, b_incr_rev) = jax.lax.scan(
+        step_bwd, (bD, bD1, jnp.asarray(0.0, f32)), jnp.arange(Dpad, -1, -1))
+    bstack = bstack_rev[::-1]
+    b_incr = b_incr_rev[::-1]
 
-    total_b = jax.scipy.special.logsumexp(
+    lse_b = jax.scipy.special.logsumexp(
         jnp.maximum(bstack[0] + start_logs[:, None, None], NEG))
 
-    # ---- posterior match probabilities
-    d_idx = jnp.arange(Dpad + 1, dtype=jnp.int32)[:, None]
+    return fstack, f_incr, lse_f, bstack, b_incr, lse_b
+
+
+@partial(jax.jit, static_argnames=("W", "P"))
+def posterior_device(fstack, bstack, cvec, x0, width, n_diag, *, W: int, P: int):
+    """Posterior match probs from normalized stacks + per-diagonal offsets.
+
+    cvec[d] = Foffset[d] + Boffset[d] - total_log_prob  (host f64 -> f32).
+    """
+    Dpad1 = fstack.shape[0]
+    d_idx = jnp.arange(Dpad1, dtype=jnp.int32)[:, None]
     o_idx = jnp.arange(W, dtype=jnp.int32)[None, :]
-    xs = x0[:, None] + o_idx                      # (Dpad+1, W)
+    xs = x0[:, None] + o_idx
     ys = d_idx - xs
     cellmask = (o_idx < width[:, None]) & (xs > 0) & (ys > 0) & (d_idx <= n_diag)
-    post = jnp.exp(jnp.maximum(
-        fstack[:, MATCH] + bstack[:, MATCH] - total_f, NEG))
+    logp = fstack[:, MATCH] + bstack[:, MATCH] + cvec[:, None, None]
+    post = jnp.exp(jnp.maximum(logp, NEG))
     post = jnp.where(cellmask[:, None, :], post, 0.0)
-    post = jnp.minimum(post, 1.0)
+    return jnp.minimum(post, 1.0)
 
-    out = {"post": post, "total_f": total_f, "total_b": total_b}
 
-    if with_expectations:
-        # per-diagonal transition posteriors, accumulated over the band.
-        # For diagonal d (TO cells), FROM cells are on d-1 / d-2.
-        def step_exp(acc, d):
-            texp, match_tp = acc
-            xd = x0[d]
-            wd = width[d]
-            refw = _slice_cols(ref_params, xd, W)
-            evw = _slice_cols(ev_params, lY - d + xd + ev_front_pad, W)
-            legw = _slice_cols(legal_f, xd, W)  # (P, P, W) legal[p_to, q_from]
-            e_match, e_stay, e_gapx = _emissions_at(refw, evw, mode, var)
+@partial(jax.jit, static_argnames=("W", "P", "mode"))
+def expectations_device(
+    fstack, bstack, cvec_d1, cvec_d2,
+    x0, width, ref_params, legal, ev_params,
+    log_trans, var, lY, n_diag, ev_front_pad,
+    *, W: int, P: int, mode: int,
+):
+    """Transition-expectation accumulation over the band.
 
-            shift1 = xd - x0[jnp.maximum(d - 1, 0)] - 1
-            shift1 = jnp.where(d >= 1, shift1, W + 5)
-            shift2 = xd - x0[jnp.maximum(d - 2, 0)] - 1
-            shift2 = jnp.where(d >= 2, shift2, W + 5)
+    For diagonal d (TO cells), FROM cells are on d-1 (gapX/gapY) and d-2
+    (match). cvec_d1[d] = Fo[d-1] + Bo[d] - total; cvec_d2[d] uses Fo[d-2].
+    Returns (texp (3,3), match_tp (Dpad+1, P, W)): per-transition posterior
+    sums and per-cell into-match transition posteriors (HDP assignments).
 
-            f1 = _window2(fstack_d(d - 1), shift1, W)
-            f2 = _window2(fstack_d(d - 2), shift2, W)
-            bcur = bstack_d(d)
+    reference: cell_signal_updateExpectations /
+    cell_signal_updateExpectationsAndAssignments (pairwiseAligner.c:914-970).
+    """
+    Dpad = x0.shape[0] - 1
+    f32 = jnp.dtype(DTYPE)
+    t = log_trans
 
-            o = jnp.arange(W, dtype=jnp.int32)
-            inband = (o < wd) & (d <= n_diag) & (d >= 1)
+    def step_exp(acc, d):
+        texp, match_tp = acc
+        xd = x0[d]
+        wd = width[d]
+        refw = _slice_cols(ref_params, xd, W)
+        evw = _slice_cols(ev_params, lY - d + xd + ev_front_pad, W)
+        legw = _slice_cols(legal, xd, W)
+        e_match, e_stay, e_gapx = _emissions_at(refw, evw, mode, var)
 
-            def pair_post(f_src_PW1, plus1, e_to, t_log, b_state):
-                """(P_to, P_from, W) posteriors for one transition type."""
-                src = f_src_PW1[:, 1:] if plus1 else f_src_PW1[:, :W]
-                val = (src[None, :, :] + e_to[:, None, :] + t_log
-                       + bcur[b_state][:, None, :] - total_f)
-                val = jnp.where(legw & inband[None, None, :], val, NEG)
-                return jnp.exp(jnp.maximum(val, NEG))
+        shift1 = xd - x0[jnp.maximum(d - 1, 0)] - 1
+        shift1 = jnp.where(d >= 1, shift1, W + 5)
+        shift2 = xd - x0[jnp.maximum(d - 2, 0)] - 1
+        shift2 = jnp.where(d >= 2, shift2, W + 5)
 
-            # into gapX (from lower)
-            p_mx = pair_post(f1[MATCH], False, e_gapx, t[T_MX], GAP_X)
-            p_xx = pair_post(f1[GAP_X], False, e_gapx, t[T_XX], GAP_X)
-            # into match (from middle)
-            p_mm = pair_post(f2[MATCH], False, e_match, t[T_MM], MATCH)
-            p_xm = pair_post(f2[GAP_X], False, e_match, t[T_XM], MATCH)
-            p_ym = pair_post(f2[GAP_Y], False, e_match, t[T_YM], MATCH)
-            # into gapY (from upper, same path)
-            up_m = f1[MATCH][:, 1:]
-            up_y = f1[GAP_Y][:, 1:]
-            val_my = jnp.exp(jnp.maximum(jnp.where(
-                inband[None, :], up_m + e_stay + t[T_MY] + bcur[GAP_Y] - total_f, NEG), NEG))
-            val_yy = jnp.exp(jnp.maximum(jnp.where(
-                inband[None, :], up_y + e_stay + t[T_YY] + bcur[GAP_Y] - total_f, NEG), NEG))
+        f1 = _window2(fstack[jnp.maximum(d - 1, 0)], shift1, W)
+        f2 = _window2(fstack[jnp.maximum(d - 2, 0)], shift2, W)
+        bcur = bstack[d]
+        c1 = cvec_d1[d]
+        c2 = cvec_d2[d]
 
-            texp = texp.at[MATCH, GAP_X].add(jnp.sum(p_mx))
-            texp = texp.at[GAP_X, GAP_X].add(jnp.sum(p_xx))
-            texp = texp.at[MATCH, MATCH].add(jnp.sum(p_mm))
-            texp = texp.at[GAP_X, MATCH].add(jnp.sum(p_xm))
-            texp = texp.at[GAP_Y, MATCH].add(jnp.sum(p_ym))
-            texp = texp.at[MATCH, GAP_Y].add(jnp.sum(val_my))
-            texp = texp.at[GAP_Y, GAP_Y].add(jnp.sum(val_yy))
+        o = jnp.arange(W, dtype=jnp.int32)
+        inband = (o < wd) & (d <= n_diag) & (d >= 1)
 
-            mtp = jnp.sum(p_mm + p_xm + p_ym, axis=1)  # (P_to, W)
-            return (texp, match_tp.at[d].set(mtp)), None
+        def pair_post(f_src_PW1, e_to, t_log, b_state, c):
+            src = f_src_PW1[:, :W]
+            val = (src[None, :, :] + e_to[:, None, :] + t_log
+                   + bcur[b_state][:, None, :] + c)
+            val = jnp.where(legw & inband[None, None, :], val, NEG)
+            return jnp.exp(jnp.maximum(val, NEG))
 
-        def fstack_d(d):
-            d = jnp.clip(d, 0, Dpad)
-            return fstack[d]
+        p_mx = pair_post(f1[MATCH], e_gapx, t[T_MX], GAP_X, c1)
+        p_xx = pair_post(f1[GAP_X], e_gapx, t[T_XX], GAP_X, c1)
+        p_mm = pair_post(f2[MATCH], e_match, t[T_MM], MATCH, c2)
+        p_xm = pair_post(f2[GAP_X], e_match, t[T_XM], MATCH, c2)
+        p_ym = pair_post(f2[GAP_Y], e_match, t[T_YM], MATCH, c2)
+        up_m = f1[MATCH][:, 1:]
+        up_y = f1[GAP_Y][:, 1:]
+        val_my = jnp.exp(jnp.maximum(jnp.where(
+            inband[None, :], up_m + e_stay + t[T_MY] + bcur[GAP_Y] + c1, NEG), NEG))
+        val_yy = jnp.exp(jnp.maximum(jnp.where(
+            inband[None, :], up_y + e_stay + t[T_YY] + bcur[GAP_Y] + c1, NEG), NEG))
 
-        def bstack_d(d):
-            return bstack[d]
+        texp = texp.at[MATCH, GAP_X].add(jnp.sum(p_mx))
+        texp = texp.at[GAP_X, GAP_X].add(jnp.sum(p_xx))
+        texp = texp.at[MATCH, MATCH].add(jnp.sum(p_mm))
+        texp = texp.at[GAP_X, MATCH].add(jnp.sum(p_xm))
+        texp = texp.at[GAP_Y, MATCH].add(jnp.sum(p_ym))
+        texp = texp.at[MATCH, GAP_Y].add(jnp.sum(val_my))
+        texp = texp.at[GAP_Y, GAP_Y].add(jnp.sum(val_yy))
 
-        texp0 = jnp.zeros((3, 3), dtype=jnp.float64 if fstack.dtype == jnp.float64 else jnp.float32)
-        mtp0 = jnp.zeros((Dpad + 1, P, W), dtype=f32)
-        (texp, match_tp), _ = jax.lax.scan(step_exp, (texp0, mtp0),
-                                           jnp.arange(0, Dpad + 1))
-        out["texp"] = texp
-        out["match_tp"] = match_tp
+        mtp = jnp.sum(p_mm + p_xm + p_ym, axis=1)
+        return (texp, match_tp.at[d].set(mtp)), None
 
-    return out
+    texp0 = jnp.zeros((3, 3), dtype=f32)
+    mtp0 = jnp.zeros((Dpad + 1, P, W), dtype=f32)
+    (texp, match_tp), _ = jax.lax.scan(step_exp, (texp0, mtp0),
+                                       jnp.arange(0, Dpad + 1))
+    return texp, match_tp
 
 
 # --------------------------------------------------------------------------
@@ -575,18 +595,52 @@ def banded_fb_device(
 
 def run_banded_fb(problem: BandedProblem, W: int, P: int,
                   with_expectations: bool = False) -> Dict:
-    """Run the device kernel for one problem; decode outputs host-side."""
-    res = banded_fb_device(
+    """Run the two-phase device pipeline for one problem.
+
+    Phase 1: forward+backward sweeps (normalized stacks + offset increments).
+    Host: float64 prefix sums of the offsets -> per-diagonal correction
+    vectors. Phase 2: posterior (and optionally expectation) kernels.
+    """
+    args = (
         jnp.asarray(problem.x0), jnp.asarray(problem.width),
         jnp.asarray(problem.ref_params), jnp.asarray(problem.legal),
         jnp.asarray(problem.ev_params),
         jnp.asarray(problem.log_trans), jnp.asarray(problem.start_logs),
-        jnp.asarray(problem.end_logs), jnp.float32(problem.var),
+        jnp.asarray(problem.end_logs), jnp.asarray(problem.var, dtype=DTYPE),
         jnp.int32(problem.lX), jnp.int32(problem.lY), jnp.int32(problem.n_diag),
         jnp.int32(problem.ev_front_pad),
-        W=W, P=P, mode=problem.mode, with_expectations=with_expectations,
     )
-    return {k: np.asarray(v) for k, v in res.items()}
+    fstack, f_incr, lse_f, bstack, b_incr, lse_b = banded_sweeps_device(
+        *args, W=W, P=P, mode=problem.mode)
+
+    D = problem.n_diag
+    fo = np.cumsum(np.asarray(f_incr, dtype=np.float64))
+    bo_rev = np.cumsum(np.asarray(b_incr, dtype=np.float64)[::-1])[::-1]
+    total_f = float(lse_f) + fo[D]
+    total_b = float(lse_b) + bo_rev[0]
+
+    cvec = (fo + bo_rev - total_f).astype(DTYPE)
+    post = posterior_device(fstack, bstack, jnp.asarray(cvec),
+                            jnp.asarray(problem.x0), jnp.asarray(problem.width),
+                            jnp.int32(D), W=W, P=P)
+    out = {"post": np.asarray(post), "total_f": total_f, "total_b": total_b}
+
+    if with_expectations:
+        fo_d1 = np.concatenate([[0.0], fo[:-1]])
+        fo_d2 = np.concatenate([[0.0, 0.0], fo[:-2]])
+        cvec_d1 = (fo_d1 + bo_rev - total_f).astype(DTYPE)
+        cvec_d2 = (fo_d2 + bo_rev - total_f).astype(DTYPE)
+        texp, match_tp = expectations_device(
+            fstack, bstack, jnp.asarray(cvec_d1), jnp.asarray(cvec_d2),
+            jnp.asarray(problem.x0), jnp.asarray(problem.width),
+            jnp.asarray(problem.ref_params), jnp.asarray(problem.legal),
+            jnp.asarray(problem.ev_params), jnp.asarray(problem.log_trans),
+            jnp.asarray(problem.var, dtype=DTYPE), jnp.int32(problem.lY),
+            jnp.int32(D), jnp.int32(problem.ev_front_pad),
+            W=W, P=P, mode=problem.mode)
+        out["texp"] = np.asarray(texp, dtype=np.float64)
+        out["match_tp"] = np.asarray(match_tp)
+    return out
 
 
 def extract_aligned_pairs(problem: BandedProblem, post: np.ndarray,

@@ -1,0 +1,203 @@
+"""Per-read signal alignment pipeline: events + guide alignment -> banded
+posterior decoding -> output records.
+
+This is the TPU-native equivalent of the signalMachine per-read flow
+(impl/signalMachine.c:484-940): re-estimate per-read scaling, trim the event
+sequence to the guide window, remap anchors, split at large anchor gaps, run
+the banded forward-backward, and emit aligned pairs / output rows.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from signalalign_tpu.io.guide import GuideAlignment
+from signalalign_tpu.io.output import (build_full_rows, build_vc_rows,
+                                       posterior_score)
+from signalalign_tpu.io.read import NanoporeReadData
+from signalalign_tpu.io.reference import ProcessedReference
+from signalalign_tpu.models.pore_model import PoreModel, ScalingParams
+from signalalign_tpu.ops import banded_fb as bfb
+from signalalign_tpu.ops.band_geometry import (band_widths, build_band,
+                                               get_split_points,
+                                               remap_anchors_to_events)
+from signalalign_tpu.ops.scaling import (adjust_events_for_drift,
+                                         estimate_nanopore_params)
+from signalalign_tpu.utils.alphabet import (DEFAULT_AMBIG_BASES,
+                                            max_paths_per_kmer)
+
+
+@dataclasses.dataclass
+class AlignmentConfig:
+    threshold: float = 0.01
+    diagonal_expansion: int = 50       # signalMachine.c:487 default
+    constraint_trim: int = 14
+    split_bigger_than: int = 3000 * 3000
+    estimate_params: bool = True       # signalMachine ESTIMATE_PARAMS
+    emission_mode: int = bfb.MODE_MEAN_ONLY
+    ambig_map: Dict[str, str] = dataclasses.field(
+        default_factory=lambda: dict(DEFAULT_AMBIG_BASES))
+    compute_expectations: bool = False
+    assignment_threshold: float = 0.1  # signalMachine ASSIGNMENT_THRESHOLD
+
+
+@dataclasses.dataclass
+class ReadAlignment:
+    read_label: str
+    contig: str
+    forward: bool
+    strand_template: bool
+    aligned_pairs: List[Tuple[int, int, int, str]]  # (prob_int, x, y, kmer)
+    score: float
+    target: str
+    event_offset: int
+    ref_offset: int
+    params: ScalingParams
+    events: np.ndarray            # drift-adjusted full event table
+    total_log_prob: float
+    rna: bool = False
+    transition_expectations: Optional[np.ndarray] = None
+    likelihood: float = 0.0
+
+    def full_rows(self, model: PoreModel):
+        return build_full_rows(
+            self.aligned_pairs, self.target, self.events, model, self.params,
+            self.contig, self.read_label, self.strand_template, self.forward,
+            self.event_offset, self.ref_offset, self.rna)
+
+    def vc_rows(self, model: PoreModel, ambig_map=None):
+        return build_vc_rows(
+            self.aligned_pairs, self.target, model,
+            ambig_map or DEFAULT_AMBIG_BASES, self.contig, self.read_label,
+            self.strand_template, self.forward, self.event_offset,
+            self.ref_offset, self.score, self.rna)
+
+
+def _bucket_w(w: int) -> int:
+    for b in (16, 32, 48, 64, 96, 128, 192, 256, 384, 512, 768, 1024):
+        if w <= b:
+            return b
+    return ((w + 255) // 256) * 256
+
+
+def _bucket_d(d: int) -> int:
+    b = 256
+    while b < d + 1:
+        b *= 2
+    return b
+
+
+def align_read(read: NanoporeReadData, guide: GuideAlignment,
+               reference: ProcessedReference, model: PoreModel,
+               config: Optional[AlignmentConfig] = None,
+               hdp=None) -> ReadAlignment:
+    """Align one read's template strand against its guide window."""
+    config = config or AlignmentConfig()
+    k = model.kmer_length
+
+    # RNA coordinate flip on the query window (signalMachine.c:716-720):
+    # the stored read was reversed, so the guide's query window flips too.
+    qstart, qend = guide.query_start, guide.query_end
+    if read.rna:
+        qstart, qend = read.read_length - guide.query_end, read.read_length - guide.query_start
+
+    target = reference.template_target(
+        guide.contig, guide.window_start, guide.window_end, guide.forward)
+    if read.rna:
+        # fastaHandler_ReferenceSequenceConstructFull rna branch: the target
+        # is reversed (3'->5' signal order)
+        target = target[::-1]
+
+    # --- per-read scaling (signalMachine ESTIMATE_PARAMS path)
+    params = dataclasses.replace(read.params)
+    if config.estimate_params:
+        params = estimate_nanopore_params(read.template_read, read.event_map,
+                                          read.events, model, params)
+    events = adjust_events_for_drift(read.events, params.drift)
+
+    # --- event window from the guide's query span
+    ev_start = int(read.event_map[qstart])
+    ev_end = int(read.event_map[qend - 1])
+    window_events = events[ev_start:ev_end]
+    lX = len(target) - k + 1
+    lY = ev_end - ev_start
+    if lY <= 0 or lX <= 0:
+        raise ValueError(f"{read.read_label}: empty alignment window")
+
+    # --- anchors: target-space pairs -> event-space, overlap-filtered
+    anchors_rb = guide.anchor_pairs(config.constraint_trim)
+    if read.rna:
+        # flip query coords to the reversed-read frame, ref coords to the
+        # reversed-target frame
+        Lw = guide.window_length
+        anchors_rb = [(Lw - 1 - x - (k - 1), read.read_length - 1 - q)
+                      for x, q in anchors_rb]
+        anchors_rb = sorted((x, q) for x, q in anchors_rb if x >= 0)
+    anchors = remap_anchors_to_events(anchors_rb, read.event_map, qstart)
+    anchors = [(x, y) for x, y in anchors if 0 <= x < lX and 0 <= y < lY]
+
+    # --- split at large anchor gaps, run each segment
+    splits = get_split_points(anchors, lX, lY, config.split_bigger_than,
+                              True, True)
+    all_pairs: List[Tuple[int, int, int, str]] = []
+    texp_total = np.zeros((3, 3))
+    likelihood = 0.0
+    total_lp = 0.0
+    j = 0
+    for (x1, y1, x2, y2) in splits:
+        seg_chars = target[x1:x2 + k - 1]
+        seg_events = window_events[y1:y2]
+        seg_anchors = []
+        while j < len(anchors):
+            ax, ay = anchors[j]
+            if ax + ay >= x2 + y2:
+                break
+            seg_anchors.append((ax - x1, ay - y1))
+            j += 1
+        pairs, seg_out = _align_segment(
+            seg_chars, seg_events, seg_anchors, model, params, config, hdp)
+        total_lp += float(seg_out["total_f"])
+        if config.compute_expectations:
+            texp_total += seg_out["texp"]
+            likelihood += float(seg_out["total_f"]) * (len(seg_chars) - k + 1 + len(seg_events))
+        for prob, x, y, kmer in pairs:
+            all_pairs.append((prob, x + x1, y + y1, kmer))
+
+    all_pairs.sort(key=lambda r: (r[1] + r[2], r[1]))
+    score = posterior_score(all_pairs)
+
+    return ReadAlignment(
+        read_label=read.read_label, contig=guide.contig, forward=guide.forward,
+        strand_template=True, aligned_pairs=all_pairs, score=score,
+        target=target, event_offset=ev_start, ref_offset=guide.reference_coord_shift,
+        params=params, events=events, total_log_prob=total_lp, rna=read.rna,
+        transition_expectations=texp_total if config.compute_expectations else None,
+        likelihood=likelihood)
+
+
+def _align_segment(seg_chars: str, seg_events: np.ndarray,
+                   seg_anchors: Sequence[Tuple[int, int]],
+                   model: PoreModel, params: ScalingParams,
+                   config: AlignmentConfig, hdp=None):
+    k = model.kmer_length
+    lX = len(seg_chars) - k + 1
+    lY = len(seg_events)
+    xmyL, xmyR = build_band(seg_anchors, lX, lY, config.diagonal_expansion)
+    W = _bucket_w(int(band_widths(xmyL, xmyR).max()))
+    Dpad = _bucket_d(lX + lY)
+    P = max_paths_per_kmer(seg_chars, k, config.ambig_map)
+
+    problem = bfb.prepare_problem(
+        seg_chars, seg_events, model, params, config.ambig_map,
+        W=W, Dpad=Dpad, P=P, mode=config.emission_mode,
+        anchor_pairs=seg_anchors, expansion=config.diagonal_expansion,
+        ragged_start=True, ragged_end=True,
+        scale_noise=(config.emission_mode in (bfb.MODE_FULL_DESCALED,)),
+        hdp=hdp)
+    res = bfb.run_banded_fb(problem, W=W, P=P,
+                            with_expectations=config.compute_expectations)
+    pairs = bfb.extract_aligned_pairs(problem, res["post"], config.threshold)
+    return pairs, res

@@ -1,8 +1,9 @@
 import os
 
 # Run unit tests on a virtual multi-device CPU mesh so sharding logic is
-# exercised without TPU hardware. Must be set before jax import.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# exercised without TPU hardware. Must be set before jax import and must
+# OVERRIDE the ambient JAX_PLATFORMS (which points at the real TPU).
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
