@@ -101,7 +101,17 @@ class BandedProblem:
     ev_params: np.ndarray          # (NEVP, LEpad) f32
     ev_front_pad: int              # index offset of j=0 in ev arrays
     # bookkeeping for output decoding
-    path_kmers: List[List[str]]    # per position list of path kmer strings
+    seq: str                       # segment nucleotide sequence
+    kmer_len: int
+    path_kmers: Optional[List[List[str]]]  # per position path kmers (None
+                                           # for canonical P==1 sequences)
+
+    def path_kmer_at(self, x: int, p: int) -> Optional[str]:
+        """Path k-mer string for cell x (1-based), path slot p."""
+        if self.path_kmers is not None:
+            row = self.path_kmers[x - 1]
+            return row[p] if p < len(row) else None
+        return self.seq[x - 1:x - 1 + self.kmer_len] if p == 0 else None
 
 
 def _gauss_const(sd):
@@ -158,35 +168,45 @@ def prepare_problem(
 
     # ---- per-position path expansion
     LXpad = lX + 1 + W
-    path_kmers: List[List[str]] = []
     kmer_ids = np.zeros((P, LXpad), dtype=np.int32)
     path_valid = np.zeros((P, LXpad), dtype=bool)
     n_paths = np.zeros(LXpad, dtype=np.int32)
     n_paths[0] = 1  # null boundary cell
-    for i in range(lX):
-        paths = expand_kmer_paths(seq[i:i + k], ambig_map)
-        if len(paths) > P:
-            raise ValueError(f"position {i} expands to {len(paths)} paths > P={P}")
-        path_kmers.append(paths)
-        x = i + 1
-        n_paths[x] = len(paths)
-        for p, pk in enumerate(paths):
-            kmer_ids[p, x] = model.alphabet.kmer_index(pk)
-            path_valid[p, x] = True
-
-    # legality masks: legal[p, q, x] == transition from path q of cell x-1
-    # into path p of cell x is legal (path_checkLegal semantics)
     legal = np.zeros((P, P, LXpad), dtype=bool)
-    for x in range(1, lX + 1):
-        if x == 1:
-            for p in range(int(n_paths[1])):
-                legal[p, 0, 1] = True  # from the null boundary path
-        else:
-            prev = path_kmers[x - 2]
-            cur = path_kmers[x - 1]
-            for p, pk in enumerate(cur):
-                for q, qk in enumerate(prev):
-                    legal[p, q, x] = qk[1:] == pk[:-1]
+    has_ambig = any(c in ambig_map for c in set(seq))
+
+    if P == 1 and not has_ambig:
+        # canonical fast path: fully vectorized, k-mer strings decoded lazily
+        path_kmers = None
+        kmer_ids[0, 1:lX + 1] = model.alphabet.seq_to_kmer_ids(seq)
+        path_valid[0, 1:lX + 1] = True
+        n_paths[1:lX + 1] = 1
+        legal[0, 0, 1:lX + 1] = True
+    else:
+        path_kmers = []
+        for i in range(lX):
+            paths = expand_kmer_paths(seq[i:i + k], ambig_map)
+            if len(paths) > P:
+                raise ValueError(
+                    f"position {i} expands to {len(paths)} paths > P={P}")
+            path_kmers.append(paths)
+            x = i + 1
+            n_paths[x] = len(paths)
+            for p, pk in enumerate(paths):
+                kmer_ids[p, x] = model.alphabet.kmer_index(pk)
+                path_valid[p, x] = True
+        # legality masks: legal[p, q, x] == transition from path q of cell
+        # x-1 into path p of cell x is legal (path_checkLegal semantics)
+        for x in range(1, lX + 1):
+            if x == 1:
+                for p in range(int(n_paths[1])):
+                    legal[p, 0, 1] = True  # from the null boundary path
+            else:
+                prev = path_kmers[x - 2]
+                cur = path_kmers[x - 1]
+                for p, pk in enumerate(cur):
+                    for q, qk in enumerate(prev):
+                        legal[p, q, x] = qk[1:] == pk[:-1]
 
     # ---- per-position emission parameters
     if scale_noise:
@@ -246,7 +266,7 @@ def prepare_problem(
         ref_params=ref_params.astype(DTYPE),
         kmer_ids=kmer_ids, path_valid=path_valid, legal=legal, n_paths=n_paths,
         ev_params=ev_params.astype(DTYPE), ev_front_pad=ev_front_pad,
-        path_kmers=path_kmers,
+        seq=seq, kmer_len=k, path_kmers=path_kmers,
     )
 
 
@@ -347,8 +367,7 @@ def _diag_max(cur):
     return jnp.where(m > NEG * 0.5, m, 0.0)
 
 
-@partial(jax.jit, static_argnames=("W", "P", "mode"))
-def banded_sweeps_device(
+def _banded_sweeps_core(
     x0, width, ref_params, legal, ev_params,
     log_trans, start_logs, end_logs, var,
     lX, lY, n_diag, ev_front_pad,
@@ -410,13 +429,16 @@ def banded_sweeps_device(
         cur = jnp.maximum(cur - m, NEG)
         return (cur, prev1, m), (cur, m)
 
-    # init: diagonal 0 = single cell (0,0) with the start distribution
-    f0 = jnp.full((3, P, W), NEG, dtype=f32)
+    # init: diagonal 0 = single cell (0,0) with the start distribution.
+    # (derive constants from traced inputs so the carries carry the right
+    # device-varying type under shard_map)
+    zvar = jnp.zeros((), f32) * var.astype(f32)
+    f0 = jnp.full((3, P, W), NEG, dtype=f32) + zvar
     f0 = f0.at[:, 0, 0].set(start_logs)
-    fm1 = jnp.full((3, P, W), NEG, dtype=f32)
+    fm1 = jnp.full((3, P, W), NEG, dtype=f32) + zvar
 
     _, (fstack, f_incr) = jax.lax.scan(
-        step_fwd, (f0, fm1, jnp.asarray(0.0, f32)), jnp.arange(1, Dpad + 1))
+        step_fwd, (f0, fm1, zvar), jnp.arange(1, Dpad + 1))
     fstack = jnp.concatenate([f0[None], fstack], axis=0)
     f_incr = jnp.concatenate([jnp.zeros(1, f32), f_incr])
 
@@ -477,10 +499,10 @@ def banded_sweeps_device(
         cur = jnp.maximum(cur - m, NEG)
         return (cur, b1, m), (cur, m)
 
-    bD = jnp.full((3, P, W), NEG, dtype=f32)
-    bD1 = jnp.full((3, P, W), NEG, dtype=f32)
+    bD = jnp.full((3, P, W), NEG, dtype=f32) + zvar
+    bD1 = jnp.full((3, P, W), NEG, dtype=f32) + zvar
     _, (bstack_rev, b_incr_rev) = jax.lax.scan(
-        step_bwd, (bD, bD1, jnp.asarray(0.0, f32)), jnp.arange(Dpad, -1, -1))
+        step_bwd, (bD, bD1, zvar), jnp.arange(Dpad, -1, -1))
     bstack = bstack_rev[::-1]
     b_incr = b_incr_rev[::-1]
 
@@ -490,8 +512,7 @@ def banded_sweeps_device(
     return fstack, f_incr, lse_f, bstack, b_incr, lse_b
 
 
-@partial(jax.jit, static_argnames=("W", "P"))
-def posterior_device(fstack, bstack, cvec, x0, width, n_diag, *, W: int, P: int):
+def _posterior_core(fstack, bstack, cvec, x0, width, n_diag, *, W: int, P: int):
     """Posterior match probs from normalized stacks + per-diagonal offsets.
 
     cvec[d] = Foffset[d] + Boffset[d] - total_log_prob  (host f64 -> f32).
@@ -508,8 +529,7 @@ def posterior_device(fstack, bstack, cvec, x0, width, n_diag, *, W: int, P: int)
     return jnp.minimum(post, 1.0)
 
 
-@partial(jax.jit, static_argnames=("W", "P", "mode"))
-def expectations_device(
+def _expectations_core(
     fstack, bstack, cvec_d1, cvec_d2,
     x0, width, ref_params, legal, ev_params,
     log_trans, var, lY, n_diag, ev_front_pad,
@@ -582,11 +602,36 @@ def expectations_device(
         mtp = jnp.sum(p_mm + p_xm + p_ym, axis=1)
         return (texp, match_tp.at[d].set(mtp)), None
 
-    texp0 = jnp.zeros((3, 3), dtype=f32)
-    mtp0 = jnp.zeros((Dpad + 1, P, W), dtype=f32)
+    zvar = jnp.zeros((), f32) * var.astype(f32)
+    texp0 = jnp.zeros((3, 3), dtype=f32) + zvar
+    mtp0 = jnp.zeros((Dpad + 1, P, W), dtype=f32) + zvar
     (texp, match_tp), _ = jax.lax.scan(step_exp, (texp0, mtp0),
                                        jnp.arange(0, Dpad + 1))
     return texp, match_tp
+
+
+banded_sweeps_device = partial(jax.jit, static_argnames=("W", "P", "mode"))(
+    _banded_sweeps_core)
+posterior_device = partial(jax.jit, static_argnames=("W", "P"))(_posterior_core)
+expectations_device = partial(jax.jit, static_argnames=("W", "P", "mode"))(
+    _expectations_core)
+
+# Batched variants: vmap over a leading problem axis of every array arg.
+# The scan inside becomes a batched scan: each diagonal step processes
+# (B, 3, P, W) tensors, which is what keeps the VPU busy.
+@partial(jax.jit, static_argnames=("W", "P", "mode"))
+def banded_sweeps_batched(*args, W, P, mode):
+    return jax.vmap(partial(_banded_sweeps_core, W=W, P=P, mode=mode))(*args)
+
+
+@partial(jax.jit, static_argnames=("W", "P"))
+def posterior_batched(*args, W, P):
+    return jax.vmap(partial(_posterior_core, W=W, P=P))(*args)
+
+
+@partial(jax.jit, static_argnames=("W", "P", "mode"))
+def expectations_batched(*args, W, P, mode):
+    return jax.vmap(partial(_expectations_core, W=W, P=P, mode=mode))(*args)
 
 
 # --------------------------------------------------------------------------
@@ -659,9 +704,10 @@ def extract_aligned_pairs(problem: BandedProblem, post: np.ndarray,
         y = int(d) - x
         if x <= 0 or y <= 0 or x > problem.lX or y > problem.lY:
             continue
-        if p >= len(problem.path_kmers[x - 1]):
+        kmer = problem.path_kmer_at(x, p)
+        if kmer is None:
             continue
         prob = min(float(post[d, p, o]), 1.0)
-        out.append((int(prob * 10000000), x - 1, y - 1, problem.path_kmers[x - 1][p]))
+        out.append((int(prob * 10000000), x - 1, y - 1, kmer))
     out.sort(key=lambda r: (r[1] + r[2], r[1]))
     return out

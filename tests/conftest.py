@@ -7,6 +7,12 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+# The axon TPU plugin force-prepends itself to jax_platforms at import time,
+# overriding the env var; pin the config explicitly.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 import pytest  # noqa: E402
 
 REFERENCE_DIR = "/root/reference"

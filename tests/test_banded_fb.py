@@ -153,3 +153,25 @@ def test_full_descaled_mode_matches_oracle(r94_model):
     oracle = banded_forward_backward(paths, events, model, em,
                                      anchor_pairs=(), expansion=4)
     assert math.isclose(res["total_f"], oracle["total_log_prob_f"], rel_tol=1e-4)
+
+
+def test_batched_matches_single(r94_model):
+    from signalalign_tpu.ops.batch import run_banded_fb_batch
+    model = r94_model
+    rng = np.random.default_rng(3)
+    problems = []
+    singles = []
+    for i in range(4):
+        params = ScalingParams(shift=float(rng.normal(0, 2)), scale=1.0, var=1.0 + 0.1 * i)
+        seq, events, _ = _synthetic_read(model, rng, 20 + 4 * i, params)
+        prob = bfb.prepare_problem(
+            seq, events, model, params, DEFAULT_AMBIG_BASES,
+            W=64, Dpad=256, P=1, mode=bfb.MODE_MEAN_ONLY,
+            anchor_pairs=(), expansion=8)
+        problems.append(prob)
+        singles.append(bfb.run_banded_fb(prob, W=64, P=1, with_expectations=True))
+    batch = run_banded_fb_batch(problems, W=64, P=1, with_expectations=True)
+    for single, b in zip(singles, batch):
+        assert math.isclose(single["total_f"], b["total_f"], rel_tol=1e-5)
+        np.testing.assert_allclose(b["post"], single["post"], atol=2e-4)
+        np.testing.assert_allclose(b["texp"], single["texp"], rtol=1e-3, atol=1e-3)
