@@ -371,7 +371,7 @@ def _banded_sweeps_core(
     x0, width, ref_params, legal, ev_params,
     log_trans, start_logs, end_logs, var,
     lX, lY, n_diag, ev_front_pad,
-    *, W: int, P: int, mode: int,
+    *, W: int, P: int, mode: int, store_full: bool = True,
 ):
     """Forward + backward banded sweeps with per-diagonal max-rescaling.
 
@@ -427,7 +427,12 @@ def _banded_sweeps_core(
         cur = jnp.where(inband[None, None, :], cur, NEG)
         m = _diag_max(cur)
         cur = jnp.maximum(cur - m, NEG)
-        return (cur, prev1, m), (cur, m)
+        out = cur if store_full else cur[MATCH]
+        # normalized end-distribution dot for this diagonal (used for the
+        # total prob when full states are not stored)
+        lse_d = jax.scipy.special.logsumexp(
+            jnp.maximum(cur + end_logs[:, None, None], NEG))
+        return (cur, prev1, m), (out, m, lse_d)
 
     # init: diagonal 0 = single cell (0,0) with the start distribution.
     # (derive constants from traced inputs so the carries carry the right
@@ -437,13 +442,16 @@ def _banded_sweeps_core(
     f0 = f0.at[:, 0, 0].set(start_logs)
     fm1 = jnp.full((3, P, W), NEG, dtype=f32) + zvar
 
-    _, (fstack, f_incr) = jax.lax.scan(
-        step_fwd, (f0, fm1, zvar), jnp.arange(1, Dpad + 1))
-    fstack = jnp.concatenate([f0[None], fstack], axis=0)
+    _, (fstack, f_incr, f_lse) = jax.lax.scan(
+        step_fwd, (f0, fm1, zvar), jnp.arange(1, Dpad + 1), unroll=8)
+    fstack = jnp.concatenate([(f0 if store_full else f0[MATCH])[None], fstack],
+                             axis=0)
     f_incr = jnp.concatenate([jnp.zeros(1, f32), f_incr])
+    lse0 = jax.scipy.special.logsumexp(
+        jnp.maximum(f0 + end_logs[:, None, None], NEG))
+    f_lse = jnp.concatenate([lse0[None], f_lse])
 
-    lse_f = jax.scipy.special.logsumexp(
-        jnp.maximum(fstack[n_diag] + end_logs[:, None, None], NEG))
+    lse_f = f_lse[n_diag]
 
     # ---- backward sweep (descending diagonals)
     def step_bwd(carry, d):
@@ -497,17 +505,18 @@ def _banded_sweeps_core(
         cur = jnp.where(is_final, bfin, cur)
         m = jnp.where(is_final, 0.0, _diag_max(cur))
         cur = jnp.maximum(cur - m, NEG)
-        return (cur, b1, m), (cur, m)
+        out = cur if store_full else cur[MATCH]
+        lse_d = jax.scipy.special.logsumexp(
+            jnp.maximum(cur + start_logs[:, None, None], NEG))
+        return (cur, b1, m), (out, m, lse_d)
 
     bD = jnp.full((3, P, W), NEG, dtype=f32) + zvar
     bD1 = jnp.full((3, P, W), NEG, dtype=f32) + zvar
-    _, (bstack_rev, b_incr_rev) = jax.lax.scan(
-        step_bwd, (bD, bD1, zvar), jnp.arange(Dpad, -1, -1))
+    _, (bstack_rev, b_incr_rev, b_lse_rev) = jax.lax.scan(
+        step_bwd, (bD, bD1, zvar), jnp.arange(Dpad, -1, -1), unroll=8)
     bstack = bstack_rev[::-1]
     b_incr = b_incr_rev[::-1]
-
-    lse_b = jax.scipy.special.logsumexp(
-        jnp.maximum(bstack[0] + start_logs[:, None, None], NEG))
+    lse_b = b_lse_rev[-1]  # diagonal 0 start-distribution dot
 
     return fstack, f_incr, lse_f, bstack, b_incr, lse_b
 
@@ -523,7 +532,9 @@ def _posterior_core(fstack, bstack, cvec, x0, width, n_diag, *, W: int, P: int):
     xs = x0[:, None] + o_idx
     ys = d_idx - xs
     cellmask = (o_idx < width[:, None]) & (xs > 0) & (ys > 0) & (d_idx <= n_diag)
-    logp = fstack[:, MATCH] + bstack[:, MATCH] + cvec[:, None, None]
+    fm = fstack[:, MATCH] if fstack.ndim == 4 else fstack
+    bm = bstack[:, MATCH] if bstack.ndim == 4 else bstack
+    logp = fm + bm + cvec[:, None, None]
     post = jnp.exp(jnp.maximum(logp, NEG))
     post = jnp.where(cellmask[:, None, :], post, 0.0)
     return jnp.minimum(post, 1.0)
@@ -606,11 +617,12 @@ def _expectations_core(
     texp0 = jnp.zeros((3, 3), dtype=f32) + zvar
     mtp0 = jnp.zeros((Dpad + 1, P, W), dtype=f32) + zvar
     (texp, match_tp), _ = jax.lax.scan(step_exp, (texp0, mtp0),
-                                       jnp.arange(0, Dpad + 1))
+                                       jnp.arange(0, Dpad + 1), unroll=8)
     return texp, match_tp
 
 
-banded_sweeps_device = partial(jax.jit, static_argnames=("W", "P", "mode"))(
+banded_sweeps_device = partial(
+    jax.jit, static_argnames=("W", "P", "mode", "store_full"))(
     _banded_sweeps_core)
 posterior_device = partial(jax.jit, static_argnames=("W", "P"))(_posterior_core)
 expectations_device = partial(jax.jit, static_argnames=("W", "P", "mode"))(
@@ -619,9 +631,10 @@ expectations_device = partial(jax.jit, static_argnames=("W", "P", "mode"))(
 # Batched variants: vmap over a leading problem axis of every array arg.
 # The scan inside becomes a batched scan: each diagonal step processes
 # (B, 3, P, W) tensors, which is what keeps the VPU busy.
-@partial(jax.jit, static_argnames=("W", "P", "mode"))
-def banded_sweeps_batched(*args, W, P, mode):
-    return jax.vmap(partial(_banded_sweeps_core, W=W, P=P, mode=mode))(*args)
+@partial(jax.jit, static_argnames=("W", "P", "mode", "store_full"))
+def banded_sweeps_batched(*args, W, P, mode, store_full=True):
+    return jax.vmap(partial(_banded_sweeps_core, W=W, P=P, mode=mode,
+                            store_full=store_full))(*args)
 
 
 @partial(jax.jit, static_argnames=("W", "P"))
@@ -685,6 +698,45 @@ def run_banded_fb(problem: BandedProblem, W: int, P: int,
             W=W, P=P, mode=problem.mode)
         out["texp"] = np.asarray(texp, dtype=np.float64)
         out["match_tp"] = np.asarray(match_tp)
+    return out
+
+
+@partial(jax.jit, static_argnames=("K",))
+def compact_posterior_topk(post, K: int):
+    """Device-side compaction: top-K posterior cells per problem.
+
+    Avoids shipping the full (Dpad, P, W) posterior band tensor to the host
+    (which dominates wall-clock over a remote TPU link); only (K,) values +
+    flat indices move. K must exceed the number of cells above threshold
+    (reference bound: aligned pairs <= 3x events, test_runSignalAlign).
+    """
+    B = post.shape[0]
+    flat = post.reshape(B, -1)
+    vals, idx = jax.lax.top_k(flat, K)
+    return vals, idx
+
+
+def decode_topk_pairs(problem: BandedProblem, vals: np.ndarray,
+                      idx: np.ndarray, P: int, W: int,
+                      threshold: float = 0.01):
+    """Host decode of compacted top-K cells into aligned pairs."""
+    keep = vals >= threshold
+    vals = vals[keep]
+    idx = idx[keep]
+    ds = idx // (P * W)
+    ps = (idx // W) % P
+    os_ = idx % W
+    out = []
+    for v, d, p, o in zip(vals, ds, ps, os_):
+        x = int(problem.x0[d]) + int(o)
+        y = int(d) - x
+        if x <= 0 or y <= 0 or x > problem.lX or y > problem.lY:
+            continue
+        kmer = problem.path_kmer_at(x, p)
+        if kmer is None:
+            continue
+        out.append((int(min(float(v), 1.0) * 10000000), x - 1, y - 1, kmer))
+    out.sort(key=lambda r: (r[1] + r[2], r[1]))
     return out
 
 

@@ -60,14 +60,21 @@ def stack_problems(problems: Sequence[bfb.BandedProblem]):
 
 
 def run_banded_fb_batch(problems: Sequence[bfb.BandedProblem], W: int, P: int,
-                        with_expectations: bool = False) -> List[Dict]:
-    """Run a same-bucket batch; returns per-problem result dicts."""
+                        with_expectations: bool = False,
+                        compact_k: int = 0,
+                        threshold: float = 0.01) -> List[Dict]:
+    """Run a same-bucket batch; returns per-problem result dicts.
+
+    With ``compact_k`` > 0 the posterior tensor stays on device and only the
+    top-K cells per problem are returned (result key "pairs" holds decoded
+    aligned pairs); otherwise the full "post" tensor is materialized.
+    """
     if not problems:
         return []
     mode = problems[0].mode
     args = stack_problems(problems)
     fstack, f_incr, lse_f, bstack, b_incr, lse_b = bfb.banded_sweeps_batched(
-        *args, W=W, P=P, mode=mode)
+        *args, W=W, P=P, mode=mode, store_full=with_expectations)
 
     f_incr_h = np.asarray(f_incr, dtype=np.float64)
     b_incr_h = np.asarray(b_incr, dtype=np.float64)
@@ -87,10 +94,20 @@ def run_banded_fb_batch(problems: Sequence[bfb.BandedProblem], W: int, P: int,
         jnp.asarray(Ds.astype(np.int32)), W=W, P=P)
 
     results = []
-    post_h = np.asarray(post)
-    for i, p in enumerate(problems):
-        results.append({"post": post_h[i], "total_f": float(total_f[i]),
-                        "total_b": float(total_b[i])})
+    if compact_k > 0:
+        vals, idx = bfb.compact_posterior_topk(post, K=compact_k)
+        vals_h = np.asarray(vals)
+        idx_h = np.asarray(idx)
+        for i, p in enumerate(problems):
+            pairs = bfb.decode_topk_pairs(p, vals_h[i], idx_h[i], P, W,
+                                          threshold)
+            results.append({"pairs": pairs, "total_f": float(total_f[i]),
+                            "total_b": float(total_b[i])})
+    else:
+        post_h = np.asarray(post)
+        for i, p in enumerate(problems):
+            results.append({"post": post_h[i], "total_f": float(total_f[i]),
+                            "total_b": float(total_b[i])})
 
     if with_expectations:
         z = np.zeros((B, 1))
