@@ -82,8 +82,7 @@ def build_problems(batch: int):
 def main():
     import jax
 
-    from signalalign_tpu.ops import banded_fb as bfb
-    from signalalign_tpu.ops.batch import run_banded_fb_batch
+    from signalalign_tpu.ops.banded_fb_pallas import PallasAligner
 
     batch = int(os.environ.get("BENCH_BATCH", "16"))
     reps = int(os.environ.get("BENCH_REPS", "3"))
@@ -93,14 +92,15 @@ def main():
           file=sys.stderr)
 
     K = 1 << (int(np.ceil(np.log2(4 * lY))))
+    aligner = PallasAligner(problems, W=W, T=240)
     # warmup (compile)
-    res = run_banded_fb_batch(problems, W=W, P=1, compact_k=K)
+    res = aligner.execute(compact_k=K, as_arrays=True)
     assert np.isfinite(res[0]["total_f"])
-    assert len(res[0]["pairs"]) > lY * 0.8
+    assert len(res[0]["pairs_arrays"][0]) > lY * 0.8
 
     t0 = time.perf_counter()
     for _ in range(reps):
-        res = run_banded_fb_batch(problems, W=W, P=1, compact_k=K)
+        res = aligner.execute(compact_k=K, as_arrays=True)
     t1 = time.perf_counter()
 
     events_per_s = batch * lY * reps / (t1 - t0)
