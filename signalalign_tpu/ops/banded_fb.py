@@ -100,11 +100,16 @@ class BandedProblem:
     # reversed event tables
     ev_params: np.ndarray          # (NEVP, LEpad) f32
     ev_front_pad: int              # index offset of j=0 in ev arrays
+    # HDP density tables (MODE_HDP): (num_kmers, grid), (num_kmers, grid),
+    # (2,)=[grid_start, grid_step]
+    hdp_dens: Optional[np.ndarray] = None
+    hdp_slopes: Optional[np.ndarray] = None
+    hdp_grid: Optional[np.ndarray] = None
     # bookkeeping for output decoding
-    seq: str                       # segment nucleotide sequence
-    kmer_len: int
-    path_kmers: Optional[List[List[str]]]  # per position path kmers (None
-                                           # for canonical P==1 sequences)
+    seq: str = ""                  # segment nucleotide sequence
+    kmer_len: int = 0
+    path_kmers: Optional[List[List[str]]] = None  # per position path kmers
+                                                  # (None for canonical P==1)
 
     def path_kmer_at(self, x: int, p: int) -> Optional[str]:
         """Path k-mer string for cell x (1-based), path slot p."""
@@ -253,6 +258,13 @@ def prepare_problem(
     ev_params[2, rev] = np.log(noise[::-1])
     ev_params[3, rev] = 1.0
 
+    hdp_dens = hdp_slopes = hdp_grid = None
+    if mode == MODE_HDP:
+        if hdp is None:
+            raise ValueError("MODE_HDP requires an hdp model")
+        hdp_dens, hdp_slopes, g0, dx = hdp.density_arrays()
+        hdp_grid = np.array([g0, dx], dtype=np.float32)
+
     return BandedProblem(
         lX=lX, lY=lY, n_diag=D, mode=mode,
         log_trans=np.where(np.isfinite(model.log_transitions),
@@ -266,6 +278,7 @@ def prepare_problem(
         ref_params=ref_params.astype(DTYPE),
         kmer_ids=kmer_ids, path_valid=path_valid, legal=legal, n_paths=n_paths,
         ev_params=ev_params.astype(DTYPE), ev_front_pad=ev_front_pad,
+        hdp_dens=hdp_dens, hdp_slopes=hdp_slopes, hdp_grid=hdp_grid,
         seq=seq, kmer_len=k, path_kmers=path_kmers,
     )
 
@@ -299,11 +312,13 @@ def _slice_cols(arr, start, W):
     return jax.lax.dynamic_slice_in_dim(arr, start, W, axis=-1)
 
 
-def _emissions_at(refw, evw, mode, var):
+def _emissions_at(refw, evw, mode, var, hdp=None, kmer_w=None):
     """Match / stay / gapX log emissions for one diagonal.
 
     refw: (NPAR, P, W) parameter window for cells' k-mers
     evw:  (NEVP, W) event window aligned to offsets
+    hdp:  (dens (K, G), slopes (K, G), grid (2,)=[g0, dx]) for MODE_HDP
+    kmer_w: (P, W) k-mer rank window (MODE_HDP)
     returns (e_match, e_stay, e_gapx): (P, W) each
     """
     m_hat, inv_m, c_m, inv_y, c_y, nm, nlam, mu, sd_m, sd_y = [refw[i] for i in range(NPAR)]
@@ -318,6 +333,37 @@ def _emissions_at(refw, evw, mode, var):
         ay = (ev_mean - m_hat) * inv_y
         e_match = c_m - 0.5 * am * am
         e_stay = c_y - 0.5 * ay * ay
+    elif mode == MODE_HDP:
+        # log((1/var) * hdp_spline(descaled mean)); stay uses the same
+        # density (emissions_signal_getHdpKmerDensity, stateMachine.c:527;
+        # stateMachine3HDP_cellCalculate upper branch)
+        dens, slopes, grid2 = hdp
+        G = dens.shape[1]
+        g0 = grid2[0]
+        dx = grid2[1]
+        x = mu + (ev_mean - m_hat) / var
+        il = jnp.clip(((x - g0) // dx).astype(jnp.int32), 0, G - 2)
+        flat_l = kmer_w * G + il
+        flat_r = flat_l + 1
+        df = dens.reshape(-1)
+        sf = slopes.reshape(-1)
+        yl = jnp.take(df, flat_l)
+        yr = jnp.take(df, flat_r)
+        sl = jnp.take(sf, flat_l)
+        sr = jnp.take(sf, flat_r)
+        dy = yr - yl
+        a = sl * dx - dy
+        b = dy - sr * dx
+        tl = (x - (g0 + il * dx)) / dx
+        tr = 1.0 - tl
+        mid = tr * yl + tl * yr + tl * tr * (a * tr + b * tl)
+        gN = g0 + (G - 1) * dx
+        below = dens[:, 0][kmer_w] - slopes[:, 0][kmer_w] * (g0 - x)
+        above = dens[:, G - 1][kmer_w] + slopes[:, G - 1][kmer_w] * (x - gN)
+        v = jnp.where(x <= g0, below, jnp.where(x >= gN, above, mid))
+        v = jnp.maximum(v, 0.0) / var
+        e_match = jnp.where(v > 0, jnp.log(jnp.maximum(v, 1e-37)), NEG)
+        e_stay = e_match
     else:
         # descaled (or raw) level term + inverse-gaussian noise term
         if mode == MODE_FULL:
@@ -371,6 +417,7 @@ def _banded_sweeps_core(
     x0, width, ref_params, legal, ev_params,
     log_trans, start_logs, end_logs, var,
     lX, lY, n_diag, ev_front_pad,
+    hdp_dens=None, hdp_slopes=None, hdp_grid=None, kmer_ids=None,
     *, W: int, P: int, mode: int, store_full: bool = True,
 ):
     """Forward + backward banded sweeps with per-diagonal max-rescaling.
@@ -390,6 +437,7 @@ def _banded_sweeps_core(
     Dpad = x0.shape[0] - 1
     f32 = jnp.dtype(DTYPE)
     t = log_trans
+    hdp = (hdp_dens, hdp_slopes, hdp_grid) if mode == MODE_HDP else None
 
     def step_fwd(carry, d):
         prev1, prev2, m_prev = carry  # diagonals d-1 (offset base), d-2
@@ -399,7 +447,8 @@ def _banded_sweeps_core(
         refw = _slice_cols(ref_params, xd, W)
         evw = _slice_cols(ev_params, lY - d + xd + ev_front_pad, W)
         legw = _slice_cols(legal, xd, W)  # (P_to, P_from, W)
-        e_match, e_stay, e_gapx = _emissions_at(refw, evw, mode, var)
+        kw = _slice_cols(kmer_ids, xd, W) if mode == MODE_HDP else None
+        e_match, e_stay, e_gapx = _emissions_at(refw, evw, mode, var, hdp, kw)
 
         shift1 = xd - x0[d - 1] - 1
         shift2 = xd - x0[jnp.maximum(d - 2, 0)] - 1
@@ -465,8 +514,10 @@ def _banded_sweeps_core(
         evw_y1 = _slice_cols(ev_params, lY - d + xd + ev_front_pad - 1, W)
         legw_x1 = _slice_cols(legal, xd + 1, W)  # legal[p_to, q_from] at x+1
 
-        e_match_to, _, _ = _emissions_at(refw_x1, evw_y1, mode, var)
-        _, e_stay_same, _ = _emissions_at(refw_x0, evw_y1, mode, var)
+        kw1 = _slice_cols(kmer_ids, xd + 1, W) if mode == MODE_HDP else None
+        kw0 = _slice_cols(kmer_ids, xd, W) if mode == MODE_HDP else None
+        e_match_to, _, _ = _emissions_at(refw_x1, evw_y1, mode, var, hdp, kw1)
+        _, e_stay_same, _ = _emissions_at(refw_x0, evw_y1, mode, var, hdp, kw0)
         gapx_valid = jnp.where(refw_x1[1] > 0.0, LOG_GAPX_EMISSION, NEG)
 
         u1 = x0[d] - x0[jnp.minimum(d + 1, Dpad)]
@@ -544,6 +595,7 @@ def _expectations_core(
     fstack, bstack, cvec_d1, cvec_d2,
     x0, width, ref_params, legal, ev_params,
     log_trans, var, lY, n_diag, ev_front_pad,
+    hdp_dens=None, hdp_slopes=None, hdp_grid=None, kmer_ids=None,
     *, W: int, P: int, mode: int,
 ):
     """Transition-expectation accumulation over the band.
@@ -559,6 +611,7 @@ def _expectations_core(
     Dpad = x0.shape[0] - 1
     f32 = jnp.dtype(DTYPE)
     t = log_trans
+    hdp = (hdp_dens, hdp_slopes, hdp_grid) if mode == MODE_HDP else None
 
     def step_exp(acc, d):
         texp, match_tp = acc
@@ -567,7 +620,8 @@ def _expectations_core(
         refw = _slice_cols(ref_params, xd, W)
         evw = _slice_cols(ev_params, lY - d + xd + ev_front_pad, W)
         legw = _slice_cols(legal, xd, W)
-        e_match, e_stay, e_gapx = _emissions_at(refw, evw, mode, var)
+        kw = _slice_cols(kmer_ids, xd, W) if mode == MODE_HDP else None
+        e_match, e_stay, e_gapx = _emissions_at(refw, evw, mode, var, hdp, kw)
 
         shift1 = xd - x0[jnp.maximum(d - 1, 0)] - 1
         shift1 = jnp.where(d >= 1, shift1, W + 5)
@@ -633,8 +687,12 @@ expectations_device = partial(jax.jit, static_argnames=("W", "P", "mode"))(
 # (B, 3, P, W) tensors, which is what keeps the VPU busy.
 @partial(jax.jit, static_argnames=("W", "P", "mode", "store_full"))
 def banded_sweeps_batched(*args, W, P, mode, store_full=True):
-    return jax.vmap(partial(_banded_sweeps_core, W=W, P=P, mode=mode,
-                            store_full=store_full))(*args)
+    f = partial(_banded_sweeps_core, W=W, P=P, mode=mode,
+                store_full=store_full)
+    if len(args) > 13:  # hdp tables replicated across the batch
+        axes = (0,) * 13 + (None, None, None, 0)
+        return jax.vmap(f, in_axes=axes)(*args)
+    return jax.vmap(f)(*args)
 
 
 @partial(jax.jit, static_argnames=("W", "P"))
@@ -644,7 +702,11 @@ def posterior_batched(*args, W, P):
 
 @partial(jax.jit, static_argnames=("W", "P", "mode"))
 def expectations_batched(*args, W, P, mode):
-    return jax.vmap(partial(_expectations_core, W=W, P=P, mode=mode))(*args)
+    f = partial(_expectations_core, W=W, P=P, mode=mode)
+    if len(args) > 14:
+        axes = (0,) * 14 + (None, None, None, 0)
+        return jax.vmap(f, in_axes=axes)(*args)
+    return jax.vmap(f)(*args)
 
 
 # --------------------------------------------------------------------------
@@ -659,7 +721,7 @@ def run_banded_fb(problem: BandedProblem, W: int, P: int,
     Host: float64 prefix sums of the offsets -> per-diagonal correction
     vectors. Phase 2: posterior (and optionally expectation) kernels.
     """
-    args = (
+    args = [
         jnp.asarray(problem.x0), jnp.asarray(problem.width),
         jnp.asarray(problem.ref_params), jnp.asarray(problem.legal),
         jnp.asarray(problem.ev_params),
@@ -667,7 +729,12 @@ def run_banded_fb(problem: BandedProblem, W: int, P: int,
         jnp.asarray(problem.end_logs), jnp.asarray(problem.var, dtype=DTYPE),
         jnp.int32(problem.lX), jnp.int32(problem.lY), jnp.int32(problem.n_diag),
         jnp.int32(problem.ev_front_pad),
-    )
+    ]
+    if problem.mode == MODE_HDP:
+        args += [jnp.asarray(problem.hdp_dens),
+                 jnp.asarray(problem.hdp_slopes),
+                 jnp.asarray(problem.hdp_grid),
+                 jnp.asarray(problem.kmer_ids)]
     fstack, f_incr, lse_f, bstack, b_incr, lse_b = banded_sweeps_device(
         *args, W=W, P=P, mode=problem.mode)
 
@@ -688,14 +755,21 @@ def run_banded_fb(problem: BandedProblem, W: int, P: int,
         fo_d2 = np.concatenate([[0.0, 0.0], fo[:-2]])
         cvec_d1 = (fo_d1 + bo_rev - total_f).astype(DTYPE)
         cvec_d2 = (fo_d2 + bo_rev - total_f).astype(DTYPE)
-        texp, match_tp = expectations_device(
-            fstack, bstack, jnp.asarray(cvec_d1), jnp.asarray(cvec_d2),
-            jnp.asarray(problem.x0), jnp.asarray(problem.width),
-            jnp.asarray(problem.ref_params), jnp.asarray(problem.legal),
-            jnp.asarray(problem.ev_params), jnp.asarray(problem.log_trans),
-            jnp.asarray(problem.var, dtype=DTYPE), jnp.int32(problem.lY),
-            jnp.int32(D), jnp.int32(problem.ev_front_pad),
-            W=W, P=P, mode=problem.mode)
+        eargs = [fstack, bstack, jnp.asarray(cvec_d1), jnp.asarray(cvec_d2),
+                 jnp.asarray(problem.x0), jnp.asarray(problem.width),
+                 jnp.asarray(problem.ref_params), jnp.asarray(problem.legal),
+                 jnp.asarray(problem.ev_params),
+                 jnp.asarray(problem.log_trans),
+                 jnp.asarray(problem.var, dtype=DTYPE),
+                 jnp.int32(problem.lY), jnp.int32(D),
+                 jnp.int32(problem.ev_front_pad)]
+        if problem.mode == MODE_HDP:
+            eargs += [jnp.asarray(problem.hdp_dens),
+                      jnp.asarray(problem.hdp_slopes),
+                      jnp.asarray(problem.hdp_grid),
+                      jnp.asarray(problem.kmer_ids)]
+        texp, match_tp = expectations_device(*eargs, W=W, P=P,
+                                             mode=problem.mode)
         out["texp"] = np.asarray(texp, dtype=np.float64)
         out["match_tp"] = np.asarray(match_tp)
     return out
