@@ -1,0 +1,124 @@
+"""Variant / methylation calling: marginalize posterior mass per candidate
+base at ambiguous reference positions, per read and across reads.
+
+reference: src/signalalign/variantCaller.py — MarginalizeFullVariants (92),
+MarginalizeVariants (18), AggregateOverReads(Full) (190/282).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from collections import defaultdict
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+import pandas as pd
+
+from signalalign_tpu.io.output import FullRow
+from signalalign_tpu.utils.alphabet import AMBIG_FROM_VARIANTS
+
+
+def marginalize_full_variants(rows: Sequence[FullRow], variants: str,
+                              read_name: str, forward_mapped: bool,
+                              ambig_char: Optional[str] = None) -> pd.DataFrame:
+    """Per-position normalized variant probabilities for one read.
+
+    reference: MarginalizeFullVariants.get_data (variantCaller.py:123-187):
+    only rows whose reference k-mer carries the ambiguity code (or 'X') at
+    its LAST position report; per position the posterior mass of path
+    k-mers calling each candidate base at that slot is normalized.
+    """
+    variants = sorted(variants)
+    ambig = ambig_char or AMBIG_FROM_VARIANTS.get("".join(variants), "X")
+    k1 = None
+    per_strand: Dict[str, Dict[int, Dict[str, float]]] = {
+        "t": defaultdict(lambda: {v: 0.0 for v in variants}),
+        "c": defaultdict(lambda: {v: 0.0 for v in variants}),
+    }
+    contig = rows[0].contig if rows else ""
+    for r in rows:
+        if k1 is None:
+            k1 = len(r.reference_kmer) - 1
+        base = r.reference_kmer[k1]
+        if base != ambig and base != "X":
+            continue
+        called = r.path_kmer[k1]
+        if called in per_strand[r.strand][r.reference_index]:
+            per_strand[r.strand][r.reference_index][called] += \
+                r.posterior_probability
+
+    data = []
+    mapping_strands = ["+", "-"] if forward_mapped else ["-", "+"]
+    for si, strand in enumerate(("t", "c")):
+        positions = sorted(per_strand[strand])
+        if mapping_strands[si] == "-":
+            positions = positions[::-1]
+        for pos in positions:
+            probs = per_strand[strand][pos]
+            total = sum(probs.values())
+            if total <= 0:
+                continue
+            data.append([read_name, contig, pos, strand, mapping_strands[si]]
+                        + [probs[v] / total for v in variants])
+    cols = ["read_name", "contig", "position", "strand", "forward_mapped"] \
+        + list(variants)
+    return pd.DataFrame(data, columns=cols)
+
+
+def marginalize_vc_rows(vc_rows: Sequence[Tuple], variants: str,
+                        read_name: str) -> pd.DataFrame:
+    """Per-position probabilities from variantCaller-format rows
+    (y, position, base, prob, strand, forward_label, read, score, contig).
+
+    reference: MarginalizeVariants.get_data (variantCaller.py:18-90).
+    """
+    variants = sorted(variants)
+    agg: Dict[Tuple[str, int, str], Dict[str, float]] = defaultdict(
+        lambda: {v: 0.0 for v in variants})
+    meta: Dict[Tuple[str, int, str], Tuple[str, str]] = {}
+    for (y, pos, base, p, strand, fwd, read, score, contig) in vc_rows:
+        if base in agg[(strand, pos, fwd)]:
+            agg[(strand, pos, fwd)][base] += p
+            meta[(strand, pos, fwd)] = (contig, fwd)
+    data = []
+    for (strand, pos, fwd), probs in sorted(agg.items(),
+                                            key=lambda kv: kv[0][1]):
+        total = sum(probs.values())
+        if total <= 0:
+            continue
+        contig, fwd_label = meta[(strand, pos, fwd)]
+        data.append([read_name, contig, pos, strand, fwd_label]
+                    + [probs[v] / total for v in variants])
+    cols = ["read_name", "contig", "position", "strand", "forward_mapped"] \
+        + list(variants)
+    return pd.DataFrame(data, columns=cols)
+
+
+def aggregate_over_reads(per_read: Sequence[pd.DataFrame],
+                         variants: str) -> pd.DataFrame:
+    """Across-read aggregation with per-position normalization.
+
+    reference: AggregateOverReadsFull.marginalize_over_all_reads
+    (variantCaller.py:385-408): sum each candidate's probabilities across
+    reads at a position, then renormalize.
+    """
+    variants = sorted(variants)
+    frames = [df for df in per_read if len(df)]
+    if not frames:
+        return pd.DataFrame(columns=["contig", "position", "strand",
+                                     "forward_mapped"] + list(variants))
+    allr = pd.concat(frames, ignore_index=True)
+    grouped = allr.groupby(["contig", "position", "strand"], as_index=False)[
+        list(variants)].sum()
+    totals = grouped[list(variants)].sum(axis=1)
+    for v in variants:
+        grouped[v] = grouped[v] / totals
+    return grouped
+
+
+def call_methylation(aggregated: pd.DataFrame, canonical: str,
+                     modified: str, threshold: float = 0.5) -> pd.DataFrame:
+    """Binary calls from aggregated probabilities."""
+    out = aggregated.copy()
+    out["call"] = np.where(out[modified] >= threshold, modified, canonical)
+    return out

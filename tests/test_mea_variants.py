@@ -1,0 +1,90 @@
+"""MEA decoding and variant-calling marginalization tests."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from signalalign_tpu.io.output import FullRow
+from signalalign_tpu.pipeline.mea import (mea_align, mea_from_aligned_pairs,
+                                          mea_slow_spec)
+from signalalign_tpu.pipeline.variant_caller import (aggregate_over_reads,
+                                                     marginalize_full_variants)
+
+
+def _random_pairs(rng, n_events=30, n_refs=40, density=0.2):
+    pairs = []
+    for e in range(n_events):
+        for r in range(n_refs):
+            if rng.random() < density:
+                pairs.append((r, e, float(rng.random())))
+    return pairs
+
+
+def test_mea_matches_slow_spec_on_random_matrices():
+    rng = np.random.default_rng(0)
+    for trial in range(20):
+        pairs = _random_pairs(rng)
+        if not pairs:
+            continue
+        path = mea_align(pairs)
+        total = sum(p for r, e, p in path)
+        expect = mea_slow_spec(pairs)
+        assert abs(total - expect) < 1e-9, (trial, total, expect)
+        # path is monotone: refs strictly increase, events increase
+        refs = [r for r, e, p in path]
+        events = [e for r, e, p in path]
+        assert all(b > a for a, b in zip(refs, refs[1:]))
+        assert all(b > a for a, b in zip(events, events[1:]))
+
+
+def test_mea_simple_diagonal():
+    pairs = [(i, i, 0.9) for i in range(5)] + [(0, 4, 0.5)]
+    path = mea_align(pairs)
+    assert [(r, e) for r, e, p in path] == [(i, i) for i in range(5)]
+
+
+def test_mea_from_aligned_pairs():
+    ap = [(9000000, 0, 0, "ACGTA"), (8000000, 1, 1, "CGTAC"),
+          (7000000, 2, 2, "GTACG")]
+    path = mea_from_aligned_pairs(ap)
+    assert len(path) == 3
+    assert abs(sum(p for _, _, p in path) - 2.4) < 1e-9
+
+
+def _mk_row(ref_idx, ref_kmer, path_kmer, p, strand="t"):
+    return FullRow(
+        contig="chr", reference_index=ref_idx, reference_kmer=ref_kmer,
+        read_file="r1", strand=strand, event_index=0, event_mean=80.0,
+        event_noise=1.0, event_duration=0.001, aligned_kmer=ref_kmer,
+        scaled_mean_current=80.0, scaled_noise=1.0,
+        posterior_probability=p, descaled_event_mean=80.0,
+        ont_model_mean=80.0, path_kmer=path_kmer)
+
+
+def test_marginalize_full_variants():
+    # ambiguity code for C/E is P; variant site at the LAST kmer slot
+    rows = [
+        _mk_row(10, "AAAAP", "AAAAC", 0.6),
+        _mk_row(10, "AAAAP", "AAAAE", 0.2),
+        _mk_row(10, "AAAAP", "AAAAC", 0.2),
+        _mk_row(11, "AAAPA", "AAACA", 0.9),  # site not at last slot: ignored
+    ]
+    df = marginalize_full_variants(rows, "CE", "r1", True)
+    assert len(df) == 1
+    row = df.iloc[0]
+    assert row.position == 10
+    assert abs(row.C - 0.8) < 1e-9
+    assert abs(row.E - 0.2) < 1e-9
+
+
+def test_aggregate_over_reads():
+    df1 = pd.DataFrame([["r1", "chr", 10, "t", "+", 0.8, 0.2]],
+                       columns=["read_name", "contig", "position", "strand",
+                                "forward_mapped", "C", "E"])
+    df2 = pd.DataFrame([["r2", "chr", 10, "t", "-", 0.4, 0.6]],
+                       columns=["read_name", "contig", "position", "strand",
+                                "forward_mapped", "C", "E"])
+    agg = aggregate_over_reads([df1, df2], "CE")
+    assert len(agg) == 1
+    assert abs(agg.iloc[0].C - 0.6) < 1e-9
+    assert abs(agg.iloc[0].E - 0.4) < 1e-9
