@@ -1,0 +1,303 @@
+"""Multi-read signal-alignment driver: the TPU-native replacement for
+runSignalAlign + multithread_signal_alignment (one process + one
+signalMachine subprocess per read in the reference,
+src/signalalign/signalAlignment.py:740-848).
+
+Reads are prepared host-side (fast5 load, scaling, anchors, banding),
+bucketed by device shape, and executed as batched device programs — the
+Pallas x-frame kernels for canonical P=1 mean-only segments, the XLA
+kernels otherwise.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import sys
+import time
+from collections import defaultdict
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from signalalign_tpu.io.guide import GuideAlignment, guide_from_sam_record
+from signalalign_tpu.io.output import (build_full_rows, build_vc_rows,
+                                       posterior_score, write_full_tsv,
+                                       write_vc_tsv)
+from signalalign_tpu.io.read import NanoporeReadData
+from signalalign_tpu.io.reference import ProcessedReference
+from signalalign_tpu.io.sam import filter_reads
+from signalalign_tpu.models.pore_model import PoreModel, ScalingParams
+from signalalign_tpu.ops import banded_fb as bfb
+from signalalign_tpu.ops.band_geometry import (band_widths, build_band,
+                                               get_split_points,
+                                               remap_anchors_to_events)
+from signalalign_tpu.ops.scaling import (adjust_events_for_drift,
+                                         estimate_nanopore_params)
+from signalalign_tpu.pipeline.signal_align import (AlignmentConfig,
+                                                   ReadAlignment, _bucket_d,
+                                                   _bucket_w)
+from signalalign_tpu.utils.alphabet import max_paths_per_kmer
+
+
+@dataclasses.dataclass
+class SegmentTask:
+    read_idx: int
+    x1: int
+    y1: int
+    problem: bfb.BandedProblem
+    W: int
+    Dpad: int
+    P: int
+
+
+@dataclasses.dataclass
+class PreparedRead:
+    read: NanoporeReadData
+    guide: GuideAlignment
+    target: str
+    params: ScalingParams
+    events: np.ndarray
+    ev_start: int
+    segments: List[int]       # indices into the global segment list
+    failure: Optional[str] = None
+
+
+def prepare_read(read: NanoporeReadData, guide: GuideAlignment,
+                 reference: ProcessedReference, model: PoreModel,
+                 config: AlignmentConfig, hdp=None):
+    """Host-side prep of one read -> list of SegmentTasks (unbucketed)."""
+    k = model.kmer_length
+    qstart, qend = guide.query_start, guide.query_end
+    if read.rna:
+        qstart, qend = (read.read_length - guide.query_end,
+                        read.read_length - guide.query_start)
+    target = reference.template_target(guide.contig, guide.window_start,
+                                       guide.window_end, guide.forward)
+    if read.rna:
+        target = target[::-1]
+
+    params = dataclasses.replace(read.params)
+    if config.estimate_params:
+        params = estimate_nanopore_params(read.template_read, read.event_map,
+                                          read.events, model, params)
+    events = adjust_events_for_drift(read.events, params.drift)
+    ev_start = int(read.event_map[qstart])
+    ev_end = int(read.event_map[qend - 1])
+    window_events = events[ev_start:ev_end]
+    lX = len(target) - k + 1
+    lY = ev_end - ev_start
+    if lY <= 0 or lX <= 0:
+        raise ValueError(f"{read.read_label}: empty alignment window")
+
+    anchors_rb = guide.anchor_pairs(config.constraint_trim)
+    if read.rna:
+        Lw = guide.window_length
+        anchors_rb = [(Lw - 1 - x - (k - 1), read.read_length - 1 - q)
+                      for x, q in anchors_rb]
+        anchors_rb = sorted((x, q) for x, q in anchors_rb if x >= 0)
+    anchors = remap_anchors_to_events(anchors_rb, read.event_map, qstart)
+    anchors = [(x, y) for x, y in anchors if 0 <= x < lX and 0 <= y < lY]
+
+    splits = get_split_points(anchors, lX, lY, config.split_bigger_than,
+                              True, True)
+    tasks = []
+    j = 0
+    for (x1, y1, x2, y2) in splits:
+        seg_chars = target[x1:x2 + k - 1]
+        seg_events = window_events[y1:y2]
+        seg_anchors = []
+        while j < len(anchors):
+            ax, ay = anchors[j]
+            if ax + ay >= x2 + y2:
+                break
+            seg_anchors.append((ax - x1, ay - y1))
+            j += 1
+        slX = len(seg_chars) - k + 1
+        slY = len(seg_events)
+        xmyL, xmyR = build_band(seg_anchors, slX, slY,
+                                config.diagonal_expansion)
+        W = _bucket_w(int(band_widths(xmyL, xmyR).max()))
+        Dpad = _bucket_d(slX + slY)
+        P = max_paths_per_kmer(seg_chars, k, config.ambig_map)
+        problem = bfb.prepare_problem(
+            seg_chars, seg_events, model, params, config.ambig_map,
+            W=W, Dpad=Dpad, P=P, mode=config.emission_mode,
+            anchor_pairs=seg_anchors, expansion=config.diagonal_expansion,
+            scale_noise=(config.emission_mode == bfb.MODE_FULL_DESCALED),
+            hdp=hdp)
+        tasks.append(((x1, y1), problem, W, Dpad, P))
+    return target, params, events, ev_start, tasks
+
+
+def run_alignment_batch(
+    reads_and_guides: Sequence[Tuple[NanoporeReadData, GuideAlignment]],
+    reference: ProcessedReference,
+    model: PoreModel,
+    config: Optional[AlignmentConfig] = None,
+    hdp=None,
+    use_pallas: bool = True,
+    pallas_interpret: bool = False,
+    verbose: bool = False,
+) -> List[ReadAlignment]:
+    """Align many reads: prep -> shape buckets -> batched device runs."""
+    config = config or AlignmentConfig()
+
+    seg_tasks: List[SegmentTask] = []
+    prepped: List[Optional[PreparedRead]] = []
+    for ridx, (read, guide) in enumerate(reads_and_guides):
+        try:
+            target, params, events, ev_start, tasks = prepare_read(
+                read, guide, reference, model, config, hdp)
+        except Exception as exc:  # per-read fault isolation
+            # (reference: KEY:FAILED handling, signalAlignment.py:627-737)
+            prepped.append(PreparedRead(read, guide, "", ScalingParams(),
+                                        np.zeros((0, 4)), 0, [],
+                                        failure=str(exc)))
+            if verbose:
+                print(f"[runner] FAILED {read.read_label}: {exc}",
+                      file=sys.stderr)
+            continue
+        pr = PreparedRead(read, guide, target, params, events, ev_start, [])
+        for (off, problem, W, Dpad, P) in tasks:
+            pr.segments.append(len(seg_tasks))
+            seg_tasks.append(SegmentTask(ridx, off[0], off[1], problem,
+                                         W, Dpad, P))
+        prepped.append(pr)
+
+    # bucket segments by device shape and execute
+    buckets: Dict[Tuple[int, int, int], List[int]] = defaultdict(list)
+    for i, t in enumerate(seg_tasks):
+        buckets[(t.W, t.Dpad, t.P)].append(i)
+
+    seg_results: List[Optional[dict]] = [None] * len(seg_tasks)
+    for (W, Dpad, P), idxs in buckets.items():
+        probs = [seg_tasks[i].problem for i in idxs]
+        pallas_ok = (use_pallas and P == 1
+                     and config.emission_mode == bfb.MODE_MEAN_ONLY
+                     and not config.compute_expectations)
+        if pallas_ok:
+            try:
+                from signalalign_tpu.ops.banded_fb_pallas import PallasAligner
+                lYmax = max(p.lY for p in probs)
+                K = 1 << int(np.ceil(np.log2(max(4 * lYmax, 1024))))
+                aligner = PallasAligner(probs, W=W, T=240,
+                                        interpret=pallas_interpret)
+                res = aligner.execute(compact_k=K, threshold=config.threshold)
+                for i, r in zip(idxs, res):
+                    seg_results[i] = r
+                continue
+            except ValueError as exc:
+                if verbose:
+                    print(f"[runner] pallas fallback ({exc})",
+                          file=sys.stderr)
+        if True:
+            from signalalign_tpu.ops.batch import run_banded_fb_batch
+            res = run_banded_fb_batch(
+                probs, W=W, P=P,
+                with_expectations=config.compute_expectations)
+            for i, r in zip(idxs, res):
+                pairs = bfb.extract_aligned_pairs(seg_tasks[i].problem,
+                                                  r["post"],
+                                                  config.threshold)
+                r["pairs"] = pairs
+                seg_results[i] = r
+
+    # assemble per-read results
+    out: List[ReadAlignment] = []
+    for ridx, pr in enumerate(prepped):
+        if pr.failure is not None:
+            continue
+        all_pairs = []
+        total_lp = 0.0
+        texp = np.zeros((3, 3))
+        lik = 0.0
+        for si in pr.segments:
+            t = seg_tasks[si]
+            r = seg_results[si]
+            total_lp += r["total_f"]
+            if config.compute_expectations and "texp" in r:
+                texp += r["texp"]
+                lik += r["total_f"] * t.problem.n_diag
+            for prob, x, y, kmer in r["pairs"]:
+                all_pairs.append((prob, x + t.x1, y + t.y1, kmer))
+        all_pairs.sort(key=lambda r: (r[1] + r[2], r[1]))
+        out.append(ReadAlignment(
+            read_label=pr.read.read_label, contig=pr.guide.contig,
+            forward=pr.guide.forward, strand_template=True,
+            aligned_pairs=all_pairs, score=posterior_score(all_pairs),
+            target=pr.target, event_offset=pr.ev_start,
+            ref_offset=pr.guide.reference_coord_shift, params=pr.params,
+            events=pr.events, total_log_prob=total_lp, rna=pr.read.rna,
+            transition_expectations=texp if config.compute_expectations else None,
+            likelihood=lik))
+    return out
+
+
+def run_signal_align(
+    alignment_file: str,
+    readdb: str,
+    fast5_dirs: Sequence[str],
+    reference_fasta: str,
+    model: PoreModel,
+    output_dir: str,
+    config: Optional[AlignmentConfig] = None,
+    output_format: str = "full",
+    positions=None,
+    motifs=None,
+    hdp=None,
+    max_reads: Optional[int] = None,
+    quality_threshold: float = 7.0,
+    ambig_map=None,
+    verbose: bool = True,
+) -> List[str]:
+    """Full CLI-equivalent run: filter reads -> align -> write TSVs.
+
+    reference: runSignalAlign.main (scripts/runSignalAlign.py:135-319).
+    Returns the list of written output files.
+    """
+    config = config or AlignmentConfig()
+    reference = ProcessedReference(reference_fasta, positions=positions,
+                                   motifs=motifs)
+    pairs = filter_reads(alignment_file, readdb, list(fast5_dirs),
+                         quality_threshold=quality_threshold)
+    if max_reads:
+        pairs = pairs[:max_reads]
+
+    rgs = []
+    for f5, rec in pairs:
+        try:
+            read = NanoporeReadData.from_fast5(
+                f5, quality_threshold=quality_threshold)
+            guide = guide_from_sam_record(rec)
+            if guide is None or not guide.validate(read.read_length):
+                raise ValueError("invalid guide alignment")
+            rgs.append((read, guide))
+        except Exception as exc:
+            if verbose:
+                print(f"[runner] skipping {f5}: {exc}", file=sys.stderr)
+
+    t0 = time.time()
+    results = run_alignment_batch(rgs, reference, model, config, hdp=hdp,
+                                  verbose=verbose)
+    dt = time.time() - t0
+    n_events = sum(r.events.shape[0] for r in results)
+    if verbose:
+        print(f"[runner] aligned {len(results)} reads "
+              f"({n_events} events) in {dt:.1f}s", file=sys.stderr)
+
+    os.makedirs(output_dir, exist_ok=True)
+    written = []
+    for r in results:
+        fwd_label = "forward" if r.forward else "backward"
+        base = f"{r.read_label}.sm.{fwd_label}.tsv"
+        path = os.path.join(output_dir, base)
+        if output_format in ("full", "both"):
+            write_full_tsv(path, r.full_rows(model), append=False)
+            written.append(path)
+        if output_format in ("variantCaller", "both"):
+            vcp = path.replace(".tsv", ".vc.tsv") \
+                if output_format == "both" else path
+            write_vc_tsv(vcp, r.vc_rows(model), append=False)
+            written.append(vcp)
+    return written

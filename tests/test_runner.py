@@ -1,0 +1,63 @@
+"""Multi-read runner end-to-end on the bundled 1D reads (CPU: XLA path +
+Pallas interpret path), mirroring the upstream full-CLI test
+(test_runSignalAlign.py)."""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from signalalign_tpu.io.guide import guide_from_sam_record
+from signalalign_tpu.io.read import NanoporeReadData
+from signalalign_tpu.io.reference import ProcessedReference
+from signalalign_tpu.io.sam import filter_reads
+from signalalign_tpu.models.pore_model import PoreModel
+from signalalign_tpu.pipeline.runner import run_alignment_batch, run_signal_align
+from signalalign_tpu.pipeline.signal_align import AlignmentConfig
+
+ONED = "/root/reference/tests/minion_test_reads/1D"
+MODEL = "/root/reference/models/testModelR9p4_5mer_acegt_template.model"
+
+
+@pytest.fixture(scope="module")
+def setup(ecoli_fasta):
+    reference = ProcessedReference(ecoli_fasta)
+    model = PoreModel.from_file(MODEL)
+    pairs = filter_reads(os.path.join(ONED, "1D.bam"),
+                         os.path.join(ONED, "1D.fastq.index.readdb"), [ONED])
+    # use the smallest (forward) read to keep CPU runtime down
+    f5, rec = [p for p in pairs if p[1].qname.startswith("6deaf971")][0]
+    read = NanoporeReadData.from_fast5(f5)
+    guide = guide_from_sam_record(rec)
+    return reference, model, read, guide
+
+
+def test_runner_xla_path(setup):
+    reference, model, read, guide = setup
+    results = run_alignment_batch([(read, guide)], reference, model,
+                                  AlignmentConfig(), use_pallas=False)
+    assert len(results) == 1
+    r = results[0]
+    assert read.n_events <= len(r.aligned_pairs) <= 3 * read.n_events
+    fwd = reference.forward["gi_ecoli"]
+    rows = r.full_rows(model)
+    for row in rows[::37]:
+        assert fwd[row.reference_index:row.reference_index + 5] \
+            == row.reference_kmer
+
+
+def test_runner_pallas_interpret_matches_xla(setup):
+    reference, model, read, guide = setup
+    xla = run_alignment_batch([(read, guide)], reference, model,
+                              AlignmentConfig(), use_pallas=False)[0]
+    pal = run_alignment_batch([(read, guide)], reference, model,
+                              AlignmentConfig(), use_pallas=True,
+                              pallas_interpret=True)[0]
+    assert abs(xla.total_log_prob - pal.total_log_prob) < 0.2
+    xp = {(x, y): p for p, x, y, _ in xla.aligned_pairs}
+    pp = {(x, y): p for p, x, y, _ in pal.aligned_pairs}
+    shared = set(xp) & set(pp)
+    assert len(shared) > 0.99 * max(len(xp), len(pp))
+    diffs = [abs(xp[k] - pp[k]) for k in shared]
+    assert np.median(diffs) < 2e-4 * 1e7
