@@ -93,11 +93,11 @@ def tile_geometry(problem: bfb.BandedProblem, W: int, T: int):
     ev_valid = problem.ev_params[3]
     LE = ev_mean.shape[-1]
 
-    lanes8 = np.arange(WB + 8)
+    lanes8 = np.arange(WB + 2)
     tb = base[::T]                                   # (NT,)
     ref_idx = np.clip(tb[:, None] + lanes8[None, :], 0, LX - 1)
     oob = (tb[:, None] + lanes8[None, :]) >= LX
-    refwin = ref1[:, ref_idx]                        # (NREF, NT, WB+8)
+    refwin = ref1[:, ref_idx]                        # (NREF, NT, WB+2)
     refwin = np.ascontiguousarray(np.transpose(refwin, (1, 0, 2)))
     inv_row = refwin[:, 1, :]
     inv_row[oob] = 0.0                               # inv_m=0 marks invalid
@@ -434,7 +434,7 @@ def _common_specs(NT, T, WB, fwd: bool):
         outmap3 = lambda b, t: (b, t, 0)
     in_specs = [
         pl.BlockSpec((1, 1, T, NGEOM), geommap, memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, NREF, WB + 8), refmap, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, NREF, WB + 2), refmap, memory_space=pltpu.VMEM),
         pl.BlockSpec((1, 1, NEV, WB), evmap, memory_space=pltpu.VMEM),
         pl.BlockSpec((1, 1, T, 2), evmap, memory_space=pltpu.VMEM),
         pl.BlockSpec(memory_space=pltpu.VMEM),   # pack, whole (B, NPACK)

@@ -1,0 +1,701 @@
+"""Lane-batched Pallas wavefront kernels: S reads per vector lane.
+
+The v1 x-frame kernels (banded_fb_pallas.py) process one read per grid
+row with (1, WB) diagonal tensors — 1/8 sublane occupancy and ~WB/128
+lane tiles per op, so the VPU runs at a few percent utilization. This v2
+transposes the layout:
+
+    diagonal state tensor = (WB sublanes, S lanes),  S reads per group
+
+so every VPU op processes S reads' cells at full tile occupancy. The
+x-frame properties carry over with axes swapped:
+
+  * neighbor cells (x-1) are static -1 SUBLANE shifts;
+  * per-read per-diagonal scalars (band offset, width, event inserts,
+    transitions) are (1, S) lane vectors read from (..., T, S) blocked
+    inputs (the dynamic step index rides the sublane axis);
+  * ring re-basing at tile boundaries selects among static sublane shifts
+    with per-read (1, S) predicates;
+  * the big per-diagonal outputs (normalized match rows / fused log
+    posterior) stream to untiled HBM refs through double-buffered manual
+    DMA, so tile length T is not limited by VMEM output blocks.
+
+Ring keeps only the rows the recurrence reads: M/X/Y of diagonal d-1 and
+M of d-2 (plus the row being written) -> 7 rows.
+
+Semantics identical to banded_fb._banded_sweeps_core (validated against
+the float64 oracle and upstream golden TSVs). P=1, MODE_MEAN_ONLY.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from signalalign_tpu.ops import banded_fb as bfb
+from signalalign_tpu.ops.banded_fb import (NEG, T_MM, T_MX, T_MY, T_XM,
+                                           T_XX, T_YM, T_YY)
+from signalalign_tpu.ops.banded_fb_pallas import (G_DK, G_DKB, G_ISEND,
+                                                  G_JINS, G_JINSB, G_WIDTH,
+                                                  G_XOFF, NGEOM,
+                                                  tile_geometry)
+
+NREF = 5
+NEV = 2
+SUBPAD = 8
+RING_ROWS = 9  # 3 rotating diagonal slots x 3 states
+
+
+def _m_row(slot):
+    return slot * 3
+
+
+def _x_row(slot):
+    return slot * 3 + 1
+
+
+def _y_row(slot):
+    return slot * 3 + 2
+
+
+def _pack16(problem: bfb.BandedProblem) -> np.ndarray:
+    out = np.zeros(16, dtype=np.float32)
+    out[0:9] = problem.log_trans
+    out[9:12] = problem.start_logs
+    out[12:15] = problem.end_logs
+    out[15] = bfb.LOG_GAPX_EMISSION
+    return out
+
+
+def _fwd_kernel(geom_ref, refwin_ref, evinit_ref, evins_ref, pack_ref,
+                hbm_f_ref, out_incr_ref, out_lse_ref,
+                ring, evw, mprev, obuf, osem,
+                *, T: int, WB: int, S: int, RB: int):
+    """Forward sweep tile for one read group.
+
+    ring: (RING_ROWS, SUBPAD + WB + RB, S); data at [SUBPAD, SUBPAD+WB);
+    forward re-base reads at +128k so the extra RB pad sits on the right.
+    evw: (NEV, SUBPAD + WB, S); data at [SUBPAD, SUBPAD+WB).
+    obuf: (2, WB, S) DMA staging; osem: 2 DMA semaphores.
+    """
+    g = pl.program_id(0)
+    t = pl.program_id(1)
+    base = SUBPAD
+
+    tr = lambda i: pack_ref[0, pl.ds(i, 1), :]
+    t_mm = tr(T_MM); t_mx = tr(T_MX); t_my = tr(T_MY)
+    t_xm = tr(T_XM); t_xx = tr(T_XX); t_ym = tr(T_YM); t_yy = tr(T_YY)
+    start_m = tr(9); start_x = tr(10); start_y = tr(11)
+    end_m = tr(12); end_x = tr(13); end_y = tr(14)
+    gapx_e = tr(15)
+
+    sub = jax.lax.broadcasted_iota(jnp.int32, (WB, S), 0)
+
+    @pl.when(t == 0)
+    def _init():
+        ring[...] = jnp.full(ring.shape, NEG, dtype=ring.dtype)
+        mprev[...] = jnp.zeros(mprev.shape, mprev.dtype)
+
+    @pl.when(t > 0)
+    def _do_rebase():
+        dkv = geom_ref[0, 0, G_DK, pl.ds(0, 1), :]   # (1, S)
+        for r in range(RING_ROWS):
+            row = ring[r]
+            out = row[base:base + WB, :]
+            for k in range(1, RB // 128 + 1):
+                out = jnp.where(dkv == k, row[base + 128 * k:
+                                              base + 128 * k + WB, :], out)
+            ring[r, base:base + WB, :] = out
+
+    evw[0, base:base + WB, :] = evinit_ref[0, 0, 0]
+    evw[1, base:base + WB, :] = evinit_ref[0, 0, 1]
+
+    m_hat = refwin_ref[0, 0, 0, 0:WB, :]
+    inv_m = refwin_ref[0, 0, 1, 0:WB, :]
+    c_m = refwin_ref[0, 0, 2, 0:WB, :]
+    inv_y = refwin_ref[0, 0, 3, 0:WB, :]
+    c_y = refwin_ref[0, 0, 4, 0:WB, :]
+    kvalid = inv_m > 0.0
+    e_gapx = jnp.where(kvalid, gapx_e, NEG)
+
+    def out_dma(slot, d):
+        return pltpu.make_async_copy(obuf.at[slot], hbm_f_ref.at[g, d],
+                                     osem.at[slot])
+
+    def body(i, m_prev, slot, slot1, slot2):
+        d = t * T + i
+
+        xoff = geom_ref[0, 0, G_XOFF, pl.ds(i, 1), :]
+        wd = geom_ref[0, 0, G_WIDTH, pl.ds(i, 1), :]
+
+        @pl.when(i > 0)
+        def _advance():
+            mean_s = evins_ref[0, 0, 0, pl.ds(i, 1), :]
+            val_s = evins_ref[0, 0, 1, pl.ds(i, 1), :]
+            sh_mean = evw[0, base - 1:base - 1 + WB, :]
+            sh_val = evw[1, base - 1:base - 1 + WB, :]
+            is0 = sub == 0
+            evw[0, base:base + WB, :] = jnp.where(is0, mean_s, sh_mean)
+            evw[1, base:base + WB, :] = jnp.where(is0, val_s, sh_val)
+
+        ev_mean = evw[0, base:base + WB, :]
+        ev_ok = evw[1, base:base + WB, :] > 0.5
+        ok = kvalid & ev_ok
+        am = (ev_mean - m_hat) * inv_m
+        ay = (ev_mean - m_hat) * inv_y
+        e_match = jnp.where(ok, c_m - 0.5 * am * am, NEG)
+        e_stay = jnp.where(ok, c_y - 0.5 * ay * ay, NEG)
+
+        inband = jnp.logical_and(sub >= xoff, sub < xoff + wd)
+
+        p1_m_lo = ring[_m_row(slot1), base - 1:base - 1 + WB, :]
+        p1_x_lo = ring[_x_row(slot1), base - 1:base - 1 + WB, :]
+        p1_m_up = ring[_m_row(slot1), base:base + WB, :]
+        p1_y_up = ring[_y_row(slot1), base:base + WB, :]
+        p2_m = ring[_m_row(slot2), base - 1:base - 1 + WB, :]
+        p2_x = ring[_x_row(slot2), base - 1:base - 1 + WB, :]
+        p2_y = ring[_y_row(slot2), base - 1:base - 1 + WB, :]
+
+        gx = jnp.logaddexp(p1_m_lo + t_mx, p1_x_lo + t_xx) + e_gapx
+        mm = (jnp.logaddexp(jnp.logaddexp(p2_m + t_mm, p2_x + t_xm),
+                            p2_y + t_ym) - m_prev) + e_match
+        gy = jnp.logaddexp(p1_m_up + t_my, p1_y_up + t_yy) + e_stay
+
+        is_init = d == 0
+        cell0 = sub == 0
+        mm = jnp.where(is_init, jnp.where(cell0, start_m, NEG),
+                       jnp.where(inband, mm, NEG))
+        gx = jnp.where(is_init, jnp.where(cell0, start_x, NEG),
+                       jnp.where(inband, gx, NEG))
+        gy = jnp.where(is_init, jnp.where(cell0, start_y, NEG),
+                       jnp.where(inband, gy, NEG))
+
+        mx = jnp.maximum(jnp.max(mm, axis=0, keepdims=True),
+                         jnp.maximum(jnp.max(gx, axis=0, keepdims=True),
+                                     jnp.max(gy, axis=0, keepdims=True)))
+        m = jnp.where(mx > NEG * 0.5, mx, 0.0)
+        mm = jnp.maximum(mm - m, NEG)
+        gx = jnp.maximum(gx - m, NEG)
+        gy = jnp.maximum(gy - m, NEG)
+
+        ring[_m_row(slot), base:base + WB, :] = mm
+        ring[_x_row(slot), base:base + WB, :] = gx
+        ring[_y_row(slot), base:base + WB, :] = gy
+
+        buf = i % 2
+
+        @pl.when(i > 1)
+        def _wait_reuse():
+            out_dma(buf, d - 2).wait()
+
+        obuf[buf] = mm
+        out_dma(buf, d).start()
+
+        lse = jnp.log(jnp.sum(jnp.exp(mm + end_m), axis=0, keepdims=True)
+                      + jnp.sum(jnp.exp(gx + end_x), axis=0, keepdims=True)
+                      + jnp.sum(jnp.exp(gy + end_y), axis=0, keepdims=True))
+        out_incr_ref[0, pl.ds(i, 1), :] = m
+        out_lse_ref[0, pl.ds(i, 1), :] = lse
+        return m
+
+    def step3(j, m_prev):
+        i = j * 3
+        m = body(i, m_prev, 0, 2, 1)
+        m = body(i + 1, m, 1, 0, 2)
+        m = body(i + 2, m, 2, 1, 0)
+        return m
+
+    m_final = jax.lax.fori_loop(0, T // 3, step3, mprev[0:1, :])
+    mprev[0:1, :] = m_final
+    out_dma(0, t * T + T - 2).wait()
+    out_dma(1, t * T + T - 1).wait()
+
+
+def _bwd_m(slot):
+    return slot % 3
+
+
+def _bwd_x(slot):
+    return 3 + (slot % 2)
+
+
+def _bwd_y(slot):
+    return 5 + (slot % 2)
+
+
+def _bwd_kernel(geom_ref, refwin_ref, evinit_ref, evins_ref, pack_ref,
+                hbm_fin_ref, hbm_post_ref, out_incr_ref, out_lse_ref,
+                ring, evw, mprev, obuf, osem, ibuf, isem,
+                *, T: int, WB: int, S: int, RB: int, Dpad: int,
+                fuse_post: bool):
+    """Backward sweep tile (descending diagonals); optionally fuses the
+    forward match rows (DMA-prefetched from hbm_fin_ref) into an
+    unnormalized log-posterior output.
+
+    ring data sits at [SUBPAD + RB, ...): backward re-base reads at -128k.
+    """
+    g = pl.program_id(0)
+    t = pl.program_id(1)
+    base = SUBPAD + RB
+    d_start = Dpad - t * T
+
+    tr = lambda i: pack_ref[0, pl.ds(i, 1), :]
+    t_mm = tr(T_MM); t_mx = tr(T_MX); t_my = tr(T_MY)
+    t_xm = tr(T_XM); t_xx = tr(T_XX); t_ym = tr(T_YM); t_yy = tr(T_YY)
+    start_m = tr(9); start_x = tr(10); start_y = tr(11)
+    end_m = tr(12); end_x = tr(13); end_y = tr(14)
+    gapx_e = tr(15)
+
+    sub = jax.lax.broadcasted_iota(jnp.int32, (WB, S), 0)
+
+    @pl.when(t == 0)
+    def _init():
+        ring[...] = jnp.full(ring.shape, NEG, dtype=ring.dtype)
+        mprev[...] = jnp.zeros(mprev.shape, mprev.dtype)
+
+    @pl.when(t > 0)
+    def _do_rebase():
+        dkv = geom_ref[0, 0, G_DKB, pl.ds(T - 1, 1), :]   # row of d_start
+        for r in range(7):
+            row = ring[r]
+            out = row[base:base + WB, :]
+            for k in range(1, RB // 128 + 1):
+                out = jnp.where(dkv == k, row[base - 128 * k:
+                                              base - 128 * k + WB, :], out)
+            ring[r, base:base + WB, :] = out
+
+    evw[0, SUBPAD:SUBPAD + WB, :] = evinit_ref[0, 0, 0]
+    evw[1, SUBPAD:SUBPAD + WB, :] = evinit_ref[0, 0, 1]
+
+    m_hat = refwin_ref[0, 0, 0]
+    inv_m = refwin_ref[0, 0, 1]
+    c_m = refwin_ref[0, 0, 2]
+    inv_y = refwin_ref[0, 0, 3]
+    c_y = refwin_ref[0, 0, 4]
+    # x+1 rows: static +1 sublane shift of the (WB+8, S) window
+    m_hat1 = m_hat[1:1 + WB, :]
+    inv_m1 = inv_m[1:1 + WB, :]
+    c_m1 = c_m[1:1 + WB, :]
+    m_hat0 = m_hat[0:WB, :]
+    inv_m0 = inv_m[0:WB, :]
+    inv_y0 = inv_y[0:WB, :]
+    c_y0 = c_y[0:WB, :]
+    gapx_ok = jnp.where(inv_m1 > 0.0, gapx_e, NEG)
+
+    def out_dma(slot, d):
+        return pltpu.make_async_copy(obuf.at[slot], hbm_post_ref.at[g, d],
+                                     osem.at[slot])
+
+    def in_dma(slot, d):
+        return pltpu.make_async_copy(hbm_fin_ref.at[g, d], ibuf.at[slot],
+                                     isem.at[slot])
+
+    if fuse_post:
+        @pl.when(t == 0)
+        def _prefetch0():
+            in_dma(0, d_start).start()
+
+    def body(i, m_prev, slot, slot1, slot2):
+        d = d_start - i
+        row = T - 1 - i
+        xoff = geom_ref[0, 0, G_XOFF, pl.ds(row, 1), :]
+        wd = geom_ref[0, 0, G_WIDTH, pl.ds(row, 1), :]
+        is_end = geom_ref[0, 0, G_ISEND, pl.ds(row, 1), :] == 1
+
+        @pl.when(i > 0)
+        def _advance():
+            mean_s = evins_ref[0, 0, 0, pl.ds(i, 1), :]
+            val_s = evins_ref[0, 0, 1, pl.ds(i, 1), :]
+            sh_mean = evw[0, SUBPAD + 1:SUBPAD + 1 + WB, :]
+            sh_val = evw[1, SUBPAD + 1:SUBPAD + 1 + WB, :]
+            isR = sub == WB - 1
+            evw[0, SUBPAD:SUBPAD + WB, :] = jnp.where(isR, mean_s, sh_mean)
+            evw[1, SUBPAD:SUBPAD + WB, :] = jnp.where(isR, val_s, sh_val)
+
+        ev_mean = evw[0, SUBPAD:SUBPAD + WB, :]
+        ev_ok = evw[1, SUBPAD:SUBPAD + WB, :] > 0.5
+
+        ok1 = (inv_m1 > 0.0) & ev_ok
+        am1 = (ev_mean - m_hat1) * inv_m1
+        e_match_to = jnp.where(ok1, c_m1 - 0.5 * am1 * am1, NEG)
+        ok0 = (inv_m0 > 0.0) & ev_ok
+        ay0 = (ev_mean - m_hat0) * inv_y0
+        e_stay_same = jnp.where(ok0, c_y0 - 0.5 * ay0 * ay0, NEG)
+
+        b1_y = ring[_bwd_y(slot1), base:base + WB, :]
+        b1_x = ring[_bwd_x(slot1), base + 1:base + 1 + WB, :]
+        b2_m = ring[_bwd_m(slot2), base + 1:base + 1 + WB, :]
+
+        gx_red = b1_x + gapx_ok
+        mm_red = (b2_m - m_prev) + e_match_to
+        gy_term = b1_y + e_stay_same
+
+        b_match = jnp.logaddexp(jnp.logaddexp(gx_red + t_mx, mm_red + t_mm),
+                                gy_term + t_my)
+        b_gapx = jnp.logaddexp(gx_red + t_xx, mm_red + t_xm)
+        b_gapy = jnp.logaddexp(mm_red + t_ym, gy_term + t_yy)
+
+        inband = jnp.logical_and(sub >= xoff, sub < xoff + wd)
+        bm = jnp.where(inband, jnp.where(is_end, end_m, b_match), NEG)
+        bx = jnp.where(inband, jnp.where(is_end, end_x, b_gapx), NEG)
+        by = jnp.where(inband, jnp.where(is_end, end_y, b_gapy), NEG)
+
+        mx = jnp.maximum(jnp.max(bm, axis=0, keepdims=True),
+                         jnp.maximum(jnp.max(bx, axis=0, keepdims=True),
+                                     jnp.max(by, axis=0, keepdims=True)))
+        m = jnp.where(is_end, 0.0, jnp.where(mx > NEG * 0.5, mx, 0.0))
+        bm = jnp.maximum(bm - m, NEG)
+        bx = jnp.maximum(bx - m, NEG)
+        by = jnp.maximum(by - m, NEG)
+
+        ring[_bwd_m(slot), base:base + WB, :] = bm
+        ring[_bwd_x(slot), base:base + WB, :] = bx
+        ring[_bwd_y(slot), base:base + WB, :] = by
+
+        buf = i % 2
+        if fuse_post:
+            # wait for this diagonal's forward row; prefetch the next
+            in_dma(buf, d).wait()
+
+            @pl.when(d - 1 >= 0)
+            def _prefetch_next():
+                in_dma(1 - buf, d - 1).start()
+            fused = bm + ibuf[buf]
+        else:
+            fused = bm
+
+        @pl.when(i > 1)
+        def _wait_reuse():
+            out_dma(buf, d + 2).wait()
+
+        obuf[buf] = fused
+        out_dma(buf, d).start()
+
+        lse = jnp.log(jnp.sum(jnp.exp(bm + start_m), axis=0, keepdims=True)
+                      + jnp.sum(jnp.exp(bx + start_x), axis=0, keepdims=True)
+                      + jnp.sum(jnp.exp(by + start_y), axis=0, keepdims=True))
+        out_incr_ref[0, pl.ds(row, 1), :] = m
+        out_lse_ref[0, pl.ds(row, 1), :] = lse
+        return m
+
+    # d = d_start - i, d_start % 3 == 2 (Dp1p % 3 == 0): static slots
+    def step3(j, m_prev):
+        i = j * 3
+        m = body(i, m_prev, 2, 0, 1)
+        m = body(i + 1, m, 1, 2, 0)
+        m = body(i + 2, m, 0, 1, 2)
+        return m
+
+    m_final = jax.lax.fori_loop(0, T // 3, step3, mprev[0:1, :])
+    mprev[0:1, :] = m_final
+    out_dma(0, d_start - T + 2).wait()
+    out_dma(1, d_start - T + 1).wait()
+
+
+def _specs(NT, T, WB, S, fwd: bool):
+    if fwd:
+        gmap = lambda g, t: (g, t, 0, 0, 0)
+        emap = lambda g, t: (g, t, 0, 0, 0)
+        omap = lambda g, t: (g, t, 0)
+    else:
+        gmap = lambda g, t: (g, NT - 1 - t, 0, 0, 0)
+        emap = lambda g, t: (g, t, 0, 0, 0)
+        omap = lambda g, t: (g, NT - 1 - t, 0)
+    in_specs = [
+        pl.BlockSpec((1, 1, NGEOM, T, S), gmap, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, NREF, WB + 2, S),
+                     (lambda g, t: (g, t, 0, 0, 0)) if fwd else
+                     (lambda g, t: (g, NT - 1 - t, 0, 0, 0)),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, NEV, WB, S), emap, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, NEV, T, S), emap, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 16, S), lambda g, t: (g, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_small = [
+        pl.BlockSpec((1, T, S), omap, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, T, S), omap, memory_space=pltpu.VMEM),
+    ]
+    return in_specs, out_small
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("WB", "T", "S", "RB", "interpret"))
+def pallas_forward_b(geom, refwin, evinit, evins, pack, *, WB: int, T: int,
+                     S: int, RB: int, interpret: bool = False):
+    G, NT, _, T_, S_ = geom.shape
+    Dp1p = NT * T
+    in_specs, out_small = _specs(NT, T, WB, S, fwd=True)
+    ring_h = SUBPAD + WB + RB + SUBPAD
+    out_shapes = (
+        jax.ShapeDtypeStruct((G, Dp1p, WB, S), jnp.float32),
+        jax.ShapeDtypeStruct((G, Dp1p, S), jnp.float32),
+        jax.ShapeDtypeStruct((G, Dp1p, S), jnp.float32),
+    )
+    fstack, incr, lse = pl.pallas_call(
+        functools.partial(_fwd_kernel, T=T, WB=WB, S=S, RB=RB),
+        grid=(G, NT),
+        in_specs=in_specs,
+        out_specs=(pl.BlockSpec(memory_space=pl.ANY),) + tuple(out_small),
+        out_shape=out_shapes,
+        scratch_shapes=[pltpu.VMEM((RING_ROWS, ring_h, S), jnp.float32),
+                        pltpu.VMEM((NEV, SUBPAD + WB + 2, S), jnp.float32),
+                        pltpu.VMEM((8, S), jnp.float32),
+                        pltpu.VMEM((2, WB, S), jnp.float32),
+                        pltpu.SemaphoreType.DMA((2,))],
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(geom, refwin, evinit, evins, pack)
+    return fstack, incr, lse
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("WB", "T", "S", "RB", "fuse_post",
+                                    "interpret"))
+def pallas_backward_b(geom, refwin, evinit, evins, pack, fstack, *,
+                      WB: int, T: int, S: int, RB: int,
+                      fuse_post: bool = True, interpret: bool = False):
+    G, NT, _, T_, S_ = geom.shape
+    Dp1p = NT * T
+    Dpad = Dp1p - 1
+    in_specs, out_small = _specs(NT, T, WB, S, fwd=False)
+    in_specs = in_specs + [pl.BlockSpec(memory_space=pl.ANY)]
+    ring_h = SUBPAD + WB + RB + SUBPAD
+    out_shapes = (
+        jax.ShapeDtypeStruct((G, Dp1p, WB, S), jnp.float32),
+        jax.ShapeDtypeStruct((G, Dp1p, S), jnp.float32),
+        jax.ShapeDtypeStruct((G, Dp1p, S), jnp.float32),
+    )
+    post, incr, lse = pl.pallas_call(
+        functools.partial(_bwd_kernel, T=T, WB=WB, S=S, RB=RB, Dpad=Dpad,
+                          fuse_post=fuse_post),
+        grid=(G, NT),
+        in_specs=in_specs,
+        out_specs=(pl.BlockSpec(memory_space=pl.ANY),) + tuple(out_small),
+        out_shape=out_shapes,
+        scratch_shapes=[pltpu.VMEM((7, ring_h, S), jnp.float32),
+                        pltpu.VMEM((NEV, SUBPAD + WB + 2, S), jnp.float32),
+                        pltpu.VMEM((8, S), jnp.float32),
+                        pltpu.VMEM((2, WB, S), jnp.float32),
+                        pltpu.SemaphoreType.DMA((2,)),
+                        pltpu.VMEM((2, WB, S), jnp.float32),
+                        pltpu.SemaphoreType.DMA((2,))],
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(geom, refwin, evinit, evins, pack, fstack)
+    return post, incr, lse
+
+
+K_LANE = 16
+
+
+@functools.partial(jax.jit, static_argnames=("T",))
+def _reduce_offsets(f_incr, b_incr, f_lse, b_lse, n_diag, *, T: int):
+    G, Dp1p, S = f_incr.shape
+    NT = Dp1p // T
+    ft = f_incr.reshape(G, NT, T, S)
+    bt = b_incr.reshape(G, NT, T, S)
+    fsum = jnp.sum(ft, axis=2)
+    bsum = jnp.sum(bt, axis=2)
+    f_intra = jnp.cumsum(ft, axis=2).reshape(G, Dp1p, S)
+    b_intra = jnp.cumsum(bt[:, :, ::-1], axis=2)[:, :, ::-1].reshape(G, Dp1p, S)
+    nd = n_diag[:, None, :]  # (G, 1, S)
+    f_lse_nd = jnp.take_along_axis(f_lse, nd, axis=1)[:, 0]
+    f_intra_nd = jnp.take_along_axis(f_intra, nd, axis=1)[:, 0]
+    return (fsum, bsum, f_lse_nd, b_lse[:, 0, :], f_intra_nd,
+            b_intra[:, 0, :])
+
+
+@functools.partial(jax.jit, static_argnames=("K", "C"))
+def _compact_chunked(postlog, cvec, xoffs, widths, n_diag, *, K: int,
+                     C: int):
+    """Masked two-level top-k over log-posteriors, chunked along diagonals
+    so the (S, WB) transpose intermediates stay small.
+
+    postlog: (G, Dp1p, WB, S) unnormalized f+b; cvec: (G, Dp1p, S).
+    Returns (vals(log), d, wb): (G, S, K).
+    """
+    G, Dp1p, WB, S = postlog.shape
+    NC = Dp1p // C
+
+    def chunk(ci):
+        c0 = ci * C
+        pl_ = jax.lax.dynamic_slice_in_dim(postlog, c0, C, axis=1)
+        cv = jax.lax.dynamic_slice_in_dim(cvec, c0, C, axis=1)
+        xo = jax.lax.dynamic_slice_in_dim(xoffs, c0, C, axis=1)
+        wd = jax.lax.dynamic_slice_in_dim(widths, c0, C, axis=1)
+        d_idx = (c0 + jnp.arange(C, dtype=jnp.int32))[None, :, None]
+        sub = jnp.arange(WB, dtype=jnp.int32)[None, None, :, None]
+        mask = ((sub >= xo[:, :, None, :]) &
+                (sub < (xo + wd)[:, :, None, :]) &
+                (d_idx[..., None] <= n_diag[:, None, None, :]))
+        v = jnp.where(mask, pl_ + cv[:, :, None, :], NEG)
+        vt = jnp.swapaxes(v, 2, 3)                 # (G, C, S, WB)
+        v1, i1 = jax.lax.top_k(vt, K_LANE)         # (G, C, S, K_LANE)
+        return v1, i1
+
+    v1s, i1s = jax.lax.map(chunk, jnp.arange(NC))  # (NC, G, C, S, KL)
+    v1 = jnp.transpose(v1s, (1, 3, 0, 2, 4)).reshape(G, S, Dp1p * K_LANE)
+    i1 = jnp.transpose(i1s, (1, 3, 0, 2, 4)).reshape(G, S, Dp1p * K_LANE)
+    v2, i2 = jax.lax.top_k(v1, K)
+    d2 = i2 // K_LANE
+    wb2 = jnp.take_along_axis(i1, i2, axis=2)
+    return v2, d2, wb2
+
+
+@functools.partial(jax.jit, static_argnames=("T",))
+def _cvec_device(f_incr, b_incr, c_tile, *, T: int):
+    G, Dp1p, S = f_incr.shape
+    fin = jnp.cumsum(f_incr.reshape(G, Dp1p // T, T, S), axis=2)
+    bin_ = jnp.cumsum(b_incr.reshape(G, Dp1p // T, T, S)[:, :, ::-1],
+                      axis=2)[:, :, ::-1]
+    return (fin + bin_ + c_tile[:, :, None, :]).reshape(G, Dp1p, S)
+
+
+class PallasBatchAligner:
+    """Lane-batched (S reads per group) persistent-array runner."""
+
+    def __init__(self, problems: Sequence[bfb.BandedProblem], W: int,
+                 T: int = 240, S: int = 32, RB: int = 256,
+                 interpret: bool = False):
+        assert all(p.mode == bfb.MODE_MEAN_ONLY for p in problems)
+        self.problems = list(problems)
+        self.W, self.T, self.S, self.RB = W, T, S, RB
+        self.interpret = interpret
+        B = len(problems)
+        G = (B + S - 1) // S
+        self.G = G
+
+        per = [tile_geometry(p, W, T) for p in problems]
+        WB = per[0][-1]
+        self.WB = WB
+        NT = per[0][0].shape[0]      # geom_t is (NT, T, NGEOM)
+        Dp1p = NT * T
+        self.Dp1p = Dp1p
+
+        def stack_lane(build_one, shape):
+            out = np.zeros((G,) + shape + (S,), dtype=np.float32)
+            return out
+
+        geom = np.zeros((G, NT, NGEOM, T, S), dtype=np.int32)
+        refwin = np.zeros((G, NT, NREF, WB + 2, S), dtype=np.float32)
+        evinit_f = np.zeros((G, NT, NEV, WB, S), dtype=np.float32)
+        evinit_b = np.zeros((G, NT, NEV, WB, S), dtype=np.float32)
+        evins_f = np.zeros((G, NT, NEV, T, S), dtype=np.float32)
+        evins_b = np.zeros((G, NT, NEV, T, S), dtype=np.float32)
+        pack = np.zeros((G, 16, S), dtype=np.float32)
+        xoffs = np.zeros((G, Dp1p, S), dtype=np.int32)
+        widths = np.zeros((G, Dp1p, S), dtype=np.int32)
+        bases = np.zeros((G, Dp1p, S), dtype=np.int64)
+        n_diag = np.zeros((G, S), dtype=np.int32)
+
+        for idx, (p, (g_, rw, ef, eb, eif, eib, base, _)) in enumerate(
+                zip(problems, per)):
+            gi, si = divmod(idx, S)
+            gflat = g_.reshape(-1, NGEOM)
+            geom[gi, :, :, :, si] = np.transpose(g_, (0, 2, 1))
+            refwin[gi, :, :, :, si] = rw[:, :NREF, :]
+            evinit_f[gi, :, :, :, si] = ef
+            evinit_b[gi, :, :, :, si] = eb
+            evins_f[gi, :, :, :, si] = np.transpose(eif, (0, 2, 1))
+            evins_b[gi, :, :, :, si] = np.transpose(eib, (0, 2, 1))
+            pack[gi, :, si] = _pack16(p)
+            xoffs[gi, :, si] = gflat[:, G_XOFF]
+            widths[gi, :, si] = gflat[:, G_WIDTH]
+            bases[gi, :, si] = base
+            n_diag[gi, si] = p.n_diag
+            if (gflat[:, G_DK].max() * 128 > RB
+                    or gflat[:, G_DKB].max() * 128 > RB):
+                raise ValueError("tile re-base exceeds RB")
+
+        import jax.numpy as jnp
+        self.geom = jnp.asarray(geom)
+        self.refwin = jnp.asarray(refwin)
+        self.evinit_f = jnp.asarray(evinit_f)
+        self.evinit_b = jnp.asarray(evinit_b)
+        self.evins_f = jnp.asarray(evins_f)
+        self.evins_b = jnp.asarray(evins_b)
+        self.pack = jnp.asarray(pack)
+        self.xoffs = jnp.asarray(xoffs)
+        self.widths = jnp.asarray(widths)
+        self.bases_h = bases
+        self.n_diag = jnp.asarray(n_diag)
+        self.n_diag_h = n_diag
+        self.NT = NT
+
+    def execute(self, compact_k: int = 4096, threshold: float = 0.01,
+                as_arrays: bool = False) -> List[Dict]:
+        T, WB, S, RB = self.T, self.WB, self.S, self.RB
+        fstack, f_incr, f_lse = pallas_forward_b(
+            self.geom, self.refwin, self.evinit_f, self.evins_f, self.pack,
+            WB=WB, T=T, S=S, RB=RB, interpret=self.interpret)
+        postlog, b_incr, b_lse = pallas_backward_b(
+            self.geom, self.refwin, self.evinit_b, self.evins_b, self.pack,
+            fstack, WB=WB, T=T, S=S, RB=RB, fuse_post=True,
+            interpret=self.interpret)
+
+        G, Dp1p = self.G, self.Dp1p
+        NT = self.NT
+        # device-side reductions; only (G, NT, S) tile sums and (G, S)
+        # scalars cross the host link
+        red = _reduce_offsets(f_incr, b_incr, f_lse, b_lse,
+                              self.n_diag, T=T)
+        fsum, bsum, f_lse_nd, b_lse_0, f_intra_nd, b_intra_0 = [
+            np.asarray(r, dtype=np.float64) for r in red]
+        fbase = np.concatenate([np.zeros((G, 1, S)),
+                                np.cumsum(fsum, axis=1)[:, :-1]], axis=1)
+        bbase = np.concatenate([np.cumsum(bsum[:, ::-1], axis=1)[:, ::-1][:, 1:],
+                                np.zeros((G, 1, S))], axis=1)
+        nd = self.n_diag_h
+        gidx = np.arange(G)[:, None]
+        sidx = np.arange(S)[None, :]
+        tD = nd // T
+        total_f = f_lse_nd + fbase[gidx, tD, sidx] + f_intra_nd
+        total_b = b_lse_0 + bbase[:, 0, :] + b_intra_0
+        c_tile = (fbase + bbase - total_f[:, None, :]).astype(np.float32)
+
+        cvec = _cvec_device(f_incr, b_incr, jnp.asarray(c_tile), T=T)
+        del fstack  # free the forward stack before compaction peaks
+        logt = np.log(max(threshold, 1e-30))
+        C = max(T, 1)
+        vals, ds, wbs = _compact_chunked(postlog, cvec, self.xoffs,
+                                         self.widths, self.n_diag,
+                                         K=compact_k, C=C)
+        vals_h = np.asarray(vals)
+        ds_h = np.asarray(ds)
+        wbs_h = np.asarray(wbs)
+
+        results = []
+        for idx, p in enumerate(self.problems):
+            gi, si = divmod(idx, S)
+            keep = vals_h[gi, si] >= logt
+            lv = vals_h[gi, si][keep]
+            d = ds_h[gi, si][keep]
+            wb = wbs_h[gi, si][keep]
+            x = self.bases_h[gi, d, si] + wb
+            y = d - x
+            ok = (x > 0) & (y > 0) & (x <= p.lX) & (y <= p.lY)
+            prob = np.minimum(np.exp(lv[ok]), 1.0)
+            xx = x[ok] - 1
+            yy = y[ok] - 1
+            order = np.lexsort((xx, xx + yy))
+            arrs = ((prob[order] * 10000000).astype(np.int64),
+                    xx[order], yy[order])
+            entry = {"total_f": float(total_f[gi, si]),
+                     "total_b": float(total_b[gi, si])}
+            if as_arrays:
+                entry["pairs_arrays"] = arrs
+            else:
+                k = p.kmer_len
+                seq = p.seq
+                entry["pairs"] = [
+                    (int(pr), int(xi), int(yi), seq[xi:xi + k])
+                    for pr, xi, yi in zip(*arrs)]
+            results.append(entry)
+        return results
