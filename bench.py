@@ -68,9 +68,7 @@ def build_problems(batch: int):
     W = 128
     while W < wmax:
         W *= 2
-    Dpad = 1024
-    while Dpad < lX + lY + 1:
-        Dpad *= 2
+    Dpad = lX + lY  # tile_geometry pads to a tile multiple
 
     problem = bfb.prepare_problem(
         target, window_events, model, params, DEFAULT_AMBIG_BASES,
@@ -82,28 +80,29 @@ def build_problems(batch: int):
 def main():
     import jax
 
-    from signalalign_tpu.ops.banded_fb_pallas import PallasAligner
+    from signalalign_tpu.ops.banded_fb_pallas_batch import PallasBatchAligner
 
-    batch = int(os.environ.get("BENCH_BATCH", "16"))
-    reps = int(os.environ.get("BENCH_REPS", "3"))
+    batch = int(os.environ.get("BENCH_BATCH", "128"))
+    reps = int(os.environ.get("BENCH_REPS", "4"))
     problems, W, lY = build_problems(batch)
     dev = jax.devices()[0]
     print(f"# device: {dev}, batch={batch}, W={W}, events/read={lY}",
           file=sys.stderr)
 
-    K = 1 << (int(np.ceil(np.log2(4 * lY))))
-    aligner = PallasAligner(problems, W=W, T=240)
+    K = 16384
+    aligner = PallasBatchAligner(problems, W=W, T=24, S=128, RB=128)
     # warmup (compile)
     res = aligner.execute(compact_k=K, as_arrays=True)
     assert np.isfinite(res[0]["total_f"])
     assert len(res[0]["pairs_arrays"][0]) > lY * 0.8
 
-    t0 = time.perf_counter()
+    times = []
     for _ in range(reps):
+        t0 = time.perf_counter()
         res = aligner.execute(compact_k=K, as_arrays=True)
-    t1 = time.perf_counter()
+        times.append(time.perf_counter() - t0)
 
-    events_per_s = batch * lY * reps / (t1 - t0)
+    events_per_s = batch * lY / float(np.median(times))
     out = {
         "metric": "banded_fb_posterior_events_per_s_per_chip",
         "value": round(events_per_s, 1),
