@@ -208,3 +208,37 @@ def test_hdp_mode_matches_oracle():
     dk = {(x, y, k): p for p, x, y, k in kp}
     for p, x, y, k in op:
         assert (x, y, k) in dk and abs(dk[(x, y, k)] - p) < 3e-3 * 1e7
+
+
+def test_pallas_v2_interpret_matches_scan(r94_model):
+    from signalalign_tpu.ops.banded_fb_pallas_batch import PallasBatchAligner
+    from signalalign_tpu.ops.batch import run_banded_fb_batch
+    model = r94_model
+    rng = np.random.default_rng(5)
+    problems = []
+    for i in range(3):
+        seq = "".join(rng.choice(list("ACGT"), size=150))
+        ids = model.alphabet.seq_to_kmer_ids(seq)
+        ev = np.stack([model.level_mean[ids] + rng.normal(0, 1.5, len(ids)),
+                       np.ones(len(ids)), np.full(len(ids), .005),
+                       np.arange(len(ids)) * .005], 1)
+        anchors = [(j, j) for j in range(10, len(ids) - 10, 15)]
+        problems.append(bfb.prepare_problem(
+            seq, ev, model, ScalingParams(shift=1.0 + 0.3 * i),
+            DEFAULT_AMBIG_BASES, W=128, Dpad=340, P=1,
+            mode=bfb.MODE_MEAN_ONLY, anchor_pairs=anchors, expansion=8))
+    ref = run_banded_fb_batch(problems, W=128, P=1)
+    al = PallasBatchAligner(problems, W=128, T=48, S=4, RB=256,
+                            interpret=True)
+    v2 = al.execute(compact_k=1024)
+    for i, (r, p) in enumerate(zip(ref, v2)):
+        assert math.isclose(r["total_f"], p["total_f"], rel_tol=1e-5)
+        assert math.isclose(r["total_b"], p["total_b"], rel_tol=1e-5)
+        sp = bfb.extract_aligned_pairs(problems[i], r["post"], 0.01)
+        d1 = {(x, y): pr for pr, x, y, k in sp}
+        d2 = {(x, y): pr for pr, x, y, k in p["pairs"]}
+        for key in set(d1) ^ set(d2):
+            pv = d1.get(key, d2.get(key))
+            assert abs(pv / 1e7 - 0.01) < 2e-3
+        for key in set(d1) & set(d2):
+            assert abs(d1[key] - d2[key]) <= 2e-3 * 1e7
