@@ -1,0 +1,179 @@
+"""Model training: Baum-Welch transition EM, Gaussian emission updates,
+HDP training-data assembly.
+
+reference: src/signalalign/train/trainModels.py —
+expectation_maximization_training (986), train_transitions (922),
+train_normal_emmissions (735), CreateHdpTrainingData/train_hdp (427/830).
+
+The reference accumulates expectations in per-read TSV files summed in
+Python; here expectations come back from the device kernels as (3,3)
+tensors (already psum-reducible across a mesh, parallel/distributed.py)
+and the M-step is a normalization.
+"""
+
+from __future__ import annotations
+
+import copy
+import dataclasses
+import sys
+from collections import defaultdict
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from signalalign_tpu.models.pore_model import PoreModel
+from signalalign_tpu.ops import banded_fb as bfb
+from signalalign_tpu.pipeline.runner import run_alignment_batch
+from signalalign_tpu.pipeline.signal_align import AlignmentConfig
+
+
+@dataclasses.dataclass
+class EMResult:
+    model: PoreModel
+    likelihoods: List[float]          # reference-style (tot * n_diagonals)
+    log_likelihoods: List[float]      # true sum of total log probs
+    transitions_history: List[np.ndarray]
+
+
+def normalize_transitions_expectations(texp: np.ndarray) -> np.ndarray:
+    """Row-normalize the 3x3 transition expectation matrix.
+
+    reference: normalize_transitions_expectations
+    (hiddenMarkovModel.py:477-487).
+    """
+    out = texp.astype(np.float64).copy()
+    for i in range(3):
+        rs = out[i].sum()
+        if rs > 0:
+            out[i] /= rs
+    return out
+
+
+def em_train_transitions(
+    reads_and_guides,
+    reference,
+    model: PoreModel,
+    iterations: int = 3,
+    config: Optional[AlignmentConfig] = None,
+    verbose: bool = False,
+    assert_monotonic: bool = False,
+) -> EMResult:
+    """Transition-only Baum-Welch EM over a read batch.
+
+    reference loop: train_transitions -> run expectation alignments ->
+    add_and_normalize_expectations (trainModels.py:922-985), with the
+    likelihood trace asserted non-decreasing in test mode
+    (trainModels.py:966-979).
+    """
+    model = copy.deepcopy(model)
+    config = config or AlignmentConfig()
+    config = dataclasses.replace(config, compute_expectations=True)
+    likelihoods: List[float] = []
+    lls: List[float] = []
+    history: List[np.ndarray] = []
+
+    for it in range(iterations):
+        results = run_alignment_batch(reads_and_guides, reference, model,
+                                      config, use_pallas=False)
+        texp = np.zeros((3, 3))
+        lik = 0.0
+        ll = 0.0
+        for r in results:
+            texp += r.transition_expectations
+            lik += r.likelihood
+            ll += r.total_log_prob
+        probs = normalize_transitions_expectations(texp)
+        model.set_transitions(probs.reshape(-1))
+        model.likelihood = lik
+        likelihoods.append(lik)
+        lls.append(ll)
+        history.append(probs)
+        if verbose:
+            print(f"[train] iter {it}: log-likelihood {ll:.2f}",
+                  file=sys.stderr)
+        if assert_monotonic and it > 0 and ll + 1e-6 < lls[-2]:
+            raise AssertionError(
+                f"EM log-likelihood decreased: {lls[-2]} -> {ll}")
+    return EMResult(model=model, likelihoods=likelihoods,
+                    log_likelihoods=lls, transitions_history=history)
+
+
+def collect_kmer_observations(results, model: PoreModel,
+                              threshold: float = 0.0,
+                              max_per_kmer: Optional[int] = None):
+    """(kmer -> descaled event means) from alignment results.
+
+    reference: the buildAlignment table path (CreateHdpTrainingData,
+    trainModels.py:427-520): per aligned pair above threshold, the
+    descaled event mean keyed by the PATH k-mer; optionally keep the top-N
+    highest-probability observations per k-mer
+    (generate_top_n_kmers_from_sa_output, build_alignments.py).
+    """
+    per_kmer: Dict[str, List[Tuple[float, float]]] = defaultdict(list)
+    for r in results:
+        p = r.params
+        for prob_int, x, y, kmer in r.aligned_pairs:
+            prob = prob_int / 10000000.0
+            if prob < threshold:
+                continue
+            idx = model.alphabet.kmer_index(kmer)
+            mu = model.level_mean[idx]
+            ev = float(r.events[y + r.event_offset, 0])
+            descaled = (ev + p.var * mu - p.scale * mu - p.shift) / p.var
+            per_kmer[kmer].append((prob, descaled))
+    out: Dict[str, np.ndarray] = {}
+    for kmer, vals in per_kmer.items():
+        vals.sort(key=lambda t: -t[0])
+        if max_per_kmer:
+            vals = vals[:max_per_kmer]
+        out[kmer] = np.array([v for _, v in vals])
+    return out
+
+
+def train_gaussian_emissions(observations: Dict[str, np.ndarray],
+                             model: PoreModel,
+                             prior_weight: float = 100.0,
+                             use_median: bool = False,
+                             min_sd: float = 0.0,
+                             mod_only: bool = False) -> PoreModel:
+    """Per-kmer Gaussian update with an original-model prior.
+
+    reference: train_normal_emmissions (trainModels.py:735-828):
+    new_mean = (sum(data) + prior_mean*W) / (n + W), likewise for sd,
+    with optional median/MAD estimators and a min-sd floor.
+    """
+    from scipy.stats import median_abs_deviation
+
+    model = copy.deepcopy(model)
+    for kmer, data in observations.items():
+        if mod_only and set(kmer) <= set("ACGT"):
+            continue
+        n = len(data)
+        if n == 0:
+            continue
+        if use_median:
+            mean_n = float(np.median(data)) * n
+            sd_n = float(median_abs_deviation(data, scale="normal")) * n
+        else:
+            mean_n = float(np.mean(data)) * n
+            sd_n = float(np.std(data)) * n
+        idx = model.alphabet.kmer_index(kmer)
+        pm = model.level_mean[idx] * prior_weight
+        ps = model.level_sd[idx] * prior_weight
+        model.level_mean[idx] = (mean_n + pm) / (n + prior_weight)
+        model.level_sd[idx] = max((sd_n + ps) / (n + prior_weight), min_sd)
+    return model
+
+
+def write_hdp_training_file(observations: Dict[str, np.ndarray], path: str,
+                            strand: str = "t") -> str:
+    """buildAlignment.tsv for the HDP Gibbs trainer.
+
+    Format (CreateHdpTrainingData.write_hdp_training_file /
+    nanopore_hdp update_nhdp_from_alignment): kmer \t strand \t event_mean.
+    """
+    with open(path, "w") as fh:
+        for kmer, vals in sorted(observations.items()):
+            for v in vals:
+                fh.write(f"{kmer}\t{strand}\t{v:f}\n")
+    return path

@@ -1,0 +1,113 @@
+"""EM training tests on synthetic reads with known generative parameters."""
+
+import os
+
+import numpy as np
+import pytest
+
+from signalalign_tpu.io.guide import GuideAlignment
+from signalalign_tpu.io.read import NanoporeReadData
+from signalalign_tpu.io.reference import ProcessedReference
+from signalalign_tpu.models.pore_model import PoreModel, ScalingParams
+from signalalign_tpu.pipeline.runner import run_alignment_batch
+from signalalign_tpu.pipeline.signal_align import AlignmentConfig
+from signalalign_tpu.pipeline.train import (collect_kmer_observations,
+                                            em_train_transitions,
+                                            train_gaussian_emissions,
+                                            write_hdp_training_file)
+
+MODEL = "/root/reference/models/testModelR9p4_5mer_acegt_template.model"
+
+
+def _make_synthetic(tmp_path, n_reads=3, seq_len=260, p_stay=0.12, p_skip=0.05,
+                    seed=0):
+    model = PoreModel.from_file(MODEL)
+    rng = np.random.default_rng(seed)
+    genome = "".join(rng.choice(list("ACGT"), size=1200))
+    fasta = tmp_path / "ref.fa"
+    with open(fasta, "w") as fh:
+        fh.write(">chr\n" + genome + "\n")
+    reference = ProcessedReference(str(fasta))
+
+    k = model.kmer_length
+    rgs = []
+    for ri in range(n_reads):
+        start = int(rng.integers(50, 800))
+        read_seq = genome[start:start + seq_len]
+        ids = model.alphabet.seq_to_kmer_ids(read_seq)
+        events = []
+        event_map = []
+        for i, kid in enumerate(ids):
+            event_map.append(len(events))
+            events.append([rng.normal(model.level_mean[kid],
+                                      model.level_sd[kid]),
+                          1.0, .002, len(events) * .002])
+            while rng.random() < p_stay:
+                events.append([rng.normal(model.level_mean[kid],
+                                          model.level_sd[kid]),
+                              1.0, .002, len(events) * .002])
+        event_map.extend([event_map[-1]] * (k - 1))
+        events = np.array(events)
+        read = NanoporeReadData(
+            read_label=f"synt{ri}", template_read=read_seq,
+            events=events, event_map=np.array(event_map),
+            model_states=None, p_model_state=None, kmer_length=k,
+            params=ScalingParams(), rna=False)
+        guide = GuideAlignment(
+            contig="chr", forward=True, window_start=start,
+            window_end=start + seq_len, query_start=0, query_end=seq_len,
+            ops=[(seq_len, "M")])
+        rgs.append((read, guide))
+    return model, reference, rgs
+
+
+def test_em_transitions_likelihood_nondecreasing(tmp_path):
+    model, reference, rgs = _make_synthetic(tmp_path)
+    res = em_train_transitions(rgs, reference, model, iterations=3,
+                               config=AlignmentConfig(diagonal_expansion=12),
+                               assert_monotonic=False)
+    assert len(res.log_likelihoods) == 3
+    # the true log-likelihood improves overall (per-iteration wiggle is
+    # possible because the end distribution is tied to the transitions but
+    # excluded from the expectations — same approximation as upstream)
+    assert res.log_likelihoods[-1] >= res.log_likelihoods[0]
+    # transitions are proper distributions
+    for probs in res.transitions_history:
+        np.testing.assert_allclose(probs.sum(axis=1), 1.0, rtol=1e-9)
+    # stay-heavy generator -> learned m->y probability reflects stays
+    final = res.transitions_history[-1]
+    assert 0.02 < final[0, 2] < 0.4
+
+
+def test_gaussian_emission_update(tmp_path):
+    model, reference, rgs = _make_synthetic(tmp_path, n_reads=2)
+    results = run_alignment_batch(rgs, reference, model,
+                                  AlignmentConfig(diagonal_expansion=12),
+                                  use_pallas=False)
+    obs = collect_kmer_observations(results, model, threshold=0.5)
+    assert len(obs) > 50
+    shifted = PoreModel.from_file(MODEL)
+    shifted.level_mean = shifted.level_mean + 2.0  # corrupt the model
+    trained = train_gaussian_emissions(obs, shifted, prior_weight=1.0)
+    # kmers with many observations move back toward the true means
+    true = PoreModel.from_file(MODEL)
+    moved = total = 0
+    for kmer, data in obs.items():
+        if len(data) < 2:
+            continue
+        total += 1
+        idx = true.alphabet.kmer_index(kmer)
+        before = abs(shifted.level_mean[idx] - true.level_mean[idx])
+        after = abs(trained.level_mean[idx] - true.level_mean[idx])
+        if after < before:
+            moved += 1
+    assert total >= 5
+    assert moved / total > 0.7
+
+
+def test_hdp_training_file(tmp_path):
+    obs = {"AAAAA": np.array([80.0, 81.0]), "ACGTA": np.array([95.5])}
+    path = write_hdp_training_file(obs, str(tmp_path / "build.tsv"))
+    lines = open(path).read().strip().split("\n")
+    assert len(lines) == 3
+    assert lines[0].split("\t") == ["AAAAA", "t", "80.000000"]
