@@ -239,3 +239,310 @@ long sa_adaptive_banded_align(const double* ev_mean, long n_events,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Hierarchical Dirichlet process Gibbs sampler (Chinese restaurant franchise)
+//
+// reference semantics: impl/hdp.c (gibbs_factor_iteration:1994,
+// sample_dp_factors:2110, take_distr_sample:2067, execute_gibbs_sampling:2491,
+// finalize_distributions:2551, spline_knot_slopes in hdp_math_utils.c:430).
+// This is a from-scratch CRF sampler over an arbitrary DP tree with a
+// normal-inverse-gamma base measure:
+//   * each datum sits at a table of its leaf DP; each table is a customer of
+//     a table in the parent DP, recursively to the base DP;
+//   * base-DP tables accumulate sufficient statistics; the predictive for a
+//     datum under a table is the NIG posterior-predictive (Student-t);
+//   * reseating removes a datum (cascading empty tables) and samples an
+//     existing table (prob ~ count x predictive) or a new table
+//     (prob ~ gamma x parent predictive, recursively);
+//   * posterior-predictive densities are averaged over thinned Gibbs
+//     samples on a fixed grid; natural-cubic-spline knot slopes finalize.
+
+#include <random>
+#include <algorithm>
+
+namespace {
+
+struct Table {
+    long dp;            // owning dp
+    long parent_table;  // index into tables[] of parent dp table (-1 at base)
+    long count;         // customers (data at leaves, child tables otherwise)
+    // base sufficient stats (only meaningful for base-dp tables)
+    double n = 0.0, sx = 0.0, sxx = 0.0;
+    bool alive = false;
+};
+
+struct HdpState {
+    long num_dps;
+    std::vector<long> parent;           // -1 for base
+    std::vector<double> gamma;          // per dp
+    double mu0, nu, alpha, beta;
+    std::vector<Table> tables;
+    std::vector<std::vector<long>> dp_tables;   // live table ids per dp
+    std::vector<long> free_tables;
+    std::mt19937_64 rng;
+
+    long base_of(long tid) {
+        while (tables[tid].parent_table >= 0) tid = tables[tid].parent_table;
+        return tid;
+    }
+
+    long new_table(long dp) {
+        long id;
+        if (!free_tables.empty()) {
+            id = free_tables.back();
+            free_tables.pop_back();
+            tables[id] = Table();
+        } else {
+            id = (long)tables.size();
+            tables.push_back(Table());
+        }
+        Table& t = tables[id];
+        t.dp = dp;
+        t.parent_table = -1;
+        t.count = 0;
+        t.alive = true;
+        dp_tables[dp].push_back(id);
+        return id;
+    }
+
+    void drop_table(long tid) {
+        Table& t = tables[tid];
+        t.alive = false;
+        auto& v = dp_tables[t.dp];
+        for (size_t i = 0; i < v.size(); ++i) {
+            if (v[i] == tid) { v[i] = v.back(); v.pop_back(); break; }
+        }
+        free_tables.push_back(tid);
+    }
+
+    double log_predictive_stats(double x, double n, double sx, double sxx) {
+        // NIG posterior predictive (Student-t)
+        double nun = nu + n;
+        double mun = n > 0 ? (nu * mu0 + sx) / nun : mu0;
+        double an = alpha + n / 2.0;
+        double bn = beta;
+        if (n > 0) {
+            double xbar = sx / n;
+            bn += 0.5 * (sxx - n * xbar * xbar)
+                + (n * nu * (xbar - mu0) * (xbar - mu0)) / (2.0 * nun);
+        }
+        double df = 2.0 * an;
+        double scale2 = bn * (nun + 1.0) / (an * nun);
+        double z = (x - mun);
+        return std::lgamma((df + 1.0) / 2.0) - std::lgamma(df / 2.0)
+            - 0.5 * std::log(df * M_PI * scale2)
+            - ((df + 1.0) / 2.0) * std::log1p(z * z / (df * scale2));
+    }
+
+    double log_predictive_table(double x, long tid) {
+        Table& bt = tables[base_of(tid)];
+        return log_predictive_stats(x, bt.n, bt.sx, bt.sxx);
+    }
+
+    // marginal predictive of x under dp (mixture of tables + new-table mass)
+    double log_predictive_dp(double x, long dp) {
+        double total = gamma[dp];
+        double m = -INFINITY;
+        std::vector<double> lps;
+        lps.reserve(dp_tables[dp].size() + 1);
+        for (long tid : dp_tables[dp]) {
+            double lp = std::log((double)tables[tid].count)
+                + log_predictive_table(x, tid);
+            lps.push_back(lp);
+            if (lp > m) m = lp;
+            total += tables[tid].count;
+        }
+        double lp_new = std::log(gamma[dp])
+            + (parent[dp] >= 0 ? log_predictive_dp(x, parent[dp])
+                               : log_predictive_stats(x, 0, 0, 0));
+        lps.push_back(lp_new);
+        if (lp_new > m) m = lp_new;
+        double s = 0.0;
+        for (double lp : lps) s += std::exp(lp - m);
+        return m + std::log(s) - std::log(total);
+    }
+
+    // seat a customer (datum value x) at dp; returns table id
+    long seat(double x, long dp) {
+        double total = gamma[dp];
+        std::vector<double> w;
+        std::vector<long> ids;
+        double m = -INFINITY;
+        for (long tid : dp_tables[dp]) {
+            double lp = std::log((double)tables[tid].count)
+                + log_predictive_table(x, tid);
+            w.push_back(lp);
+            ids.push_back(tid);
+            if (lp > m) m = lp;
+            total += tables[tid].count;
+        }
+        double lp_new = std::log(gamma[dp])
+            + (parent[dp] >= 0 ? log_predictive_dp(x, parent[dp])
+                               : log_predictive_stats(x, 0, 0, 0));
+        w.push_back(lp_new);
+        if (lp_new > m) m = lp_new;
+        double s = 0.0;
+        for (double& lw : w) { lw = std::exp(lw - m); s += lw; }
+        std::uniform_real_distribution<double> U(0.0, s);
+        double r = U(rng);
+        size_t pick = w.size() - 1;
+        for (size_t i = 0; i < w.size(); ++i) {
+            if (r < w[i]) { pick = i; break; }
+            r -= w[i];
+        }
+        long tid;
+        if (pick < ids.size()) {
+            tid = ids[pick];
+        } else {
+            tid = new_table(dp);
+            if (parent[dp] >= 0) {
+                long ptid = seat(x, parent[dp]);
+                tables[tid].parent_table = ptid;
+            }
+        }
+        tables[tid].count += 1;
+        // accumulate stats at the base table
+        Table& bt = tables[base_of(tid)];
+        bt.n += 1.0; bt.sx += x; bt.sxx += x * x;
+        return tid;
+    }
+
+    void unseat(double x, long tid) {
+        Table& bt = tables[base_of(tid)];
+        bt.n -= 1.0; bt.sx -= x; bt.sxx -= x * x;
+        while (tid >= 0) {
+            Table& t = tables[tid];
+            t.count -= 1;
+            long up = t.parent_table;
+            if (t.count == 0) {
+                drop_table(tid);
+                tid = up;          // cascade: remove as customer of parent
+            } else {
+                break;
+            }
+        }
+    }
+};
+
+}  // namespace
+
+extern "C" {
+
+// Gibbs-train an HDP and evaluate averaged posterior predictives.
+//
+// data[n_data], data_dp[n_data]: observations and their leaf dp ids
+// parent[num_dps] (-1 root), gamma[num_dps]
+// mu0/nu/alpha/beta: NIG base; grid[grid_len]: sampling grid
+// burn_in, num_samples, thinning: Gibbs schedule
+// out_density: (num_dps x grid_len) averaged posterior predictive per dp
+//              (only for dps with data under them; others zero-filled and
+//              flagged 0 in out_observed[num_dps])
+// Returns 0 on success.
+long sa_hdp_gibbs(const double* data, const long* data_dp, long n_data,
+                  const long* parent, const double* gamma_in, long num_dps,
+                  double mu0, double nu, double alpha, double beta,
+                  const double* grid, long grid_len,
+                  long burn_in, long num_samples, long thinning,
+                  unsigned long seed,
+                  double* out_density, unsigned char* out_observed) {
+    HdpState h;
+    h.num_dps = num_dps;
+    h.parent.assign(parent, parent + num_dps);
+    h.gamma.assign(gamma_in, gamma_in + num_dps);
+    h.mu0 = mu0; h.nu = nu; h.alpha = alpha; h.beta = beta;
+    h.dp_tables.resize(num_dps);
+    h.rng.seed(seed);
+
+    std::vector<long> assignment(n_data, -1);
+
+    // initial sequential seating
+    for (long i = 0; i < n_data; ++i) {
+        assignment[i] = h.seat(data[i], data_dp[i]);
+    }
+
+    // which dps have data under them (dp or any descendant observed)
+    std::vector<unsigned char> has_data(num_dps, 0);
+    for (long i = 0; i < n_data; ++i) {
+        long d = data_dp[i];
+        while (d >= 0 && !has_data[d]) { has_data[d] = 1; d = parent[d]; }
+    }
+    for (long d = 0; d < num_dps; ++d) out_observed[d] = has_data[d];
+
+    std::vector<double> acc((size_t)num_dps * grid_len, 0.0);
+    long taken = 0;
+    long total_iters = burn_in + num_samples * thinning;
+    std::vector<long> order(n_data);
+    for (long i = 0; i < n_data; ++i) order[i] = i;
+
+    for (long it = 0; it < total_iters; ++it) {
+        std::shuffle(order.begin(), order.end(), h.rng);
+        for (long oi = 0; oi < n_data; ++oi) {
+            long i = order[oi];
+            h.unseat(data[i], assignment[i]);
+            assignment[i] = h.seat(data[i], data_dp[i]);
+        }
+        if (it >= burn_in && ((it - burn_in) % thinning == 0)) {
+            // bottom-up density pass: parents have larger ids than children
+            // in all supported topologies, so iterate ids descending and
+            // memoize each dp's grid density for its children.
+            std::vector<double> dens((size_t)num_dps * grid_len, 0.0);
+            for (long d = num_dps - 1; d >= 0; --d) {
+                if (!has_data[d]) continue;
+                double total = h.gamma[d];
+                for (long tid : h.dp_tables[d]) total += h.tables[tid].count;
+                for (long gidx = 0; gidx < grid_len; ++gidx) {
+                    double x = grid[gidx];
+                    double sum = 0.0;
+                    for (long tid : h.dp_tables[d]) {
+                        sum += h.tables[tid].count
+                            * std::exp(h.log_predictive_table(x, tid));
+                    }
+                    double pparent = (parent[d] >= 0)
+                        ? dens[(size_t)parent[d] * grid_len + gidx]
+                        : std::exp(h.log_predictive_stats(x, 0, 0, 0));
+                    dens[(size_t)d * grid_len + gidx] =
+                        (sum + h.gamma[d] * pparent) / total;
+                }
+            }
+            for (size_t q = 0; q < acc.size(); ++q) acc[q] += dens[q];
+            ++taken;
+        }
+    }
+    if (taken == 0) taken = 1;
+    for (long d = 0; d < num_dps; ++d) {
+        for (long gidx = 0; gidx < grid_len; ++gidx) {
+            out_density[(size_t)d * grid_len + gidx] =
+                has_data[d] ? acc[(size_t)d * grid_len + gidx] / taken : 0.0;
+        }
+    }
+    return 0;
+}
+
+// Natural cubic spline knot slopes (reference: spline_knot_slopes,
+// hdp_math_utils.c:430): tridiagonal solve for a uniform grid.
+void sa_spline_slopes(const double* x, const double* y, long n,
+                      double* out_slopes) {
+    if (n < 2) { if (n == 1) out_slopes[0] = 0.0; return; }
+    std::vector<double> a(n), b(n), c(n), r(n);
+    double h0 = x[1] - x[0];
+    b[0] = 2.0; c[0] = 1.0; r[0] = 3.0 * (y[1] - y[0]) / h0;
+    for (long i = 1; i < n - 1; ++i) {
+        a[i] = 1.0; b[i] = 4.0; c[i] = 1.0;
+        r[i] = 3.0 * (y[i + 1] - y[i - 1]) / h0;
+    }
+    a[n - 1] = 1.0; b[n - 1] = 2.0;
+    r[n - 1] = 3.0 * (y[n - 1] - y[n - 2]) / h0;
+    // Thomas algorithm
+    for (long i = 1; i < n; ++i) {
+        double mfac = a[i] / b[i - 1];
+        b[i] -= mfac * c[i - 1];
+        r[i] -= mfac * r[i - 1];
+    }
+    out_slopes[n - 1] = r[n - 1] / b[n - 1];
+    for (long i = n - 2; i >= 0; --i) {
+        out_slopes[i] = (r[i] - c[i] * out_slopes[i + 1]) / b[i];
+    }
+}
+
+}  // extern "C"

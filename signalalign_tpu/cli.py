@@ -1,0 +1,219 @@
+"""Command-line interface: runSignalAlign / trainModels equivalents.
+
+reference: scripts/runSignalAlign.py (run/run2 subcommands, JSON config)
+and src/signalalign/train/trainModels.py. The JSON config schema follows
+the reference's documented keys (README.md:85-251) where they map onto the
+TPU-native pipeline; process-pool keys (job_count etc.) are accepted and
+ignored (device batching replaces them).
+
+Usage:
+  python -m signalalign_tpu.cli run --config config.json
+  python -m signalalign_tpu.cli run --alignment_file x.bam --readdb x.readdb \
+      --fast5_dir d/ --ref ref.fa --model m.model --output_dir out/
+  python -m signalalign_tpu.cli train --config trainModels-config.json
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+from typing import Optional
+
+import numpy as np
+
+
+def _load_config(path: Optional[str]) -> dict:
+    if path is None:
+        return {}
+    with open(path) as fh:
+        return json.load(fh)
+
+
+def _sample_from_config(cfg: dict) -> dict:
+    samples = cfg.get("samples")
+    if samples:
+        return samples[0]
+    return cfg
+
+
+def cmd_run(args) -> int:
+    from signalalign_tpu.io.reference import AmbiguityPositions
+    from signalalign_tpu.models.hdp_model import load_nhdp
+    from signalalign_tpu.models.pore_model import PoreModel
+    from signalalign_tpu.ops import banded_fb as bfb
+    from signalalign_tpu.pipeline.runner import run_signal_align
+    from signalalign_tpu.pipeline.signal_align import AlignmentConfig
+
+    cfg = _load_config(args.config)
+    sample = _sample_from_config(cfg)
+
+    alignment_file = args.alignment_file or sample.get("alignment_file")
+    readdb = args.readdb or sample.get("readdb")
+    fast5_dirs = args.fast5_dir or sample.get("fast5_dirs") or []
+    if isinstance(fast5_dirs, str):
+        fast5_dirs = [fast5_dirs]
+    ref = args.ref or cfg.get("reference") or sample.get("bwa_reference")
+    model_path = args.model or cfg.get("template_hmm_model")
+    output_dir = args.output_dir or cfg.get("output_dir") or "signalalign_out"
+    hdp_path = args.hdp or cfg.get("template_hdp_model")
+
+    missing = [n for n, v in [("alignment_file", alignment_file),
+                              ("readdb", readdb), ("fast5_dir", fast5_dirs),
+                              ("ref", ref), ("model", model_path)] if not v]
+    if missing:
+        print(f"missing required arguments: {missing}", file=sys.stderr)
+        return 1
+
+    model = PoreModel.from_file(model_path)
+    hdp = load_nhdp(hdp_path) if hdp_path else None
+    positions = None
+    pf = args.positions_file or sample.get("positions_file")
+    if pf:
+        positions = AmbiguityPositions.from_file(pf)
+    motifs = sample.get("motifs")
+
+    config = AlignmentConfig(
+        threshold=float(args.threshold),
+        diagonal_expansion=int(args.diagonal_expansion),
+        constraint_trim=int(args.constraint_trim),
+        emission_mode=bfb.MODE_HDP if hdp else bfb.MODE_MEAN_ONLY,
+    )
+    written = run_signal_align(
+        alignment_file=alignment_file, readdb=readdb, fast5_dirs=fast5_dirs,
+        reference_fasta=ref, model=model, output_dir=output_dir,
+        config=config, output_format=args.output_format,
+        positions=positions, motifs=motifs, hdp=hdp,
+        max_reads=args.max_reads,
+        quality_threshold=float(cfg.get("filter_reads", 7.0) or 7.0))
+    print(f"[signalalign_tpu] wrote {len(written)} output files to "
+          f"{output_dir}")
+    return 0
+
+
+def cmd_train(args) -> int:
+    from signalalign_tpu.io.guide import guide_from_sam_record
+    from signalalign_tpu.io.read import NanoporeReadData
+    from signalalign_tpu.io.reference import ProcessedReference
+    from signalalign_tpu.io.sam import filter_reads
+    from signalalign_tpu.models.pore_model import PoreModel
+    from signalalign_tpu.pipeline.runner import run_alignment_batch
+    from signalalign_tpu.pipeline.signal_align import AlignmentConfig
+    from signalalign_tpu.pipeline.train import (collect_kmer_observations,
+                                                em_train_transitions,
+                                                train_gaussian_emissions,
+                                                write_hdp_training_file)
+
+    cfg = _load_config(args.config)
+    sample = _sample_from_config(cfg)
+    training = cfg.get("training", {})
+
+    alignment_file = args.alignment_file or sample.get("alignment_file")
+    readdb = args.readdb or sample.get("readdb")
+    fast5_dirs = args.fast5_dir or sample.get("fast5_dirs") or []
+    if isinstance(fast5_dirs, str):
+        fast5_dirs = [fast5_dirs]
+    ref = args.ref or cfg.get("reference") or sample.get("bwa_reference")
+    model_path = args.model or cfg.get("template_hmm_model")
+    output_dir = args.output_dir or cfg.get("output_dir") or "training_out"
+    iterations = int(args.iterations or training.get("em_iterations", 3))
+
+    model = PoreModel.from_file(model_path)
+    reference = ProcessedReference(ref)
+    pairs = filter_reads(alignment_file, readdb, fast5_dirs)
+    if args.max_reads:
+        pairs = pairs[:args.max_reads]
+    rgs = []
+    for f5, rec in pairs:
+        try:
+            read = NanoporeReadData.from_fast5(f5)
+            guide = guide_from_sam_record(rec)
+            if guide and guide.validate(read.read_length):
+                rgs.append((read, guide))
+        except Exception as exc:
+            print(f"[train] skipping {f5}: {exc}", file=sys.stderr)
+
+    os.makedirs(output_dir, exist_ok=True)
+    result = None
+    if training.get("transitions", True):
+        result = em_train_transitions(rgs, reference, model,
+                                      iterations=iterations, verbose=True)
+        model = result.model
+        for i, tr in enumerate(result.transitions_history):
+            out = os.path.join(output_dir, f"template_trained_{i}.model")
+            model_i = model
+            model_i.write(out)
+    if training.get("normal_emissions", False):
+        results = run_alignment_batch(rgs, reference, model,
+                                      AlignmentConfig(), use_pallas=False)
+        obs = collect_kmer_observations(results, model, threshold=0.5)
+        model = train_gaussian_emissions(obs, model)
+    if training.get("hdp_emissions", False):
+        results = run_alignment_batch(rgs, reference, model,
+                                      AlignmentConfig(), use_pallas=False)
+        obs = collect_kmer_observations(results, model, threshold=0.8,
+                                        max_per_kmer=int(
+                                            training.get("max_assignments", 100)))
+        build = write_hdp_training_file(
+            obs, os.path.join(output_dir, "buildAlignment.tsv"))
+        from signalalign_tpu.hdp.train import train_hdp_from_alignment
+        nhdp_out = os.path.join(output_dir, "template.nhdp")
+        train_hdp_from_alignment(
+            build, model,
+            hdp_type=training.get("hdp_type", "singleLevelFixed"),
+            out_path=nhdp_out,
+            gibbs_samples=int(training.get("gibbs_samples", 1000)),
+            burn_in=int(training.get("burnin_multiplier", 32)),
+            thinning=int(training.get("thinning", 100)))
+        print(f"[train] wrote {nhdp_out}")
+
+    final = os.path.join(output_dir, "template_trained.model")
+    model.likelihood = model.likelihood or 0.0
+    model.write(final)
+    if result:
+        print(f"[train] log-likelihoods: {result.log_likelihoods}")
+    print(f"[train] wrote {final}")
+    return 0
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(prog="signalalign_tpu")
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    runp = sub.add_parser("run", help="align reads (runSignalAlign)")
+    runp.add_argument("--config")
+    runp.add_argument("--alignment_file")
+    runp.add_argument("--readdb")
+    runp.add_argument("--fast5_dir", action="append")
+    runp.add_argument("--ref")
+    runp.add_argument("--model")
+    runp.add_argument("--hdp")
+    runp.add_argument("--positions_file")
+    runp.add_argument("--output_dir")
+    runp.add_argument("--output_format", default="full",
+                      choices=["full", "variantCaller", "both"])
+    runp.add_argument("--threshold", default=0.01)
+    runp.add_argument("--diagonal_expansion", default=50)
+    runp.add_argument("--constraint_trim", default=14)
+    runp.add_argument("--max_reads", type=int)
+    runp.set_defaults(func=cmd_run)
+
+    trainp = sub.add_parser("train", help="train models (trainModels)")
+    trainp.add_argument("--config")
+    trainp.add_argument("--alignment_file")
+    trainp.add_argument("--readdb")
+    trainp.add_argument("--fast5_dir", action="append")
+    trainp.add_argument("--ref")
+    trainp.add_argument("--model")
+    trainp.add_argument("--output_dir")
+    trainp.add_argument("--iterations", type=int)
+    trainp.add_argument("--max_reads", type=int)
+    trainp.set_defaults(func=cmd_train)
+
+    args = parser.parse_args(argv)
+    return args.func(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

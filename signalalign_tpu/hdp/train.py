@@ -1,0 +1,226 @@
+"""HDP training: topology construction + native Gibbs + .nhdp output.
+
+reference: impl/buildHdpUtil.c (CLI), impl/nanopore_hdp.c (topology
+factories 506-930, update_nhdp_from_alignment_with_filter:205,
+serialize_nhdp:1077), impl/hdp.c (Gibbs + finalization). The sampler runs
+in native C++ (csrc/signalalign_native.cpp sa_hdp_gibbs, a Chinese
+restaurant franchise over an arbitrary DP tree with NIG base); this module
+builds the DP tree for the supported topologies, feeds the assignment
+table, and writes a .nhdp loadable by models/hdp_model.py.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import dataclasses
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from signalalign_tpu.models.pore_model import PoreModel
+from signalalign_tpu.models.hdp_model import NanoporeHDP
+from signalalign_tpu.utils.alphabet import Alphabet
+from signalalign_tpu.utils import native
+
+
+@dataclasses.dataclass
+class HdpTopology:
+    parent: np.ndarray          # (num_dps,), -1 for the base dp
+    gamma: np.ndarray           # (num_dps,)
+    num_leaves: int
+
+
+def build_topology(alphabet: Alphabet, hdp_type: str,
+                   base_gamma: float = 1.0, middle_gamma: float = 1.0,
+                   leaf_gamma: float = 1.0) -> HdpTopology:
+    """DP tree for a named topology (leaf dp id == k-mer rank).
+
+    Supported: singleLevel[Fixed/Prior][2]: leaves -> base;
+    multiset[...]: leaves -> sorted-multiset dps -> base;
+    middleNts[...]: leaves -> middle-2-nt dps -> base
+    (reference factories, nanopore_hdp.c:506-930).
+    """
+    K = alphabet.num_kmers
+    t = hdp_type.lower()
+    if "multiset" in t:
+        msets: Dict[Tuple[str, ...], int] = {}
+        leaf_parent = np.zeros(K, dtype=np.int64)
+        for kid in range(K):
+            key = tuple(sorted(alphabet.index_to_kmer(kid)))
+            if key not in msets:
+                msets[key] = len(msets)
+            leaf_parent[kid] = K + msets[key]
+        n_mid = len(msets)
+        num_dps = K + n_mid + 1
+        parent = np.full(num_dps, -1, dtype=np.int64)
+        parent[:K] = leaf_parent
+        parent[K:K + n_mid] = num_dps - 1
+        gamma = np.concatenate([
+            np.full(K, leaf_gamma), np.full(n_mid, middle_gamma),
+            [base_gamma]])
+    elif "middlents" in t:
+        k = alphabet.kmer_length
+        a, b = k // 2 - 1, k // 2
+        n_mid = alphabet.size ** 2
+        num_dps = K + n_mid + 1
+        parent = np.full(num_dps, -1, dtype=np.int64)
+        for kid in range(K):
+            kmer = alphabet.index_to_kmer(kid)
+            mid = (alphabet.letters.index(kmer[a]) * alphabet.size
+                   + alphabet.letters.index(kmer[b]))
+            parent[kid] = K + mid
+        parent[K:K + n_mid] = num_dps - 1
+        gamma = np.concatenate([
+            np.full(K, leaf_gamma), np.full(n_mid, middle_gamma),
+            [base_gamma]])
+    else:  # singleLevel and anything else
+        num_dps = K + 1
+        parent = np.full(num_dps, -1, dtype=np.int64)
+        parent[:K] = K
+        gamma = np.concatenate([np.full(K, leaf_gamma), [base_gamma]])
+    return HdpTopology(parent=parent, gamma=gamma.astype(np.float64),
+                       num_leaves=K)
+
+
+def nig_params_from_data(data: np.ndarray) -> Tuple[float, float, float, float]:
+    """Empirical normal-inverse-gamma base hyperparameters.
+
+    Mirrors the spirit of buildHdpUtil's data-derived base (mu at the data
+    mean, broad variance prior)."""
+    mu0 = float(np.mean(data))
+    nu = 1.0 / 68.0 * len(data) if len(data) else 1.0
+    var = float(np.var(data)) if len(data) > 1 else 4.0
+    alpha = 2.0
+    beta = var
+    return mu0, nu, alpha, beta
+
+
+def gibbs_train(data: np.ndarray, data_dp: np.ndarray, topo: HdpTopology,
+                grid: np.ndarray, nig: Tuple[float, float, float, float],
+                burn_in: int = 10000, num_samples: int = 100,
+                thinning: int = 10, seed: int = 1):
+    """Run the native sampler -> (densities (num_dps, grid), observed)."""
+    lib = native._load()
+    if lib is None:
+        raise RuntimeError("native library unavailable for HDP training")
+    lib.sa_hdp_gibbs.restype = ctypes.c_long
+    num_dps = len(topo.parent)
+    out_density = np.zeros((num_dps, len(grid)), dtype=np.float64)
+    out_observed = np.zeros(num_dps, dtype=np.uint8)
+    c = lambda a, t: np.ascontiguousarray(a, dtype=t)
+    data = c(data, np.float64)
+    data_dp = c(data_dp, np.int64)
+    parent = c(topo.parent, np.int64)
+    gamma = c(topo.gamma, np.float64)
+    gridc = c(grid, np.float64)
+    rc = lib.sa_hdp_gibbs(
+        data.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        data_dp.ctypes.data_as(ctypes.POINTER(ctypes.c_long)),
+        ctypes.c_long(len(data)),
+        parent.ctypes.data_as(ctypes.POINTER(ctypes.c_long)),
+        gamma.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        ctypes.c_long(num_dps),
+        ctypes.c_double(nig[0]), ctypes.c_double(nig[1]),
+        ctypes.c_double(nig[2]), ctypes.c_double(nig[3]),
+        gridc.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        ctypes.c_long(len(grid)),
+        ctypes.c_long(burn_in), ctypes.c_long(num_samples),
+        ctypes.c_long(thinning), ctypes.c_ulong(seed),
+        out_density.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        out_observed.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)))
+    if rc != 0:
+        raise RuntimeError(f"sa_hdp_gibbs failed: {rc}")
+    return out_density, out_observed.astype(bool)
+
+
+def spline_slopes(grid: np.ndarray, density: np.ndarray) -> np.ndarray:
+    lib = native._load()
+    out = np.zeros_like(density)
+    g = np.ascontiguousarray(grid, dtype=np.float64)
+    for i in range(density.shape[0]):
+        y = np.ascontiguousarray(density[i], dtype=np.float64)
+        s = np.zeros(len(g), dtype=np.float64)
+        lib.sa_spline_slopes(
+            g.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            y.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            ctypes.c_long(len(g)),
+            s.ctypes.data_as(ctypes.POINTER(ctypes.c_double)))
+        out[i] = s
+    return out
+
+
+def write_nhdp(path: str, alphabet: Alphabet, grid: np.ndarray,
+               topo: HdpTopology, densities: np.ndarray,
+               observed: np.ndarray, nig, data: np.ndarray,
+               data_dp: np.ndarray) -> str:
+    """Serialize in the reference .nhdp layout (serialize_nhdp,
+    nanopore_hdp.c:1077 + serialize_hdp, hdp.c:2919); the factor-tree tail
+    is omitted (inference-side readers stop before it)."""
+    slopes = spline_slopes(grid, densities)
+    with open(path, "w") as fh:
+        fh.write(f"{alphabet.size}\n{alphabet.letters}\n"
+                 f"{alphabet.kmer_length}\n")
+        fh.write("1\n1\n0\n")                       # splines, has_data, no sample_gamma
+        fh.write(f"{len(topo.parent)}\n")
+        fh.write("\t".join(f"{v:.17g}" for v in data) + "\n")
+        fh.write("\t".join(str(int(v)) for v in data_dp) + "\n")
+        fh.write(f"{nig[0]:.17g}\t{nig[1]:.17g}\t{nig[2]:.17g}\t"
+                 f"{nig[3]:.17g}\n")
+        fh.write(f"{grid[0]:.17g}\t{grid[-1]:.17g}\t{len(grid)}\n")
+        depth_gammas = sorted(set(topo.gamma.tolist()), reverse=True)
+        fh.write("\t".join(f"{g:.17g}" for g in depth_gammas) + "\n")
+        for i, p in enumerate(topo.parent):
+            fh.write(("-" if p < 0 else str(int(p)))
+                     + f"\t{1 if observed[i] else 0}\n")
+        for i in range(len(topo.parent)):
+            if observed[i]:
+                fh.write("\t".join(f"{v:.17g}" for v in densities[i]))
+            fh.write("\n")
+        for i in range(len(topo.parent)):
+            if observed[i]:
+                fh.write("\t".join(f"{v:.17g}" for v in slopes[i]))
+            fh.write("\n")
+    return path
+
+
+def train_hdp_from_alignment(build_alignment_path: str, model: PoreModel,
+                             hdp_type: str = "singleLevelFixed",
+                             out_path: str = "template.nhdp",
+                             grid_start: float = 0.0, grid_stop: float = 100.0,
+                             grid_length: int = 100,
+                             base_gamma: float = 5.0, middle_gamma: float = 2.0,
+                             leaf_gamma: float = 0.5,
+                             gibbs_samples: int = 100, burn_in: int = 32,
+                             thinning: int = 10, strand: str = "t",
+                             seed: int = 1) -> str:
+    """buildHdpUtil equivalent: assignment TSV -> Gibbs -> .nhdp.
+
+    ``burn_in`` follows the reference's multiplier semantics
+    (min(30M, burn_in * n_assignments), trainModels.py:882-884).
+    """
+    kmers, values = [], []
+    with open(build_alignment_path) as fh:
+        for line in fh:
+            parts = line.split()
+            if len(parts) >= 3 and parts[1] == strand:
+                kmers.append(parts[0])
+                values.append(float(parts[2]))
+    data = np.array(values)
+    data_dp = np.array([model.alphabet.kmer_index(k) for k in kmers],
+                       dtype=np.int64)
+
+    topo = build_topology(model.alphabet, hdp_type, base_gamma,
+                          middle_gamma, leaf_gamma)
+    grid = np.linspace(grid_start, grid_stop, grid_length)
+    nig = nig_params_from_data(data)
+    # reference counts burn-in/thinning in single-factor updates
+    # (trainModels.py:882-884); the native sampler counts whole sweeps
+    n = max(len(data), 1)
+    burn_sweeps = max(1, min(30_000_000, burn_in * n) // n)
+    thin_sweeps = max(1, thinning // n)
+    densities, observed = gibbs_train(
+        data, data_dp, topo, grid, nig,
+        burn_in=burn_sweeps, num_samples=gibbs_samples,
+        thinning=thin_sweeps, seed=seed)
+    return write_nhdp(out_path, model.alphabet, grid, topo, densities,
+                      observed, nig, data, data_dp)

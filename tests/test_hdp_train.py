@@ -1,0 +1,72 @@
+"""HDP Gibbs training: synthetic data -> .nhdp -> load round-trip."""
+
+import numpy as np
+import pytest
+
+from signalalign_tpu.hdp.train import (build_topology, gibbs_train,
+                                       nig_params_from_data,
+                                       train_hdp_from_alignment, write_nhdp)
+from signalalign_tpu.models.hdp_model import load_nhdp
+from signalalign_tpu.models.pore_model import PoreModel
+from signalalign_tpu.utils.alphabet import Alphabet
+
+
+def test_topologies():
+    a = Alphabet("ACGT", 3)
+    single = build_topology(a, "singleLevelFixed")
+    assert len(single.parent) == 64 + 1
+    assert (single.parent[:64] == 64).all() and single.parent[64] == -1
+
+    multi = build_topology(a, "multisetPrior")
+    # number of multisets of size 3 from 4 letters = C(6,3) = 20
+    assert len(multi.parent) == 64 + 20 + 1
+    assert multi.parent[:64].min() >= 64
+
+    mid = build_topology(a, "middleNtsFixed")
+    assert len(mid.parent) == 64 + 16 + 1
+
+
+def test_gibbs_recovers_modes(tmp_path):
+    rng = np.random.default_rng(0)
+    a = Alphabet("AC", 3)  # 8 kmers
+    model = PoreModel("AC", 3)
+    model.level_mean = np.linspace(70, 110, 8)
+    model.level_sd = np.full(8, 1.5)
+    model.noise_mean = np.full(8, 1.0)
+    model.noise_sd = np.full(8, 0.2)
+    model.noise_lambda = model.noise_mean ** 3 / model.noise_sd ** 2
+
+    # observations for two kmers with distinct means
+    k0 = a.kmer_index("AAA")
+    k1 = a.kmer_index("CCC")
+    build = tmp_path / "build.tsv"
+    with open(build, "w") as fh:
+        for _ in range(120):
+            fh.write(f"AAA\tt\t{rng.normal(80.0, 1.2):f}\n")
+            fh.write(f"CCC\tt\t{rng.normal(100.0, 1.2):f}\n")
+
+    out = train_hdp_from_alignment(
+        str(build), model, hdp_type="singleLevelFixed",
+        out_path=str(tmp_path / "test.nhdp"),
+        grid_start=60, grid_stop=120, grid_length=120,
+        gibbs_samples=30, burn_in=20, thinning=50)
+
+    hdp = load_nhdp(out)
+    assert hdp.alphabet.letters == "AC"
+    assert hdp.observed[k0] and hdp.observed[k1]
+    g = hdp.grid
+    d0 = np.array([hdp.kmer_density(k0, x) for x in g])
+    d1 = np.array([hdp.kmer_density(k1, x) for x in g])
+    assert abs(g[d0.argmax()] - 80.0) < 3.0
+    assert abs(g[d1.argmax()] - 100.0) < 3.0
+    # densities integrate to ~1
+    dx = g[1] - g[0]
+    assert 0.7 < d0.sum() * dx < 1.3
+    assert 0.7 < d1.sum() * dx < 1.3
+    # unobserved kmer falls back to the base: bimodal-ish, sees both modes
+    k2 = a.kmer_index("ACA")
+    assert not hdp.observed[k2]
+    d2 = np.array([hdp.kmer_density(k2, x) for x in g])
+    near80 = d2[(g > 75) & (g < 85)].max()
+    near100 = d2[(g > 95) & (g < 105)].max()
+    assert near80 > 0.01 and near100 > 0.01
