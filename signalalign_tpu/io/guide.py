@@ -58,6 +58,20 @@ class GuideAlignment:
         reads, the exclusive right end for reverse reads)."""
         return self.window_start if self.forward else self.window_end
 
+    def output_frame(self, rna: bool) -> Tuple[bool, int]:
+        """(forward flag, reference shift) as seen by the output writers.
+
+        For RNA the reference frame is reversed before output: the rna
+        branch of fastaHandler_ReferenceSequenceConstructFull
+        (impl/fasta_handler.c:74-85) swaps pA->start1/end1 and flips
+        pA->strand1, so downstream writers see the flipped flag and the
+        opposite window end as the coordinate shift (which makes the rna
+        double reverse-complement in writePosteriorProbsFull cancel)."""
+        if not rna:
+            return self.forward, self.reference_coord_shift
+        return (not self.forward,
+                self.window_end if self.forward else self.window_start)
+
     def anchor_pairs(self, trim: int, kmer_guard: int = 6) -> List[Tuple[int, int]]:
         """(target_offset, read_pos) anchors from trimmed M runs.
 

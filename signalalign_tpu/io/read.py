@@ -112,10 +112,25 @@ class NanoporeReadData:
                 raise ValueError(f"{path}: no basecall events; run kmer-event "
                                  "alignment first (pipeline.event_align)")
             events = f5.template_events(analysis)
+            if rna and events is not None and \
+                    np.issubdtype(events["start"].dtype, np.integer):
+                # RNA basecall tables in index scale are unusable
+                # (has_valid_event_table_format, nanoporeRead.py:298-311);
+                # the reference regenerates them with kmer-event alignment.
+                # Prefer an already-embedded re-segmented table.
+                resegment = f5.latest_analysis("ReSegmentBasecall")
+                if resegment is None:
+                    raise ValueError(
+                        f"{path}: RNA basecall events are index-scale; run "
+                        "kmer-event alignment first (pipeline.event_align)")
+                analysis = resegment
+                events = f5.template_events(analysis)
             fastq = f5.template_fastq(analysis)
             if fastq is None:
                 raise ValueError(f"{path}: basecall analysis missing fastq")
-            if quality_threshold is not None:
+            qual_line = fastq.split("\n")[3] if fastq.count("\n") >= 3 else ""
+            if quality_threshold is not None and \
+                    qual_line.strip("!"):  # all-'!' = placeholder qualities
                 q = mean_fastq_quality(fastq)
                 if q < quality_threshold:
                     raise ValueError(f"{path}: mean fastq quality {q:.2f} < "

@@ -222,12 +222,13 @@ def run_alignment_batch(
             for prob, x, y, kmer in r["pairs"]:
                 all_pairs.append((prob, x + t.x1, y + t.y1, kmer))
         all_pairs.sort(key=lambda r: (r[1] + r[2], r[1]))
+        fwd_out, ref_shift = pr.guide.output_frame(pr.read.rna)
         out.append(ReadAlignment(
             read_label=pr.read.read_label, contig=pr.guide.contig,
-            forward=pr.guide.forward, strand_template=True,
+            forward=fwd_out, strand_template=True,
             aligned_pairs=all_pairs, score=posterior_score(all_pairs),
             target=pr.target, event_offset=pr.ev_start,
-            ref_offset=pr.guide.reference_coord_shift, params=pr.params,
+            ref_offset=ref_shift, params=pr.params,
             events=pr.events, total_log_prob=total_lp, rna=pr.read.rna,
             transition_expectations=texp if config.compute_expectations else None,
             likelihood=lik))
@@ -289,15 +290,17 @@ def run_signal_align(
     os.makedirs(output_dir, exist_ok=True)
     written = []
     for r in results:
-        fwd_label = "forward" if r.forward else "backward"
-        base = f"{r.read_label}.sm.{fwd_label}.tsv"
-        path = os.path.join(output_dir, base)
+        # file orientation label is the ORIGINAL mapping strand (upstream
+        # names files from the guide strand before the RNA frame flip,
+        # signalAlignment.py:330-346)
+        fwd_orig = (not r.forward) if r.rna else r.forward
+        fwd_label = "forward" if fwd_orig else "backward"
+        path = os.path.join(output_dir, f"{r.read_label}.sm.{fwd_label}.tsv")
+        vcp = os.path.join(output_dir, f"{r.read_label}.sm.vc.tsv")
         if output_format in ("full", "both"):
             write_full_tsv(path, r.full_rows(model), append=False)
             written.append(path)
         if output_format in ("variantCaller", "both"):
-            vcp = path.replace(".tsv", ".vc.tsv") \
-                if output_format == "both" else path
             write_vc_tsv(vcp, r.vc_rows(model), append=False)
             written.append(vcp)
     return written

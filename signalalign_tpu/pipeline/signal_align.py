@@ -169,10 +169,11 @@ def align_read(read: NanoporeReadData, guide: GuideAlignment,
     all_pairs.sort(key=lambda r: (r[1] + r[2], r[1]))
     score = posterior_score(all_pairs)
 
+    fwd_out, ref_shift = guide.output_frame(read.rna)
     return ReadAlignment(
-        read_label=read.read_label, contig=guide.contig, forward=guide.forward,
+        read_label=read.read_label, contig=guide.contig, forward=fwd_out,
         strand_template=True, aligned_pairs=all_pairs, score=score,
-        target=target, event_offset=ev_start, ref_offset=guide.reference_coord_shift,
+        target=target, event_offset=ev_start, ref_offset=ref_shift,
         params=params, events=events, total_log_prob=total_lp, rna=read.rna,
         transition_expectations=texp_total if config.compute_expectations else None,
         likelihood=likelihood)
