@@ -546,3 +546,121 @@ void sa_spline_slopes(const double* x, const double* y, long n,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Local (Smith-Waterman) nucleotide alignment with affine gaps + traceback.
+//
+// Guide-alignment generator for reads without a BAM record: a dependency-free
+// stand-in for the reference's external `bwa mem` call
+// (src/signalalign/utils/bwaWrapper.py generateGuideAlignment). Produces the
+// best local alignment of query vs ref as CIGAR ops; the caller tries both
+// reference orientations and picks the higher score.
+// ---------------------------------------------------------------------------
+
+extern "C" {
+
+// out_ops: 0=M, 1=I (consumes query), 2=D (consumes ref); runs are RLE
+// (out_lens). Returns 0 on success, -1 if max_ops exceeded.
+long sa_sw_align(const char* query, long lq, const char* ref, long lr,
+                 double match, double mismatch,
+                 double gap_open, double gap_extend,
+                 long* out_qs, long* out_qe, long* out_rs, long* out_re,
+                 int* out_ops, long* out_lens, long max_ops, long* out_nops,
+                 double* out_score) {
+    if (lq <= 0 || lr <= 0) return -1;
+    // H/E/F rows; traceback matrices store 2-bit move codes per cell
+    std::vector<double> H(lr + 1, 0.0), E(lr + 1, -1e30);
+    std::vector<double> Hprev(lr + 1, 0.0);
+    // tb codes: for H: 0=stop, 1=diag, 2=from E (gap in query / D), 3=from F
+    // (gap in ref / I); for E: bit set if extend; for F likewise
+    std::vector<unsigned char> tbH((size_t)(lq + 1) * (lr + 1), 0);
+    std::vector<unsigned char> tbE((size_t)(lq + 1) * (lr + 1), 0);
+    std::vector<unsigned char> tbF((size_t)(lq + 1) * (lr + 1), 0);
+    double best = 0.0;
+    long bi = 0, bj = 0;
+    for (long i = 1; i <= lq; ++i) {
+        double Fi = -1e30;
+        double Hdiag_left = 0.0;  // Hprev[j-1]
+        H[0] = 0.0;
+        for (long j = 1; j <= lr; ++j) {
+            size_t idx = (size_t)i * (lr + 1) + j;
+            // E: gap in query (deletion wrt query; consumes ref)
+            double e_open = H[j - 1] + gap_open;
+            double e_ext = E[j - 1] + gap_extend;
+            E[j] = e_open >= e_ext ? e_open : e_ext;
+            tbE[idx] = e_open >= e_ext ? 0 : 1;
+            // F: gap in ref (insertion; consumes query)
+            double f_open = Hprev[j] + gap_open;
+            double f_ext = Fi + gap_extend;
+            Fi = f_open >= f_ext ? f_open : f_ext;
+            tbF[idx] = f_open >= f_ext ? 0 : 1;
+            // H
+            char qc = query[i - 1], rc = ref[j - 1];
+            double sub = (qc == rc && qc != 'N') ? match : mismatch;
+            double h = Hprev[j - 1] + sub;
+            unsigned char code = 1;
+            if (E[j] > h) { h = E[j]; code = 2; }
+            if (Fi > h) { h = Fi; code = 3; }
+            if (h <= 0.0) { h = 0.0; code = 0; }
+            Hdiag_left = Hprev[j];
+            (void)Hdiag_left;
+            H[j] = h;
+            tbH[idx] = code;
+            if (h > best) { best = h; bi = i; bj = j; }
+        }
+        std::swap(H, Hprev);
+        std::fill(E.begin(), E.end(), -1e30);
+    }
+    if (best <= 0.0) return -1;
+    // traceback from (bi, bj)
+    long i = bi, j = bj;
+    long nops = 0;
+    int cur_op = -1;
+    long cur_len = 0;
+    int state = 0;  // 0 = in H, 1 = in E, 2 = in F
+    auto push = [&](int op) -> bool {
+        if (op == cur_op) { cur_len++; return true; }
+        if (cur_op >= 0) {
+            if (nops >= max_ops) return false;
+            out_ops[nops] = cur_op; out_lens[nops] = cur_len; nops++;
+        }
+        cur_op = op; cur_len = 1;
+        return true;
+    };
+    while (i > 0 && j > 0) {
+        size_t idx = (size_t)i * (lr + 1) + j;
+        if (state == 0) {
+            unsigned char c = tbH[idx];
+            if (c == 0) break;
+            if (c == 1) { if (!push(0)) return -1; i--; j--; }
+            else if (c == 2) state = 1;
+            else state = 2;
+        } else if (state == 1) {
+            if (!push(2)) return -1;
+            unsigned char ext = tbE[idx];
+            j--;
+            state = ext ? 1 : 0;
+        } else {
+            if (!push(1)) return -1;
+            unsigned char ext = tbF[idx];
+            i--;
+            state = ext ? 2 : 0;
+        }
+    }
+    if (cur_op >= 0) {
+        if (nops >= max_ops) return -1;
+        out_ops[nops] = cur_op; out_lens[nops] = cur_len; nops++;
+    }
+    // ops were collected end->start; reverse
+    for (long a = 0, b = nops - 1; a < b; ++a, --b) {
+        int to = out_ops[a]; out_ops[a] = out_ops[b]; out_ops[b] = to;
+        long tl = out_lens[a]; out_lens[a] = out_lens[b]; out_lens[b] = tl;
+    }
+    *out_qs = i; *out_qe = bi;
+    *out_rs = j; *out_re = bj;
+    *out_nops = nops;
+    *out_score = best;
+    return 0;
+}
+
+}  // extern "C"

@@ -59,6 +59,29 @@ def cmd_run(args) -> int:
     output_dir = args.output_dir or cfg.get("output_dir") or "signalalign_out"
     hdp_path = args.hdp or cfg.get("template_hdp_model")
 
+    if args.twod:
+        from signalalign_tpu.pipeline.runner import run_signal_align_2d
+        cmodel_path = args.complement_model or cfg.get("complement_hmm_model")
+        missing = [n for n, v in [("fast5_dir", fast5_dirs), ("ref", ref),
+                                  ("model", model_path),
+                                  ("complement_model", cmodel_path)] if not v]
+        if missing:
+            print(f"missing required arguments: {missing}", file=sys.stderr)
+            return 1
+        config = AlignmentConfig(
+            threshold=float(args.threshold),
+            diagonal_expansion=int(args.diagonal_expansion),
+            constraint_trim=int(args.constraint_trim))
+        written = run_signal_align_2d(
+            fast5_dirs=fast5_dirs, reference_fasta=ref,
+            template_model=PoreModel.from_file(model_path),
+            complement_model=PoreModel.from_file(cmodel_path),
+            output_dir=output_dir, config=config,
+            output_format=args.output_format, max_reads=args.max_reads)
+        print(f"[signalalign_tpu] wrote {len(written)} output files to "
+              f"{output_dir}")
+        return 0
+
     missing = [n for n, v in [("alignment_file", alignment_file),
                               ("readdb", readdb), ("fast5_dir", fast5_dirs),
                               ("ref", ref), ("model", model_path)] if not v]
@@ -197,6 +220,9 @@ def main(argv=None) -> int:
     runp.add_argument("--diagonal_expansion", default=50)
     runp.add_argument("--constraint_trim", default=14)
     runp.add_argument("--max_reads", type=int)
+    runp.add_argument("--2d", dest="twod", action="store_true",
+                      help="2D chemistry: align template + complement")
+    runp.add_argument("--complement_model")
     runp.set_defaults(func=cmd_run)
 
     trainp = sub.add_parser("train", help="train models (trainModels)")

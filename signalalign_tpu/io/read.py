@@ -87,6 +87,12 @@ class NanoporeReadData:
     rna: bool = False
     fastq: Optional[str] = None
     fast5_path: Optional[str] = None
+    # 2D strands: scaling-parameter estimation runs on the 1D strand read +
+    # strand event map even when the DP query is the 2D alignment-table
+    # sequence (signalUtils_templateOneDAssignmentsFromRead,
+    # signalMachineUtils.c:172-184)
+    assign_read: Optional[str] = None
+    assign_event_map: Optional[np.ndarray] = None
 
     @property
     def n_events(self) -> int:
@@ -173,3 +179,174 @@ class NanoporeReadData:
                 fastq=fastq,
                 fast5_path=path,
             )
+
+
+def assemble_2d_sequence(kmers: List[str]) -> str:
+    """2D read sequence from the Basecall_2D alignment-table k-mer column.
+
+    reference: NanoporeRead2D.assemble_2d_sequence_from_table
+    (nanoporeRead.py:693-728): consecutive distinct k-mers are merged by
+    their maximal suffix/prefix overlap so every position has an event map.
+    """
+    seq = kmers[0]
+    p_kmer = kmers[0]
+    k = len(p_kmer)
+    for kmer in kmers:
+        if kmer == p_kmer:
+            continue
+        i = k
+        for x in range(1, k):
+            if p_kmer[x:] == kmer[:-x]:
+                i = x
+                break
+        seq += kmer[-i:]
+        p_kmer = kmer
+    return seq
+
+
+def make_twod_event_maps(table_t: np.ndarray, table_c: np.ndarray,
+                         kmers: List[str], seq: str, k: int
+                         ) -> Tuple[np.ndarray, np.ndarray]:
+    """Per-base maps of the 2D sequence onto template/complement events.
+
+    reference: NanoporeRead2D.get_twoD_event_map (nanoporeRead.py:731-832):
+    walk the 2D sequence k-mers against the alignment table (skipping
+    repeated table k-mers); template gaps back-fill with the next aligned
+    event, complement gaps carry the previous event; sequence k-mers not in
+    the table carry the previous events; the trailing k-1 bases repeat the
+    final events. Both maps have one entry per 2D-sequence base.
+    """
+    t_map: List[int] = []
+    c_map: List[int] = []
+    row = 0
+    prev_kmer = ""
+    nb_t_gaps = 0
+    prev_c = 0
+    prev_t = 0
+    n_rows = len(kmers)
+    for i in range(len(seq) - k + 1):
+        seq_kmer = seq[i:i + k]
+        cur = kmers[row] if row < n_rows else None
+        while cur is not None and cur == prev_kmer:
+            row += 1
+            cur = kmers[row] if row < n_rows else None
+        if cur is not None and seq_kmer == cur:
+            t_ev = int(table_t[row])
+            c_ev = int(table_c[row])
+            if t_ev == -1:
+                nb_t_gaps += 1
+            else:
+                t_map += [t_ev] * (nb_t_gaps + 1)
+                nb_t_gaps = 0
+                prev_t = t_ev
+            if c_ev == -1:
+                c_map.append(prev_c)
+            else:
+                c_map.append(c_ev)
+                prev_c = c_ev
+            prev_kmer = cur
+            row += 1
+        else:
+            t_map.append(prev_t)
+            c_map.append(prev_c)
+    for _ in range(k - 1):
+        t_map += [prev_t] * (nb_t_gaps + 1)
+        nb_t_gaps = 0
+        c_map.append(prev_c)
+    return (np.asarray(t_map[:len(seq)], dtype=np.int64),
+            np.asarray(c_map[:len(seq)], dtype=np.int64))
+
+
+@dataclasses.dataclass
+class NanoporeRead2DData:
+    """Both strands of a 2D read, DP-ready.
+
+    ``template``/``complement`` are NanoporeReadData whose query sequence is
+    the 2D alignment-table sequence and whose event maps are the 2D maps
+    (complement map stored REVERSED so it ascends with 2D position, matching
+    the serialized .npRead consumed by signalMachine, nanoporeRead.py
+    Write line 9).
+    """
+    read_label: str
+    twod_sequence: str
+    kmer_length: int
+    template: NanoporeReadData
+    complement: NanoporeReadData
+
+    @classmethod
+    def from_fast5(cls, path: str) -> "NanoporeRead2DData":
+        """reference: NanoporeRead2D._initialize (nanoporeRead.py:596-691)."""
+        with Fast5(path) as f5:
+            fh = f5.fh
+            twod = None
+            if "Analyses" in fh:
+                for name in sorted(fh["Analyses"]):
+                    if name.startswith("Basecall_2D_") and \
+                            f"Analyses/{name}/BaseCalled_2D/Alignment" in fh:
+                        twod = f"Analyses/{name}"
+            if twod is None:
+                raise ValueError(f"{path}: no Basecall_2D alignment table")
+            table = np.asarray(fh[f"{twod}/BaseCalled_2D/Alignment"][()])
+            oned = f5.latest_analysis("Basecall_1D") or twod
+            kmers = [v.decode() if isinstance(v, bytes) else str(v)
+                     for v in table["kmer"]]
+            k = len(kmers[0])
+            seq = assemble_2d_sequence(kmers)
+            t_map, c_map = make_twod_event_maps(
+                table["template"], table["complement"], kmers, seq, k)
+
+            strands = {}
+            for name, ev_map in (("template", t_map), ("complement", c_map)):
+                addr = f"{oned}/BaseCalled_{name}/Events"
+                if addr not in fh:
+                    raise ValueError(f"{path}: missing {addr}")
+                events = np.asarray(fh[addr][()])
+                fastq_addr = f"{oned}/BaseCalled_{name}/Fastq"
+                fastq = _decode_bytes(fh[fastq_addr][()]) \
+                    if fastq_addr in fh else None
+                strand_read = fastq.split("\n")[1] if fastq else None
+                strand_map = None
+                if strand_read is not None:
+                    strand_map = make_event_map(
+                        events["move"], events["p_model_state"],
+                        len(strand_read), k)
+                start0 = float(events["start"][0])
+                ev = np.stack([
+                    np.asarray(events["mean"], dtype=np.float64),
+                    np.asarray(events["stdv"], dtype=np.float64),
+                    np.asarray(events["length"], dtype=np.float64),
+                    np.asarray(events["start"], dtype=np.float64) - start0,
+                ], axis=1)
+                params = ScalingParams()
+                model_addr = f"{oned}/BaseCalled_{name}/Model"
+                if model_addr in fh:
+                    for key in ("scale", "shift", "drift", "var",
+                                "scale_sd", "var_sd"):
+                        if key in fh[model_addr].attrs:
+                            setattr(params, key,
+                                    float(fh[model_addr].attrs[key]))
+                use_map = ev_map if name == "template" else ev_map[::-1].copy()
+                strands[name] = NanoporeReadData(
+                    read_label=f5.read_id or path,
+                    template_read=seq,
+                    events=ev,
+                    event_map=use_map,
+                    model_states=np.asarray(events["model_state"]),
+                    p_model_state=np.asarray(events["p_model_state"],
+                                             dtype=np.float64),
+                    kmer_length=k,
+                    params=params,
+                    fastq=fastq,
+                    fast5_path=path,
+                    assign_read=strand_read,
+                    assign_event_map=strand_map,
+                )
+            return cls(
+                read_label=strands["template"].read_label,
+                twod_sequence=seq, kmer_length=k,
+                template=strands["template"],
+                complement=strands["complement"])
+
+
+def _decode_bytes(v) -> str:
+    return v.decode() if isinstance(v, bytes) else str(v)

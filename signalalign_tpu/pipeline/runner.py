@@ -304,3 +304,77 @@ def run_signal_align(
             write_vc_tsv(vcp, r.vc_rows(model), append=False)
             written.append(vcp)
     return written
+
+
+def run_signal_align_2d(
+    fast5_dirs: Sequence[str],
+    reference_fasta: str,
+    template_model: PoreModel,
+    complement_model: PoreModel,
+    output_dir: str,
+    config: Optional[AlignmentConfig] = None,
+    output_format: str = "full",
+    positions=None,
+    motifs=None,
+    template_hdp=None,
+    complement_hdp=None,
+    max_reads: Optional[int] = None,
+    verbose: bool = True,
+) -> List[str]:
+    """2D (template + complement) run over a directory of 2D fast5s.
+
+    reference: runSignalAlign with --2d (SignalAlignment twoD_chemistry
+    path): guide from the 2D alignment-table sequence (built-in SW replaces
+    the external bwa call), both strands aligned and appended to one output
+    file per read (outputAlignment, signalMachine.c:276-309).
+    """
+    import glob as _glob
+
+    from signalalign_tpu.io.minialign import generate_guide_alignment
+    from signalalign_tpu.io.read import NanoporeRead2DData
+    from signalalign_tpu.pipeline.signal_align import align_read_2d
+
+    config = config or AlignmentConfig()
+    reference = ProcessedReference(reference_fasta, positions=positions,
+                                   motifs=motifs)
+    paths = []
+    for d in fast5_dirs:
+        paths.extend(sorted(_glob.glob(os.path.join(d, "*.fast5"))))
+    if max_reads:
+        paths = paths[:max_reads]
+
+    os.makedirs(output_dir, exist_ok=True)
+    written = []
+    t0 = time.time()
+    n_reads = 0
+    for f5 in paths:
+        try:
+            read = NanoporeRead2DData.from_fast5(f5)
+            guide = generate_guide_alignment(read.twod_sequence, reference)
+            if guide is None or not guide.validate(len(read.twod_sequence)):
+                raise ValueError("could not map 2D read")
+            t, c = align_read_2d(read, guide, reference, template_model,
+                                 complement_model, config,
+                                 template_hdp=template_hdp,
+                                 complement_hdp=complement_hdp)
+        except Exception as exc:
+            if verbose:
+                print(f"[runner2d] skipping {f5}: {exc}", file=sys.stderr)
+            continue
+        n_reads += 1
+        fwd_label = "forward" if guide.forward else "backward"
+        path = os.path.join(output_dir,
+                            f"{read.read_label}.sm.{fwd_label}.tsv")
+        vcp = os.path.join(output_dir, f"{read.read_label}.sm.vc.tsv")
+        if output_format in ("full", "both"):
+            write_full_tsv(path, t.full_rows(template_model), append=False)
+            write_full_tsv(path, c.full_rows(complement_model), append=True)
+            written.append(path)
+        if output_format in ("variantCaller", "both"):
+            write_vc_tsv(vcp, t.vc_rows(template_model), append=False)
+            write_vc_tsv(vcp, c.vc_rows(complement_model), append=True)
+            written.append(vcp)
+    if verbose:
+        print(f"[runner2d] aligned {n_reads} 2D reads in "
+              f"{time.time() - t0:.1f}s", file=sys.stderr)
+    return written

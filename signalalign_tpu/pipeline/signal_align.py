@@ -93,8 +93,15 @@ def _bucket_d(d: int) -> int:
 def align_read(read: NanoporeReadData, guide: GuideAlignment,
                reference: ProcessedReference, model: PoreModel,
                config: Optional[AlignmentConfig] = None,
-               hdp=None) -> ReadAlignment:
-    """Align one read's template strand against its guide window."""
+               hdp=None, strand_template: bool = True) -> ReadAlignment:
+    """Align one read strand against its guide window.
+
+    ``strand_template=False`` runs the complement strand of a 2D read: the
+    target comes from the opposite reference edition
+    (referenceSequence_getComplementTarget, signalMachineUtils.c:68-70) and
+    the coordinate shift is the opposite window end (rCoordinateShift_c =
+    pA->end1, signalMachine.c:749).
+    """
     config = config or AlignmentConfig()
     k = model.kmer_length
 
@@ -104,8 +111,12 @@ def align_read(read: NanoporeReadData, guide: GuideAlignment,
     if read.rna:
         qstart, qend = read.read_length - guide.query_end, read.read_length - guide.query_start
 
-    target = reference.template_target(
-        guide.contig, guide.window_start, guide.window_end, guide.forward)
+    if strand_template:
+        target = reference.template_target(
+            guide.contig, guide.window_start, guide.window_end, guide.forward)
+    else:
+        target = reference.complement_target(
+            guide.contig, guide.window_start, guide.window_end, guide.forward)
     if read.rna:
         # fastaHandler_ReferenceSequenceConstructFull rna branch: the target
         # is reversed (3'->5' signal order)
@@ -114,7 +125,10 @@ def align_read(read: NanoporeReadData, guide: GuideAlignment,
     # --- per-read scaling (signalMachine ESTIMATE_PARAMS path)
     params = dataclasses.replace(read.params)
     if config.estimate_params:
-        params = estimate_nanopore_params(read.template_read, read.event_map,
+        assign_read = read.assign_read or read.template_read
+        assign_map = read.assign_event_map if read.assign_event_map is not None \
+            else read.event_map
+        params = estimate_nanopore_params(assign_read, assign_map,
                                           read.events, model, params)
     events = adjust_events_for_drift(read.events, params.drift)
 
@@ -169,14 +183,35 @@ def align_read(read: NanoporeReadData, guide: GuideAlignment,
     all_pairs.sort(key=lambda r: (r[1] + r[2], r[1]))
     score = posterior_score(all_pairs)
 
-    fwd_out, ref_shift = guide.output_frame(read.rna)
+    if strand_template:
+        fwd_out, ref_shift = guide.output_frame(read.rna)
+    else:
+        fwd_out = guide.forward
+        ref_shift = guide.window_end if guide.forward else guide.window_start
     return ReadAlignment(
         read_label=read.read_label, contig=guide.contig, forward=fwd_out,
-        strand_template=True, aligned_pairs=all_pairs, score=score,
+        strand_template=strand_template, aligned_pairs=all_pairs, score=score,
         target=target, event_offset=ev_start, ref_offset=ref_shift,
         params=params, events=events, total_log_prob=total_lp, rna=read.rna,
         transition_expectations=texp_total if config.compute_expectations else None,
         likelihood=likelihood)
+
+
+def align_read_2d(read2d, guide: GuideAlignment,
+                  reference: ProcessedReference,
+                  template_model: PoreModel, complement_model: PoreModel,
+                  config: Optional[AlignmentConfig] = None,
+                  template_hdp=None, complement_hdp=None
+                  ) -> Tuple[ReadAlignment, ReadAlignment]:
+    """Both strands of a 2D read (signalMachine.c twoD path, 850-916):
+    template aligned with the template model against the template target,
+    complement with the complement model against the opposite edition; both
+    share the guide anchors remapped through their own 2D event maps."""
+    t = align_read(read2d.template, guide, reference, template_model,
+                   config, hdp=template_hdp, strand_template=True)
+    c = align_read(read2d.complement, guide, reference, complement_model,
+                   config, hdp=complement_hdp, strand_template=False)
+    return t, c
 
 
 def _align_segment(seg_chars: str, seg_events: np.ndarray,

@@ -1,0 +1,86 @@
+"""2D read support: alignment-table assembly, both-strand alignment, and
+golden comparison against the upstream pUC 5-mer outputs
+(tests/test_alignments/pUC_5mer_tempFiles_alignment). The guide alignment
+comes from the built-in Smith-Waterman (bwa stand-in), so the DP band can
+differ slightly from the golden run's BWA guide; rows that land on the same
+(ref, event) cell must agree exactly on k-mer and event means.
+"""
+
+import glob
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from signalalign_tpu.io.minialign import generate_guide_alignment
+from signalalign_tpu.io.read import NanoporeRead2DData, assemble_2d_sequence
+from signalalign_tpu.io.reference import ProcessedReference
+from signalalign_tpu.models.pore_model import PoreModel
+from signalalign_tpu.pipeline import signal_align as sa
+
+PUC_DIR = "/root/reference/tests/minion_test_reads/pUC"
+PUC_REF = "/root/reference/tests/test_sequences/pUC19_SspI.fa"
+T_MODEL = "/root/reference/models/testModelR9_5mer_acegot_template.model"
+C_MODEL = "/root/reference/models/testModelR9_5mer_acegot_complement.model"
+GOLD_DIR = "/root/reference/tests/test_alignments/pUC_5mer_tempFiles_alignment"
+
+GOLD_COLS = ["contig", "ref", "kmer", "read", "strand", "ev", "evmean",
+             "evnoise", "evdur", "alnkmer", "scaledE", "scaledN", "p",
+             "descaled", "Emean", "pathkmer"]
+
+
+def test_assemble_2d_sequence():
+    # overlapping kmers merge by maximal overlap; repeats collapse
+    assert assemble_2d_sequence(["ACGTA", "CGTAC", "CGTAC", "TACGG"]) \
+        == "ACGTACGG"
+
+
+@pytest.fixture(scope="module")
+def aligned():
+    reference = ProcessedReference(PUC_REF)
+    tm = PoreModel.from_file(T_MODEL)
+    cm = PoreModel.from_file(C_MODEL)
+    path = sorted(glob.glob(PUC_DIR + "/*.fast5"))[0]
+    read = NanoporeRead2DData.from_fast5(path)
+    assert read.read_label == "c7815baf-a99a-4682-a146-976aa91a35a2"
+    guide = generate_guide_alignment(read.twod_sequence, reference)
+    assert guide is not None and not guide.forward
+    t, c = sa.align_read_2d(read, guide, reference, tm, cm)
+    return read, guide, t, c, tm, cm, reference
+
+
+def test_event_maps_monotonic(aligned):
+    read = aligned[0]
+    assert np.all(np.diff(read.template.event_map) >= 0)
+    assert np.all(np.diff(read.complement.event_map) >= 0)
+    assert len(read.template.event_map) == len(read.twod_sequence)
+
+
+def test_both_strand_kmers_equal_reference(aligned):
+    _, _, t, c, tm, cm, reference = aligned
+    fwd = reference.forward["pUC19"]
+    for rows, mdl in ((t.full_rows(tm), tm), (c.full_rows(cm), cm)):
+        assert rows
+        for r in rows:
+            assert fwd[r.reference_index:r.reference_index + 5] \
+                == r.reference_kmer
+
+
+def test_matches_golden_both_strands(aligned):
+    read, _, t, c, tm, cm, _ = aligned
+    gold = pd.read_csv(f"{GOLD_DIR}/{read.read_label}.sm.backward.tsv",
+                       sep="\t", names=GOLD_COLS)
+    for strand, res, mdl, min_frac, p_tol in (
+            ("t", t, tm, 0.8, 0.02), ("c", c, cm, 0.55, 0.03)):
+        gs = gold[gold.strand == strand]
+        mine = pd.DataFrame(
+            [(r.reference_index, r.event_index, r.reference_kmer,
+              r.posterior_probability, r.descaled_event_mean, r.event_mean)
+             for r in res.full_rows(mdl)],
+            columns=["ref", "ev", "kmer", "p", "descaled", "evmean"])
+        m = mine.merge(gs, on=["ref", "ev"], suffixes=("_m", "_g"))
+        assert len(m) > min_frac * len(gs)
+        assert (m.kmer_m == m.kmer_g).all()
+        assert (m.evmean_m - m.evmean_g).abs().max() < 1e-4
+        assert (m.descaled_m - m.descaled_g).abs().max() < 1e-4
+        assert (m.p_m - m.p_g).abs().median() < p_tol
