@@ -108,7 +108,7 @@ def cmd_run(args) -> int:
         reference_fasta=ref, model=model, output_dir=output_dir,
         config=config, output_format=args.output_format,
         positions=positions, motifs=motifs, hdp=hdp,
-        max_reads=args.max_reads,
+        max_reads=args.max_reads, embed=args.embed,
         quality_threshold=float(cfg.get("filter_reads", 7.0) or 7.0))
     print(f"[signalalign_tpu] wrote {len(written)} output files to "
           f"{output_dir}")
@@ -200,6 +200,35 @@ def cmd_train(args) -> int:
     return 0
 
 
+def cmd_scan(args) -> int:
+    from signalalign_tpu.io.guide import guide_from_sam_record
+    from signalalign_tpu.io.read import NanoporeReadData
+    from signalalign_tpu.io.sam import filter_reads
+    from signalalign_tpu.models.pore_model import PoreModel
+    from signalalign_tpu.pipeline.scan import \
+        scan_single_nucleotide_probabilities
+
+    fast5_dirs = args.fast5_dir or []
+    model = PoreModel.from_file(args.model)
+    pairs = filter_reads(args.alignment_file, args.readdb, fast5_dirs)
+    if args.max_reads:
+        pairs = pairs[:args.max_reads]
+    rgs = []
+    for f5, rec in pairs:
+        try:
+            read = NanoporeReadData.from_fast5(f5)
+            guide = guide_from_sam_record(rec)
+            if guide and guide.validate(read.read_length):
+                rgs.append((read, guide))
+        except Exception as exc:
+            print(f"[scan] skipping {f5}: {exc}", file=sys.stderr)
+    written = scan_single_nucleotide_probabilities(
+        rgs, args.ref, model, args.output_dir or "scan_out",
+        step_size=int(args.step_size))
+    print(f"[signalalign_tpu] wrote {len(written)} scan files")
+    return 0
+
+
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser(prog="signalalign_tpu")
     sub = parser.add_subparsers(dest="command", required=True)
@@ -220,6 +249,8 @@ def main(argv=None) -> int:
     runp.add_argument("--diagonal_expansion", default=50)
     runp.add_argument("--constraint_trim", default=14)
     runp.add_argument("--max_reads", type=int)
+    runp.add_argument("--embed", action="store_true",
+                      help="write alignment + MEA labels into the fast5s")
     runp.add_argument("--2d", dest="twod", action="store_true",
                       help="2D chemistry: align template + complement")
     runp.add_argument("--complement_model")
@@ -236,6 +267,19 @@ def main(argv=None) -> int:
     trainp.add_argument("--iterations", type=int)
     trainp.add_argument("--max_reads", type=int)
     trainp.set_defaults(func=cmd_train)
+
+    scanp = sub.add_parser(
+        "scan", help="per-position base probabilities "
+                     "(singleNucleotideProbabilities)")
+    scanp.add_argument("--alignment_file", required=True)
+    scanp.add_argument("--readdb", required=True)
+    scanp.add_argument("--fast5_dir", action="append")
+    scanp.add_argument("--ref", required=True)
+    scanp.add_argument("--model", required=True)
+    scanp.add_argument("--output_dir")
+    scanp.add_argument("--step_size", default=10)
+    scanp.add_argument("--max_reads", type=int)
+    scanp.set_defaults(func=cmd_scan)
 
     args = parser.parse_args(argv)
     return args.func(args)

@@ -93,6 +93,7 @@ class NanoporeReadData:
     # signalMachineUtils.c:172-184)
     assign_read: Optional[str] = None
     assign_event_map: Optional[np.ndarray] = None
+    analysis_path: Optional[str] = None   # fast5 analysis the events came from
 
     @property
     def n_events(self) -> int:
@@ -178,6 +179,7 @@ class NanoporeReadData:
                 rna=rna,
                 fastq=fastq,
                 fast5_path=path,
+                analysis_path=analysis,
             )
 
 

@@ -251,10 +251,13 @@ def run_signal_align(
     quality_threshold: float = 7.0,
     ambig_map=None,
     verbose: bool = True,
+    embed: bool = False,
 ) -> List[str]:
     """Full CLI-equivalent run: filter reads -> align -> write TSVs.
 
-    reference: runSignalAlign.main (scripts/runSignalAlign.py:135-319).
+    reference: runSignalAlign.main (scripts/runSignalAlign.py:135-319);
+    ``embed`` mirrors --embed (SignalAlignment.embed_file): alignment rows +
+    MEA labels written into each fast5 under /Analyses/SignalAlign_NNN.
     Returns the list of written output files.
     """
     config = config or AlignmentConfig()
@@ -303,6 +306,26 @@ def run_signal_align(
         if output_format in ("variantCaller", "both"):
             write_vc_tsv(vcp, r.vc_rows(model), append=False)
             written.append(vcp)
+    if embed:
+        from signalalign_tpu.io.embed import embed_alignment
+        from signalalign_tpu.io.fast5 import Fast5
+        by_label = {read.read_label: read for read, _ in rgs}
+        for r in results:
+            read = by_label.get(r.read_label)
+            if read is None or read.fast5_path is None:
+                continue
+            try:
+                with Fast5(read.fast5_path) as f5:
+                    raw_events = f5.template_events(read.analysis_path)
+                embed_alignment(
+                    read.fast5_path, r.full_rows(model), raw_events,
+                    vc_rows=r.vc_rows(model),
+                    basecall_events_path=(read.analysis_path or "")
+                    + "/BaseCalled_template/Events")
+            except Exception as exc:
+                if verbose:
+                    print(f"[runner] embed failed for {r.read_label}: {exc}",
+                          file=sys.stderr)
     return written
 
 
