@@ -30,19 +30,90 @@ class HdpTopology:
     num_leaves: int
 
 
+# The reference's 21 named HDP build types (trainModels.py:574-604 name->id,
+# nanopore_hdp.c:1160-1420 id->factory). Each pins an alphabet
+# (stateMachine.h:15-33) and a tree shape; "Prior" variants sample gammas
+# (our sampler keeps them fixed, matching the Fixed behavior).
+HDP_TYPE_REGISTRY: Dict[str, Tuple[str, str]] = {
+    "singleLevelFixed": ("ACEGOT", "single"),
+    "singleLevelPrior": ("ACEGOT", "single"),
+    "multisetFixed": ("ACEGOT", "multiset"),
+    "multisetPrior": ("ACEGOT", "multiset"),
+    "compFixed": ("ACEGOT", "comp"),
+    "compPrior": ("ACEGOT", "comp"),
+    "middleNtsFixed": ("ACEGOT", "middleNts"),
+    "middleNtsPrior": ("ACEGOT", "middleNts"),
+    "groupMultisetFixed": ("ACEGOT", "groupMultiset"),
+    "groupMultisetPrior": ("ACEGOT", "groupMultiset"),
+    "singleLevelPrior2": ("ACEGT", "single"),
+    "multisetPrior2": ("ACEGT", "multiset"),
+    "multisetPriorEcoli": ("ACEGIT", "multiset"),
+    "singleLevelPriorEcoli": ("ACEGIT", "single"),
+    "singleLevelFixedCanonical": ("ACGT", "single"),
+    "singleLevelFixedM6A": ("ACFGT", "single"),
+    "singleLevelFixedrRNA": ("ACGTbp", "single"),
+    "singleLevelAll16SrRNA": ("ACEGTbdehip", "single"),
+    "singleLevelYeast": ("ACGTabcdefghijklm", "single"),
+    "singleLevelYeastAltC": ("ACGTabcdefghijklmnopq", "single"),
+    "singleLevelYeastSmall5mer": ("ACGTabc", "single"),
+}
+
+# purine/pyrimidine split for comp* (stateMachine.h:32-33) and the ACEGOT
+# character grouping for groupMultiset* (nanopore_hdp.c:1378-1380)
+PURINES = "AG"
+GROUPS_ACEGOT = {"A": 0, "C": 1, "E": 1, "O": 1, "G": 2, "T": 3}
+
+
+def hdp_type_alphabet(hdp_type: str, kmer_length: int) -> Alphabet:
+    letters, _ = HDP_TYPE_REGISTRY[hdp_type]
+    return Alphabet(letters, kmer_length)
+
+
 def build_topology(alphabet: Alphabet, hdp_type: str,
                    base_gamma: float = 1.0, middle_gamma: float = 1.0,
                    leaf_gamma: float = 1.0) -> HdpTopology:
     """DP tree for a named topology (leaf dp id == k-mer rank).
 
-    Supported: singleLevel[Fixed/Prior][2]: leaves -> base;
-    multiset[...]: leaves -> sorted-multiset dps -> base;
-    middleNts[...]: leaves -> middle-2-nt dps -> base
-    (reference factories, nanopore_hdp.c:506-930).
+    Tree shapes (reference factories, nanopore_hdp.c:498-1010):
+    single: leaves -> base; multiset: leaves -> sorted-multiset dps -> base;
+    middleNts: leaves -> middle-2-nt dps -> base; comp: leaves ->
+    purine-count dps (k+1) -> base; groupMultiset: leaves -> multiset of
+    character-group ids -> base.
     """
     K = alphabet.num_kmers
-    t = hdp_type.lower()
-    if "multiset" in t:
+    kind = HDP_TYPE_REGISTRY.get(hdp_type, (None, None))[1]
+    t = hdp_type.lower() if kind is None else kind.lower()
+    if "groupmultiset" in t:
+        k = alphabet.kmer_length
+        msets: Dict[Tuple[int, ...], int] = {}
+        leaf_parent = np.zeros(K, dtype=np.int64)
+        for kid in range(K):
+            key = tuple(sorted(GROUPS_ACEGOT.get(ch, 0)
+                               for ch in alphabet.index_to_kmer(kid)))
+            if key not in msets:
+                msets[key] = len(msets)
+            leaf_parent[kid] = K + msets[key]
+        n_mid = len(msets)
+        num_dps = K + n_mid + 1
+        parent = np.full(num_dps, -1, dtype=np.int64)
+        parent[:K] = leaf_parent
+        parent[K:K + n_mid] = num_dps - 1
+        gamma = np.concatenate([
+            np.full(K, leaf_gamma), np.full(n_mid, middle_gamma),
+            [base_gamma]])
+    elif "comp" in t:
+        k = alphabet.kmer_length
+        n_mid = k + 1
+        num_dps = K + n_mid + 1
+        parent = np.full(num_dps, -1, dtype=np.int64)
+        for kid in range(K):
+            n_pur = sum(ch in PURINES for ch in alphabet.index_to_kmer(kid))
+            parent[kid] = K + n_pur
+        parent[K:K + n_mid] = num_dps - 1
+        gamma = np.concatenate([
+            np.full(K, leaf_gamma), np.full(n_mid, middle_gamma),
+            [base_gamma]])
+    elif "multiset" in t:
         msets: Dict[Tuple[str, ...], int] = {}
         leaf_parent = np.zeros(K, dtype=np.int64)
         for kid in range(K):
@@ -198,18 +269,23 @@ def train_hdp_from_alignment(build_alignment_path: str, model: PoreModel,
     ``burn_in`` follows the reference's multiplier semantics
     (min(30M, burn_in * n_assignments), trainModels.py:882-884).
     """
+    if hdp_type in HDP_TYPE_REGISTRY:
+        alphabet = hdp_type_alphabet(hdp_type, model.kmer_length)
+    else:
+        alphabet = model.alphabet
     kmers, values = [], []
     with open(build_alignment_path) as fh:
         for line in fh:
             parts = line.split()
-            if len(parts) >= 3 and parts[1] == strand:
+            if len(parts) >= 3 and parts[1] == strand and \
+                    all(c in alphabet.letters for c in parts[0]):
                 kmers.append(parts[0])
                 values.append(float(parts[2]))
     data = np.array(values)
-    data_dp = np.array([model.alphabet.kmer_index(k) for k in kmers],
+    data_dp = np.array([alphabet.kmer_index(k) for k in kmers],
                        dtype=np.int64)
 
-    topo = build_topology(model.alphabet, hdp_type, base_gamma,
+    topo = build_topology(alphabet, hdp_type, base_gamma,
                           middle_gamma, leaf_gamma)
     grid = np.linspace(grid_start, grid_stop, grid_length)
     nig = nig_params_from_data(data)
@@ -222,5 +298,5 @@ def train_hdp_from_alignment(build_alignment_path: str, model: PoreModel,
         data, data_dp, topo, grid, nig,
         burn_in=burn_sweeps, num_samples=gibbs_samples,
         thinning=thin_sweeps, seed=seed)
-    return write_nhdp(out_path, model.alphabet, grid, topo, densities,
+    return write_nhdp(out_path, alphabet, grid, topo, densities,
                       observed, nig, data, data_dp)

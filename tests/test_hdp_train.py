@@ -46,7 +46,7 @@ def test_gibbs_recovers_modes(tmp_path):
             fh.write(f"CCC\tt\t{rng.normal(100.0, 1.2):f}\n")
 
     out = train_hdp_from_alignment(
-        str(build), model, hdp_type="singleLevelFixed",
+        str(build), model, hdp_type="singleLevel",
         out_path=str(tmp_path / "test.nhdp"),
         grid_start=60, grid_stop=120, grid_length=120,
         gibbs_samples=30, burn_in=20, thinning=50)
@@ -70,3 +70,24 @@ def test_gibbs_recovers_modes(tmp_path):
     near80 = d2[(g > 75) & (g < 85)].max()
     near100 = d2[(g > 95) & (g < 105)].max()
     assert near80 > 0.01 and near100 > 0.01
+
+
+def test_full_type_registry():
+    from signalalign_tpu.hdp.train import (HDP_TYPE_REGISTRY, build_topology,
+                                           hdp_type_alphabet)
+    assert len(HDP_TYPE_REGISTRY) == 21  # trainModels.py:580-602
+    a = hdp_type_alphabet("compFixed", 3)
+    t = build_topology(a, "compFixed")
+    # comp: middle dp = purine (AG) count, k+1 middles
+    assert len(t.parent) == 216 + 4 + 1
+    assert t.parent[a.kmer_index("AAA")] == 216 + 3
+    assert t.parent[a.kmer_index("CCC")] == 216 + 0
+    g = build_topology(a, "groupMultisetFixed")
+    # ACEGOT group ids {0,1,1,2,1,3}: C/E/O collapse to one group
+    assert g.parent[a.kmer_index("CEO")] == g.parent[a.kmer_index("EEE")]
+    assert len(g.parent) == 216 + 20 + 1
+    for name, (letters, kind) in HDP_TYPE_REGISTRY.items():
+        al = hdp_type_alphabet(name, 3)
+        assert al.letters == "".join(sorted(letters))
+        tt = build_topology(al, name)
+        assert (tt.parent[:al.num_kmers] >= al.num_kmers).all()

@@ -88,3 +88,40 @@ def test_aggregate_over_reads():
     assert len(agg) == 1
     assert abs(agg.iloc[0].C - 0.6) < 1e-9
     assert abs(agg.iloc[0].E - 0.4) < 1e-9
+
+
+def test_validate_read_rna():
+    """validateSignalAlignment equivalent: SA-vs-guide event distances."""
+    import os
+    from signalalign_tpu.io.guide import guide_from_sam_record
+    from signalalign_tpu.io.read import NanoporeReadData
+    from signalalign_tpu.io.reference import ProcessedReference
+    from signalalign_tpu.io.sam import filter_reads
+    from signalalign_tpu.models.pore_model import PoreModel
+    from signalalign_tpu.pipeline import signal_align as sa
+    from signalalign_tpu.pipeline.validate import validate_read
+
+    d = "/root/reference/tests/minion_test_reads/RNA_edge_cases"
+    pairs = filter_reads(os.path.join(d, "rna_reads.bam"),
+                         os.path.join(d, "rna_reads.readdb"), [d])
+    f5, rec = [p for p in pairs if p[1].qname.startswith("7d31de25")][0]
+    read = NanoporeReadData.from_fast5(f5)
+    guide = guide_from_sam_record(rec)
+    model = PoreModel.from_file(
+        "/root/reference/models/testModelR9p4_5mer_acgt_RNA.model")
+    ref = ProcessedReference(
+        "/root/reference/tests/test_sequences/fake_rna_ref.fa")
+    result = sa.align_read(read, guide, ref, model)
+    report = validate_read(result, read, guide, threshold=10)
+    s = report["summaries"]
+    assert len(s) == len(result.aligned_pairs)
+    with_guide = [x for x in s if x.guide_position is not None]
+    assert len(with_guide) > 100
+    # most events should sit near the guide alignment
+    import numpy as np
+    diffs = np.array([x.abs_diff for x in with_guide])
+    assert np.median(diffs) <= 5
+    # flagged sets are consecutive >threshold runs
+    for f in report["flagged"]:
+        assert f["peak_distance"] > 10
+        assert f["event_count"] == len(f["events"])
