@@ -182,13 +182,25 @@ def cmd_train(args) -> int:
             obs, os.path.join(output_dir, "buildAlignment.tsv"))
         from signalalign_tpu.hdp.train import train_hdp_from_alignment
         nhdp_out = os.path.join(output_dir, "template.nhdp")
+        hdp_args = cfg.get("hdp_args", {})
         train_hdp_from_alignment(
             build, model,
-            hdp_type=training.get("hdp_type", "singleLevelFixed"),
+            hdp_type=training.get("hdp_type",
+                                  hdp_args.get("hdp_type",
+                                               "singleLevelFixed")),
             out_path=nhdp_out,
-            gibbs_samples=int(training.get("gibbs_samples", 1000)),
-            burn_in=int(training.get("burnin_multiplier", 32)),
-            thinning=int(training.get("thinning", 100)))
+            grid_start=float(hdp_args.get("grid_start", 30.0)),
+            grid_stop=float(hdp_args.get("grid_end", 180.0)),
+            grid_length=int(hdp_args.get("grid_length", 1200)),
+            base_gamma=float(hdp_args.get("base_gamma", 1.0)),
+            middle_gamma=float(hdp_args.get("middle_gamma", 1.0)),
+            leaf_gamma=float(hdp_args.get("leaf_gamma", 1.0)),
+            gibbs_samples=int(training.get(
+                "gibbs_samples", hdp_args.get("gibbs_samples", 1000))),
+            burn_in=int(training.get(
+                "burnin_multiplier", hdp_args.get("burnin_multiplier", 32))),
+            thinning=int(training.get(
+                "thinning", hdp_args.get("thinning", 100))))
         print(f"[train] wrote {nhdp_out}")
 
     final = os.path.join(output_dir, "template_trained.model")

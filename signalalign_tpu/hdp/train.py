@@ -257,8 +257,8 @@ def write_nhdp(path: str, alphabet: Alphabet, grid: np.ndarray,
 def train_hdp_from_alignment(build_alignment_path: str, model: PoreModel,
                              hdp_type: str = "singleLevelFixed",
                              out_path: str = "template.nhdp",
-                             grid_start: float = 0.0, grid_stop: float = 100.0,
-                             grid_length: int = 100,
+                             grid_start: float = 30.0, grid_stop: float = 180.0,
+                             grid_length: int = 1200,
                              base_gamma: float = 5.0, middle_gamma: float = 2.0,
                              leaf_gamma: float = 0.5,
                              gibbs_samples: int = 100, burn_in: int = 32,
