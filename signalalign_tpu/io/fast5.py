@@ -179,3 +179,22 @@ class Fast5:
                                data=np.bytes_(fastq))
         self.fh[path].attrs["signalalign_tpu"] = np.bytes_("0.1")
         return path
+
+
+def remove_analyses(path: str, match: Optional[str] = None) -> int:
+    """Delete /Analyses groups whose name contains ``match`` (all if None).
+
+    reference: remove_sa_analyses.py:42-79 (SignalAlign / Basecall /
+    everything variants). Returns the number of groups removed.
+    """
+    n = 0
+    with Fast5(path, "r+") as f5:
+        if ANALYSES not in f5.fh:
+            return 0
+        for name in list(f5.fh[ANALYSES]):
+            if match is None or match in name:
+                del f5.fh[ANALYSES][name]
+                n += 1
+        if match is None:
+            del f5.fh[ANALYSES]
+    return n

@@ -302,3 +302,59 @@ def embed_event_table(fast5_path: str, result: RawAlignResult,
     table["p_model_state"] = result.p_model_state
     with Fast5(fast5_path, "r+") as f5:
         return f5.write_event_table(table, fastq, base=analysis_base)
+
+
+def nanopore_read_from_raw(fast5_path: str, model: PoreModel, sam_record,
+                           embed: bool = True):
+    """Build a DP-ready NanoporeReadData for a fast5 WITHOUT basecall events.
+
+    reference: NanoporeRead.generate_new_event_table -> load_from_raw2
+    (nanoporeRead.py:280-301, event_detection.py:230-330): the nucleotide
+    sequence comes from the BAM record (revcomp'd back to read orientation
+    for reverse mappings), the event table from raw-signal kmer-event
+    alignment, and (optionally) the result is embedded into the fast5.
+    """
+    from signalalign_tpu.io.fast5 import Fast5
+    from signalalign_tpu.io.read import NanoporeReadData, make_event_map
+    from signalalign_tpu.utils.alphabet import reverse_complement
+
+    seq = sam_record.seq.upper()
+    q = sam_record.qual
+    if q is None or len(q) == 0:
+        qual = "!" * len(seq)
+    else:
+        qual = "".join(chr(int(v) + 33) for v in q)
+    if sam_record.is_reverse:
+        seq = reverse_complement(seq)
+        qual = qual[::-1]
+    with Fast5(fast5_path) as f5:
+        rna = f5.is_rna()
+        read_id = f5.read_id
+    result = align_raw_read(fast5_path, model, seq, rna=rna)
+    if not result.qc_ok:
+        raise ValueError(f"{fast5_path}: kmer-event alignment QC failed "
+                         f"({result.qc_msg})")
+    fastq = f"@{read_id}\n{seq}\n+\n{qual}\n"
+    analysis = None
+    if embed:
+        try:
+            analysis = embed_event_table(fast5_path, result, fastq)
+        except OSError:
+            analysis = None  # read-only fast5: keep the in-memory table
+    stored_read = seq.replace("U", "T")[::-1] if rna else seq
+    event_map = make_event_map(result.moves, result.p_model_state,
+                               len(stored_read), model.kmer_length)
+    return NanoporeReadData(
+        read_label=read_id or fast5_path,
+        template_read=stored_read,
+        events=result.events,
+        event_map=event_map,
+        model_states=result.model_states,
+        p_model_state=result.p_model_state,
+        kmer_length=model.kmer_length,
+        params=result.params,
+        rna=rna,
+        fastq=fastq,
+        fast5_path=fast5_path,
+        analysis_path=analysis,
+    )

@@ -65,21 +65,29 @@ class PreparedRead:
 
 def prepare_read(read: NanoporeReadData, guide: GuideAlignment,
                  reference: ProcessedReference, model: PoreModel,
-                 config: AlignmentConfig, hdp=None):
+                 config: AlignmentConfig, hdp=None,
+                 strand_template: bool = True):
     """Host-side prep of one read -> list of SegmentTasks (unbucketed)."""
     k = model.kmer_length
     qstart, qend = guide.query_start, guide.query_end
     if read.rna:
         qstart, qend = (read.read_length - guide.query_end,
                         read.read_length - guide.query_start)
-    target = reference.template_target(guide.contig, guide.window_start,
-                                       guide.window_end, guide.forward)
+    if strand_template:
+        target = reference.template_target(guide.contig, guide.window_start,
+                                           guide.window_end, guide.forward)
+    else:
+        target = reference.complement_target(
+            guide.contig, guide.window_start, guide.window_end, guide.forward)
     if read.rna:
         target = target[::-1]
 
     params = dataclasses.replace(read.params)
     if config.estimate_params:
-        params = estimate_nanopore_params(read.template_read, read.event_map,
+        assign_read = read.assign_read or read.template_read
+        assign_map = read.assign_event_map \
+            if read.assign_event_map is not None else read.event_map
+        params = estimate_nanopore_params(assign_read, assign_map,
                                           read.events, model, params)
     events = adjust_events_for_drift(read.events, params.drift)
     ev_start = int(read.event_map[qstart])
@@ -139,6 +147,7 @@ def run_alignment_batch(
     use_pallas: bool = True,
     pallas_interpret: bool = False,
     verbose: bool = False,
+    strand_template: bool = True,
 ) -> List[ReadAlignment]:
     """Align many reads: prep -> shape buckets -> batched device runs."""
     config = config or AlignmentConfig()
@@ -148,7 +157,8 @@ def run_alignment_batch(
     for ridx, (read, guide) in enumerate(reads_and_guides):
         try:
             target, params, events, ev_start, tasks = prepare_read(
-                read, guide, reference, model, config, hdp)
+                read, guide, reference, model, config, hdp,
+                strand_template=strand_template)
         except Exception as exc:  # per-read fault isolation
             # (reference: KEY:FAILED handling, signalAlignment.py:627-737)
             prepped.append(PreparedRead(read, guide, "", ScalingParams(),
@@ -222,10 +232,15 @@ def run_alignment_batch(
             for prob, x, y, kmer in r["pairs"]:
                 all_pairs.append((prob, x + t.x1, y + t.y1, kmer))
         all_pairs.sort(key=lambda r: (r[1] + r[2], r[1]))
-        fwd_out, ref_shift = pr.guide.output_frame(pr.read.rna)
+        if strand_template:
+            fwd_out, ref_shift = pr.guide.output_frame(pr.read.rna)
+        else:
+            fwd_out = pr.guide.forward
+            ref_shift = pr.guide.window_end if pr.guide.forward \
+                else pr.guide.window_start
         out.append(ReadAlignment(
             read_label=pr.read.read_label, contig=pr.guide.contig,
-            forward=fwd_out, strand_template=True,
+            forward=fwd_out, strand_template=strand_template,
             aligned_pairs=all_pairs, score=posterior_score(all_pairs),
             target=pr.target, event_offset=pr.ev_start,
             ref_offset=ref_shift, params=pr.params,
@@ -271,8 +286,22 @@ def run_signal_align(
     rgs = []
     for f5, rec in pairs:
         try:
-            read = NanoporeReadData.from_fast5(
-                f5, quality_threshold=quality_threshold)
+            try:
+                read = NanoporeReadData.from_fast5(
+                    f5, quality_threshold=quality_threshold)
+            except ValueError as exc:
+                if "no basecall events" not in str(exc) and \
+                        "index-scale" not in str(exc):
+                    raise
+                # signal files without events: run raw-signal kmer-event
+                # alignment (NanoporeRead.generate_new_event_table path)
+                from signalalign_tpu.pipeline.event_align import \
+                    nanopore_read_from_raw
+                if verbose:
+                    print(f"[runner] {os.path.basename(f5)}: no usable "
+                          "event table; running kmer-event alignment",
+                          file=sys.stderr)
+                read = nanopore_read_from_raw(f5, model, rec)
             guide = guide_from_sam_record(rec)
             if guide is None or not guide.validate(read.read_length):
                 raise ValueError("invalid guide alignment")
@@ -355,7 +384,6 @@ def run_signal_align_2d(
 
     from signalalign_tpu.io.minialign import generate_guide_alignment
     from signalalign_tpu.io.read import NanoporeRead2DData
-    from signalalign_tpu.pipeline.signal_align import align_read_2d
 
     config = config or AlignmentConfig()
     reference = ProcessedReference(reference_fasta, positions=positions,
@@ -367,35 +395,56 @@ def run_signal_align_2d(
         paths = paths[:max_reads]
 
     os.makedirs(output_dir, exist_ok=True)
-    written = []
     t0 = time.time()
-    n_reads = 0
+    t_pairs, c_pairs, guides = [], [], {}
     for f5 in paths:
         try:
             read = NanoporeRead2DData.from_fast5(f5)
             guide = generate_guide_alignment(read.twod_sequence, reference)
             if guide is None or not guide.validate(len(read.twod_sequence)):
                 raise ValueError("could not map 2D read")
-            t, c = align_read_2d(read, guide, reference, template_model,
-                                 complement_model, config,
-                                 template_hdp=template_hdp,
-                                 complement_hdp=complement_hdp)
         except Exception as exc:
             if verbose:
                 print(f"[runner2d] skipping {f5}: {exc}", file=sys.stderr)
             continue
+        guides[read.read_label] = guide
+        t_pairs.append((read.template, guide))
+        c_pairs.append((read.complement, guide))
+
+    t_results = run_alignment_batch(t_pairs, reference, template_model,
+                                    config, hdp=template_hdp,
+                                    verbose=verbose, strand_template=True)
+    c_results = run_alignment_batch(c_pairs, reference, complement_model,
+                                    config, hdp=complement_hdp,
+                                    verbose=verbose, strand_template=False)
+    by_label = {}
+    for t in t_results:
+        by_label[t.read_label] = [t, None]
+    for c in c_results:
+        by_label.setdefault(c.read_label, [None, None])[1] = c
+
+    written = []
+    n_reads = 0
+    for label, (t, c) in by_label.items():
+        guide = guides.get(label)
+        if guide is None:
+            continue
         n_reads += 1
         fwd_label = "forward" if guide.forward else "backward"
-        path = os.path.join(output_dir,
-                            f"{read.read_label}.sm.{fwd_label}.tsv")
-        vcp = os.path.join(output_dir, f"{read.read_label}.sm.vc.tsv")
+        path = os.path.join(output_dir, f"{label}.sm.{fwd_label}.tsv")
+        vcp = os.path.join(output_dir, f"{label}.sm.vc.tsv")
         if output_format in ("full", "both"):
-            write_full_tsv(path, t.full_rows(template_model), append=False)
-            write_full_tsv(path, c.full_rows(complement_model), append=True)
+            write_full_tsv(path, t.full_rows(template_model) if t else [],
+                           append=False)
+            if c:
+                write_full_tsv(path, c.full_rows(complement_model),
+                               append=True)
             written.append(path)
         if output_format in ("variantCaller", "both"):
-            write_vc_tsv(vcp, t.vc_rows(template_model), append=False)
-            write_vc_tsv(vcp, c.vc_rows(complement_model), append=True)
+            write_vc_tsv(vcp, t.vc_rows(template_model) if t else [],
+                         append=False)
+            if c:
+                write_vc_tsv(vcp, c.vc_rows(complement_model), append=True)
             written.append(vcp)
     if verbose:
         print(f"[runner2d] aligned {n_reads} 2D reads in "
