@@ -22,3 +22,22 @@ Key architectural differences from the reference (C99 + subprocess pipelines):
 __version__ = "0.1.0"
 
 from signalalign_tpu.models.pore_model import PoreModel  # noqa: F401
+
+# Persistent XLA compilation cache: kernel shapes are bucketed, so across
+# runs the same executables recur; caching them on disk removes the
+# dominant cold-start cost (remote TPU compilation). Opt out with
+# SIGNALALIGN_TPU_NO_COMPILE_CACHE=1.
+import os as _os
+
+if not _os.environ.get("SIGNALALIGN_TPU_NO_COMPILE_CACHE"):
+    try:
+        import jax as _jax
+
+        _cache = _os.environ.get(
+            "JAX_COMPILATION_CACHE_DIR",
+            _os.path.expanduser("~/.cache/signalalign_tpu/xla"))
+        _os.makedirs(_cache, exist_ok=True)
+        _jax.config.update("jax_compilation_cache_dir", _cache)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:  # pragma: no cover - cache is best-effort
+        pass

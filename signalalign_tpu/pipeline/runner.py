@@ -181,6 +181,14 @@ def run_alignment_batch(
         buckets[(t.W, t.Dpad, t.P)].append(i)
 
     seg_results: List[Optional[dict]] = [None] * len(seg_tasks)
+    pending: List[Tuple[List[int], int, object]] = []  # (idxs, n, finish)
+
+    def drain(limit: int):
+        while len(pending) > limit:
+            p_idxs, n, fin = pending.pop(0)
+            for i, r in zip(p_idxs, fin()[:n]):
+                seg_results[i] = r
+
     for (W, Dpad, P), idxs in buckets.items():
         probs = [seg_tasks[i].problem for i in idxs]
         pallas_ok = (use_pallas and P == 1
@@ -188,14 +196,37 @@ def run_alignment_batch(
                      and not config.compute_expectations)
         if pallas_ok:
             try:
-                from signalalign_tpu.ops.banded_fb_pallas import PallasAligner
                 lYmax = max(p.lY for p in probs)
                 K = 1 << int(np.ceil(np.log2(max(4 * lYmax, 1024))))
-                aligner = PallasAligner(probs, W=W, T=240,
-                                        interpret=pallas_interpret)
-                res = aligner.execute(compact_k=K, threshold=config.threshold)
-                for i, r in zip(idxs, res):
-                    seg_results[i] = r
+                if pallas_interpret:
+                    # per-read rows: far cheaper under the interpreter
+                    from signalalign_tpu.ops.banded_fb_pallas import \
+                        PallasAligner
+                    aligner = PallasAligner(probs, W=W, T=240,
+                                            interpret=True)
+                    res = aligner.execute(compact_k=K,
+                                          threshold=config.threshold)
+                    for i, r in zip(idxs, res[:len(probs)]):
+                        seg_results[i] = r
+                else:
+                    from signalalign_tpu.ops.banded_fb_pallas_batch import \
+                        PallasBatchAligner
+                    # lane-batched kernel wants full 128-lane stripes;
+                    # repeat problems to fill the last stripe (extra lanes
+                    # decoded but discarded)
+                    S = 128
+                    padded = list(probs)
+                    while len(padded) % S:
+                        padded.append(probs[-1])
+                    aligner = PallasBatchAligner(padded, W=W, T=24, S=S,
+                                                 RB=256)
+                    # pipeline: overlap this bucket's kernels with the
+                    # previous bucket's result fetch (bounded in-flight
+                    # depth keeps HBM for two buckets of stacks)
+                    fin = aligner.execute_async(compact_k=K,
+                                                threshold=config.threshold)
+                    pending.append((idxs, len(probs), fin))
+                    drain(1)
                 continue
             except ValueError as exc:
                 if verbose:
@@ -212,6 +243,7 @@ def run_alignment_batch(
                                                   config.threshold)
                 r["pairs"] = pairs
                 seg_results[i] = r
+    drain(0)
 
     # assemble per-read results
     out: List[ReadAlignment] = []

@@ -1,0 +1,75 @@
+"""Built-in guide aligner (bwa stand-in): native SW + reverse-strand frames."""
+
+import numpy as np
+import pytest
+
+from signalalign_tpu.io.minialign import _sw, generate_guide_alignment
+from signalalign_tpu.io.reference import ProcessedReference
+from signalalign_tpu.utils.alphabet import reverse_complement
+
+
+@pytest.fixture(scope="module")
+def ref(tmp_path_factory):
+    rng = np.random.default_rng(7)
+    seq = "".join(rng.choice(list("ACGT"), 800))
+    path = tmp_path_factory.mktemp("ref") / "r.fa"
+    with open(path, "w") as fh:
+        fh.write(f">ctg\n{seq}\n")
+    return ProcessedReference(str(path)), seq
+
+
+def _mutate(rng, s, sub=0.05, indel=0.01):
+    out = []
+    for ch in s:
+        r = rng.random()
+        if r < indel / 2:
+            continue                       # deletion
+        if r < indel:
+            out.append(rng.choice(list("ACGT")))  # insertion
+        if rng.random() < sub:
+            out.append(rng.choice([c for c in "ACGT" if c != ch]))
+        else:
+            out.append(ch)
+    return "".join(out)
+
+
+def test_exact_hit():
+    rng = np.random.default_rng(3)
+    ref = "".join(rng.choice(list("ACGT"), 200))
+    score, qs, qe, rs, re_, cigar = _sw(ref[30:90], ref)
+    assert (qs, qe, rs, re_) == (0, 60, 30, 90)
+    assert cigar == [(60, "M")]
+
+
+def test_forward_hit_with_errors(ref):
+    reference, seq = ref
+    rng = np.random.default_rng(1)
+    read = _mutate(rng, seq[100:600])
+    g = generate_guide_alignment(read, reference)
+    assert g is not None and g.forward
+    assert abs(g.window_start - 100) < 10
+    assert abs(g.window_end - 600) < 10
+    assert g.validate(len(read))
+
+
+def test_reverse_hit(ref):
+    reference, seq = ref
+    rng = np.random.default_rng(2)
+    read = _mutate(rng, reverse_complement(seq[150:650]))
+    g = generate_guide_alignment(read, reference)
+    assert g is not None and not g.forward
+    assert abs(g.window_start - 150) < 10
+    assert abs(g.window_end - 650) < 10
+    assert g.validate(len(read))
+    # anchors must land inside the window in target orientation
+    anchors = g.anchor_pairs(5)
+    assert anchors
+    for x, q in anchors:
+        assert 0 <= x < g.window_length
+        assert g.query_start <= q < g.query_end
+
+
+def test_no_hit(ref):
+    reference, _ = ref
+    g = generate_guide_alignment("T" * 15, reference, min_score=50.0)
+    assert g is None
