@@ -177,3 +177,50 @@ def write_hdp_training_file(observations: Dict[str, np.ndarray], path: str,
             for v in vals:
                 fh.write(f"{kmer}\t{strand}\t{v:f}\n")
     return path
+
+
+def build_alignment_from_tsvs(tsv_paths, model: PoreModel,
+                              out_path: str,
+                              max_per_kmer: int = 100,
+                              min_probability: float = 0.8,
+                              strands=("t",),
+                              full: bool = True) -> str:
+    """Top-N highest-probability observations per k-mer from SA output TSVs.
+
+    reference: build_alignments.py generate_top_n_kmers_from_sa_output
+    (heap-nlargest per kmer over full-format rows with prob >= threshold);
+    output rows are ``kmer \t strand \t descaled_mean \t prob`` sorted by
+    kmer, matching the buildAlignment table consumed by HDP training.
+    """
+    import heapq
+    from collections import defaultdict
+
+    per_kmer = defaultdict(list)
+    for path in tsv_paths:
+        with open(path) as fh:
+            for line in fh:
+                parts = line.rstrip("\n").split("\t")
+                if full:
+                    if len(parts) < 16:
+                        continue
+                    strand, prob = parts[4], float(parts[12])
+                    kmer, descaled = parts[15], float(parts[13])
+                else:   # assignments format: kmer strand descaled prob
+                    if len(parts) < 4:
+                        continue
+                    kmer, strand = parts[0], parts[1]
+                    descaled, prob = float(parts[2]), float(parts[3])
+                if strand not in strands or prob < min_probability:
+                    continue
+                entry = (prob, descaled, strand)
+                bucket = per_kmer[kmer]
+                if len(bucket) < max_per_kmer:
+                    heapq.heappush(bucket, entry)
+                elif entry > bucket[0]:
+                    heapq.heapreplace(bucket, entry)
+    with open(out_path, "w") as fh:
+        for kmer in sorted(per_kmer):
+            for prob, descaled, strand in sorted(per_kmer[kmer],
+                                                 reverse=True):
+                fh.write(f"{kmer}\t{strand}\t{descaled:f}\t{prob:f}\n")
+    return out_path

@@ -122,3 +122,37 @@ def call_methylation(aggregated: pd.DataFrame, canonical: str,
     out = aggregated.copy()
     out["call"] = np.where(out[modified] >= threshold, modified, canonical)
     return out
+
+
+def write_variant_data(df: pd.DataFrame, out_path: str) -> str:
+    """reference: AggregateOverReads.write_data (variantCaller.py:246-248)."""
+    df.to_csv(out_path, sep="\t", index=False)
+    return out_path
+
+
+def generate_labels(predicted: pd.DataFrame, positions: pd.DataFrame,
+                    variants: str = "ACGT") -> pd.DataFrame:
+    """One-hot truth labels per site from a positions table.
+
+    reference: AggregateOverReads.generate_labels + get_true_character
+    (variantCaller.py:250-269, 445-455): rows whose (contig, strand,
+    position) have no labelled truth are dropped; otherwise the 'change_to'
+    base gets label 1.
+    """
+    out = predicted.copy()
+    for ch in variants:
+        out[ch + "_label"] = 0
+    keep = []
+    for i, row in out.iterrows():
+        strand = "+" if row.get("forward_mapped", True) in (True, "forward") \
+            else "-"
+        hit = positions[(positions["contig"] == row["contig"])
+                        & (positions["strand"] == strand)
+                        & (positions["position"] == row["position"])]
+        if len(hit) == 0:
+            continue
+        true_char = str(hit.iloc[0]["change_to"])
+        if true_char in variants:
+            out.loc[i, true_char + "_label"] = 1
+            keep.append(i)
+    return out.loc[keep].reset_index(drop=True)

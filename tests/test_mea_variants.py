@@ -125,3 +125,31 @@ def test_validate_read_rna():
     for f in report["flagged"]:
         assert f["peak_distance"] > 10
         assert f["event_count"] == len(f["events"])
+
+
+def test_generate_labels():
+    import pandas as pd
+    from signalalign_tpu.pipeline.variant_caller import (generate_labels,
+                                                         write_variant_data)
+    pred = pd.DataFrame([
+        {"contig": "c1", "position": 10, "forward_mapped": True,
+         "A": 0.9, "C": 0.1, "G": 0.0, "T": 0.0},
+        {"contig": "c1", "position": 20, "forward_mapped": True,
+         "A": 0.1, "C": 0.9, "G": 0.0, "T": 0.0},
+        {"contig": "c1", "position": 99, "forward_mapped": True,
+         "A": 0.5, "C": 0.5, "G": 0.0, "T": 0.0},   # unlabelled -> dropped
+    ])
+    pos = pd.DataFrame([
+        {"contig": "c1", "position": 10, "strand": "+",
+         "change_from": "A", "change_to": "A"},
+        {"contig": "c1", "position": 20, "strand": "+",
+         "change_from": "C", "change_to": "C"},
+    ])
+    out = generate_labels(pred, pos)
+    assert len(out) == 2
+    assert out.loc[0, "A_label"] == 1 and out.loc[0, "C_label"] == 0
+    assert out.loc[1, "C_label"] == 1
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as d:
+        p = write_variant_data(out, os.path.join(d, "x.tsv"))
+        assert open(p).readline().startswith("contig")

@@ -111,3 +111,31 @@ def test_hdp_training_file(tmp_path):
     lines = open(path).read().strip().split("\n")
     assert len(lines) == 3
     assert lines[0].split("\t") == ["AAAAA", "t", "80.000000"]
+
+
+def test_build_alignment_from_tsvs(tmp_path):
+    """Top-N heap over SA full-output rows (build_alignments.py)."""
+    from signalalign_tpu.models.pore_model import PoreModel
+    from signalalign_tpu.pipeline.train import build_alignment_from_tsvs
+
+    golden = ("/root/reference/tests/test_alignments/"
+              "ecoli1D_test_alignments_sm3/"
+              "6deaf971-6506-4e37-b486-cdf5e9d416ac.sm.forward.tsv")
+    model = PoreModel.from_file(
+        "/root/reference/models/testModelR9p4_5mer_acegt_template.model")
+    out = build_alignment_from_tsvs(
+        [golden], model, str(tmp_path / "build.tsv"),
+        max_per_kmer=5, min_probability=0.9)
+    from collections import Counter
+    counts = Counter()
+    probs = {}
+    for line in open(out):
+        kmer, strand, descaled, prob = line.split("\t")
+        counts[kmer] += 1
+        probs.setdefault(kmer, []).append(float(prob))
+        assert strand == "t"
+        assert float(prob) >= 0.9
+    assert counts and max(counts.values()) <= 5
+    # per-kmer rows are prob-descending (heap nlargest order)
+    for k, ps in probs.items():
+        assert ps == sorted(ps, reverse=True)
