@@ -299,6 +299,7 @@ def run_signal_align(
     ambig_map=None,
     verbose: bool = True,
     embed: bool = False,
+    overwrite: bool = True,
 ) -> List[str]:
     """Full CLI-equivalent run: filter reads -> align -> write TSVs.
 
@@ -314,6 +315,16 @@ def run_signal_align(
                          quality_threshold=quality_threshold)
     if max_reads:
         pairs = pairs[:max_reads]
+    if not overwrite:
+        # rerun-resume: skip reads whose outputs already exist (the
+        # reference's check_for_temp_file_existance behavior,
+        # signalAlignment.py:250-260)
+        def _done(rec):
+            label = rec.qname.split("_")[0]
+            import glob as _g
+            return bool(_g.glob(os.path.join(output_dir,
+                                             f"{label}*.sm.*tsv")))
+        pairs = [(f5, rec) for f5, rec in pairs if not _done(rec)]
 
     rgs = []
     for f5, rec in pairs:
@@ -354,6 +365,11 @@ def run_signal_align(
     os.makedirs(output_dir, exist_ok=True)
     written = []
     for r in results:
+        if verbose:
+            # per-read summary (signalMachine.c:917-923 format)
+            print(f"[runner] {r.read_label} "
+                  f"{len(r.aligned_pairs)}({r.score:.6f})",
+                  file=sys.stderr)
         # file orientation label is the ORIGINAL mapping strand (upstream
         # names files from the guide strand before the RNA frame flip,
         # signalAlignment.py:330-346)
