@@ -59,9 +59,20 @@ class Fast5:
     def read_group(self) -> Optional[str]:
         try:
             reads = list(self.fh[RAW_READS])
+            if reads:
+                return f"{RAW_READS}/{reads[0]}"
         except KeyError:
-            return None
-        return f"{RAW_READS}/{reads[0]}" if reads else None
+            pass
+        # pre-Raw fast5s (R7.3 era) keep read metadata under the
+        # EventDetection analysis (nanoporeRead.py READS_KEY fallback)
+        if ANALYSES in self.fh:
+            for name in sorted(self.fh[ANALYSES]):
+                path = f"{ANALYSES}/{name}/Reads"
+                if name.startswith("EventDetection") and path in self.fh:
+                    reads = list(self.fh[path])
+                    if reads:
+                        return f"{path}/{reads[0]}"
+        return None
 
     @property
     def read_id(self) -> Optional[str]:

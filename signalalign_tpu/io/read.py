@@ -307,11 +307,14 @@ class NanoporeRead2DData:
                 fastq = _decode_bytes(fh[fastq_addr][()]) \
                     if fastq_addr in fh else None
                 strand_read = fastq.split("\n")[1] if fastq else None
+                pms = np.asarray(
+                    events["p_model_state"]
+                    if "p_model_state" in events.dtype.names
+                    else events["weights"], dtype=np.float64)
                 strand_map = None
                 if strand_read is not None:
                     strand_map = make_event_map(
-                        events["move"], events["p_model_state"],
-                        len(strand_read), k)
+                        events["move"], pms, len(strand_read), k)
                 start0 = float(events["start"][0])
                 ev = np.stack([
                     np.asarray(events["mean"], dtype=np.float64),
@@ -334,8 +337,7 @@ class NanoporeRead2DData:
                     events=ev,
                     event_map=use_map,
                     model_states=np.asarray(events["model_state"]),
-                    p_model_state=np.asarray(events["p_model_state"],
-                                             dtype=np.float64),
+                    p_model_state=pms,
                     kmer_length=k,
                     params=params,
                     fastq=fastq,

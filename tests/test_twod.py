@@ -84,3 +84,44 @@ def test_matches_golden_both_strands(aligned):
         assert (m.evmean_m - m.evmean_g).abs().max() < 1e-4
         assert (m.descaled_m - m.descaled_g).abs().max() < 1e-4
         assert (m.p_m - m.p_g).abs().median() < p_tol
+
+
+def test_zymo_r73_2d_vs_golden():
+    """R7.3-era 2D fast5 (1.15 layout: events under Basecall_2D_000, read id
+    under EventDetection Reads, 'weights' instead of p_model_state) against
+    the shipped zymo golden."""
+    import glob
+
+    from signalalign_tpu.io.minialign import generate_guide_alignment
+
+    ref = ProcessedReference(
+        "/root/reference/tests/test_sequences/zymo_sequence.fasta")
+    tm = PoreModel.from_file(
+        "/root/reference/models/testModelR73_acegt_template.model")
+    cm = PoreModel.from_file(
+        "/root/reference/models/testModelR73_acegt_complement.model")
+    path = [p for p in glob.glob(
+        "/root/reference/tests/minion_test_reads/C/*.fast5")
+        if "ch173" in p][0]
+    read = NanoporeRead2DData.from_fast5(path)
+    assert read.read_label == "21d8690f-d748-43c8-b459-e2c9f3f26908"
+    assert read.kmer_length == 6
+    guide = generate_guide_alignment(read.twod_sequence, ref)
+    assert guide is not None and not guide.forward
+    t, c = sa.align_read_2d(read, guide, ref, tm, cm)
+    gold = pd.read_csv(glob.glob(
+        "/root/reference/tests/test_alignments/zymo_C_test_alignments_sm3/"
+        "tempFiles_alignment/21d8690f-*.tsv")[0], sep="\t", names=GOLD_COLS)
+    for strand, res, mdl, min_frac in (("t", t, tm, 0.85),
+                                       ("c", c, cm, 0.3)):
+        gs = gold[gold.strand == strand]
+        mine = pd.DataFrame(
+            [(r.reference_index, r.event_index, r.reference_kmer,
+              r.posterior_probability, r.event_mean)
+             for r in res.full_rows(mdl)],
+            columns=["ref", "ev", "kmer", "p", "evmean"])
+        m = mine.merge(gs, on=["ref", "ev"], suffixes=("_m", "_g"))
+        assert len(m) > min_frac * len(gs)
+        assert (m.kmer_m == m.kmer_g).all()
+        assert (m.evmean_m - m.evmean_g).abs().max() < 1e-4
+        assert (m.p_m - m.p_g).abs().median() < 0.02
