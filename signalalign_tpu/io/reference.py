@@ -65,7 +65,15 @@ class AmbiguityPositions:
                     rows.append((parts[0], int(parts[1]), parts[2], parts[3], parts[4]))
         return cls(rows)
 
-    def edit(self, contig: str, seq: str, strand: str) -> str:
+    def edit(self, contig: str, seq: str, strand: str,
+             strict: bool = True) -> str:
+        """``strict=False`` skips rows whose change_from does not match the
+        sequence (useful on partial/reconstructed references); the reference
+        raises (sequenceTools.py:629-632). Multi-character change_to values
+        collapse to their ambiguity code (AMBIG_BASES inverse)."""
+        from signalalign_tpu.utils.alphabet import DEFAULT_AMBIG_BASES
+        code_for_set = {"".join(sorted(v)): k
+                        for k, v in DEFAULT_AMBIG_BASES.items()}
         s = list(seq)
         for c, pos, st, frm, to in self.data:
             if c != contig or st != strand:
@@ -73,8 +81,12 @@ class AmbiguityPositions:
             if pos >= len(s):
                 raise ValueError(f"position {pos} beyond contig {contig}")
             if s[pos].upper() != frm.upper() and s[pos].upper() not in to.upper():
+                if not strict:
+                    continue
                 raise ValueError(
                     f"contig {contig} pos {pos}: expected {frm}, found {s[pos]}")
+            if len(to) > 1:
+                to = code_for_set.get("".join(sorted(to)), to[0])
             s[pos] = to
         return "".join(s)
 
@@ -107,7 +119,8 @@ class ProcessedReference:
 
     def __init__(self, fasta_path: str,
                  positions: Optional[AmbiguityPositions] = None,
-                 motifs: Optional[List[Tuple[str, str]]] = None):
+                 motifs: Optional[List[Tuple[str, str]]] = None,
+                 strict_positions: bool = True):
         self.forward: Dict[str, str] = {}
         self.backward: Dict[str, str] = {}  # complement strand, forward coords
         for name, seq in iter_fasta(fasta_path):
@@ -119,8 +132,8 @@ class ProcessedReference:
                 bwd_rc = replace_motifs(reverse_complement(seq), motifs)
                 bwd = bwd_rc[::-1]
             if positions:
-                fwd = positions.edit(name, fwd, "+")
-                bwd = positions.edit(name, bwd, "-")
+                fwd = positions.edit(name, fwd, "+", strict=strict_positions)
+                bwd = positions.edit(name, bwd, "-", strict=strict_positions)
             self.forward[name] = fwd
             self.backward[name] = bwd
 

@@ -24,9 +24,10 @@ def marginalize_full_variants(rows: Sequence[FullRow], variants: str,
     """Per-position normalized variant probabilities for one read.
 
     reference: MarginalizeFullVariants.get_data (variantCaller.py:123-187):
-    only rows whose reference k-mer carries the ambiguity code (or 'X') at
-    its LAST position report; per position the posterior mass of path
-    k-mers calling each candidate base at that slot is normalized.
+    only rows whose ALIGNED k-mer (target orientation) carries the
+    ambiguity code (or 'X') at its last position report; per position the
+    posterior mass of path k-mers calling each candidate base at that slot
+    is normalized.
     """
     variants = sorted(variants)
     ambig = ambig_char or AMBIG_FROM_VARIANTS.get("".join(variants), "X")
@@ -39,7 +40,7 @@ def marginalize_full_variants(rows: Sequence[FullRow], variants: str,
     for r in rows:
         if k1 is None:
             k1 = len(r.reference_kmer) - 1
-        base = r.reference_kmer[k1]
+        base = r.aligned_kmer[k1]
         if base != ambig and base != "X":
             continue
         called = r.path_kmer[k1]
