@@ -111,3 +111,39 @@ def em_train_step(mesh: Mesh, stacked_args, W: int, P: int, mode: int):
     texp, lik, totals = em_expectation_step(mesh, stacked_args, W, P, mode)
     new_trans = normalize_transitions(texp)
     return new_trans, lik, totals
+
+
+def _infer_shard_fn(args, W: int, P: int, mode: int):
+    """Per-shard posterior inference: forward/backward totals + per-read
+    diagonal normalization vector (compact posterior summary)."""
+    (x0, width, ref_params, legal, ev_params, log_trans, start_logs,
+     end_logs, var, lX, lY, n_diag, ev_front_pad) = args
+    sweep = jax.vmap(partial(bfb._banded_sweeps_core, W=W, P=P, mode=mode))
+    fstack, f_incr, lse_f, bstack, b_incr, lse_b = sweep(
+        x0, width, ref_params, legal, ev_params, log_trans, start_logs,
+        end_logs, var, lX, lY, n_diag, ev_front_pad)
+    fo = _device_offsets(f_incr, reverse=False)
+    bo = _device_offsets(b_incr, reverse=True)
+    idx = n_diag[:, None]
+    total_f = jnp.take_along_axis(lse_f + fo, idx, axis=1)[:, 0]
+    total_b = (lse_b + bo)[:, 0]
+    cvec = fo + bo - total_f[:, None]
+    post = jax.vmap(partial(bfb._posterior_core, W=W, P=P))(
+        fstack, bstack, cvec, x0, width, n_diag)
+    return total_f, total_b, post
+
+
+def infer_step(mesh: Mesh, stacked_args, W: int, P: int, mode: int):
+    """Data-parallel posterior decoding over the mesh: each device aligns
+    its shard of reads with identical replicated model tables; outputs stay
+    sharded along ``reads`` (fetch per-shard or feed downstream sharded
+    ops). This is the multi-chip analogue of the reference's process pool
+    (utils/multithread.py) for inference."""
+    specs_in = tuple(PS(READS_AXIS) for _ in stacked_args)
+    fn = shard_map(
+        partial(_infer_shard_fn, W=W, P=P, mode=mode),
+        mesh=mesh,
+        in_specs=(specs_in,),
+        out_specs=(PS(READS_AXIS), PS(READS_AXIS), PS(READS_AXIS)),
+    )
+    return jax.jit(fn)(tuple(stacked_args))

@@ -50,3 +50,18 @@ def test_em_step_sharded_matches_unsharded(problems):
     np.testing.assert_allclose(new_trans, expect, rtol=1e-3, atol=1e-4)
     totals_ref = np.array([r["total_f"] for r in res])
     np.testing.assert_allclose(np.asarray(totals), totals_ref, rtol=1e-4)
+
+
+def test_infer_step_sharded_matches_unsharded(problems):
+    """Data-parallel posterior inference over the mesh equals the
+    single-device batched path."""
+    args = stack_problems(problems)
+    mesh = dist.make_mesh(8)
+    total_f, total_b, post = dist.infer_step(
+        mesh, args, W=64, P=1, mode=bfb.MODE_MEAN_ONLY)
+    res = run_banded_fb_batch(problems, W=64, P=1)
+    for i, r in enumerate(res):
+        np.testing.assert_allclose(float(total_f[i]), r["total_f"],
+                                   rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(post[i]), np.asarray(r["post"]),
+                                   rtol=1e-3, atol=1e-4)
