@@ -547,13 +547,19 @@ def _compact_chunked(postlog, cvec, xoffs, widths, n_diag, *, K: int,
     d2 = i2 // K_LANE
     wb2 = jnp.take_along_axis(i1, i2, axis=2)
     # pack for the host fetch: posterior as u16 (resolution 1.5e-5, far
-    # under output tolerance) + (d, wb) fused into one u32. Halves the
-    # device->host bytes of the dominant transfer.
+    # under output tolerance) + the (d, wb) cell id split into u16 low +
+    # u8 high bytes when it fits 24 bits (5 bytes/pair total; u32 cell
+    # fallback otherwise). The result fetch dominates wall time on slow
+    # device links, so every byte counts.
     p16 = jnp.round(jnp.exp(jnp.minimum(v2, 0.0)) * 65535.0)
     p16 = jnp.where(v2 <= NEG / 2, 0.0, p16).astype(jnp.uint16)
     cell = (d2.astype(jnp.uint32) * jnp.uint32(WB)
             + wb2.astype(jnp.uint32))
-    return p16, cell
+    if Dp1p * WB <= (1 << 24):
+        cell_lo = (cell & jnp.uint32(0xFFFF)).astype(jnp.uint16)
+        cell_hi = (cell >> jnp.uint32(16)).astype(jnp.uint8)
+        return p16, cell_lo, cell_hi
+    return p16, cell, None
 
 
 @functools.partial(jax.jit, static_argnames=("T",))
@@ -734,16 +740,19 @@ class PallasBatchAligner:
             f_incr, b_incr, f_lse, b_lse, self.n_diag, T=T)
         del fstack  # free the forward stack before compaction peaks
         C = max(T, 1)
-        p16, cell = _compact_chunked(postlog, cvec, self.xoffs,
-                                     self.widths, self.n_diag,
-                                     K=compact_k, C=C)
+        p16, cell, hi = _compact_chunked(postlog, cvec, self.xoffs,
+                                         self.widths, self.n_diag,
+                                         K=compact_k, C=C)
 
         def finish():
             total_f = (np.asarray(tf_hi, dtype=np.float64)
                        + np.asarray(tf_lo, dtype=np.float64))
             total_b = (np.asarray(tb_hi, dtype=np.float64)
                        + np.asarray(tb_lo, dtype=np.float64))
-            return self._decode_packed(np.asarray(p16), np.asarray(cell),
+            cell_h = np.asarray(cell, dtype=np.uint32)
+            if hi is not None:
+                cell_h = cell_h | (np.asarray(hi, dtype=np.uint32) << 16)
+            return self._decode_packed(np.asarray(p16), cell_h,
                                        total_f, total_b, threshold,
                                        as_arrays)
         return finish
