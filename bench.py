@@ -83,7 +83,7 @@ def main():
     from signalalign_tpu.ops.banded_fb_pallas_batch import PallasBatchAligner
 
     batch = int(os.environ.get("BENCH_BATCH", "128"))
-    reps = int(os.environ.get("BENCH_REPS", "4"))
+    reps = int(os.environ.get("BENCH_REPS", "8"))
     problems, W, lY = build_problems(batch)
     dev = jax.devices()[0]
     print(f"# device: {dev}, batch={batch}, W={W}, events/read={lY}",

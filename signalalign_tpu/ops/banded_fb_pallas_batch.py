@@ -558,8 +558,17 @@ def _compact_chunked(postlog, cvec, xoffs, widths, n_diag, *, K: int,
     if Dp1p * WB <= (1 << 24):
         cell_lo = (cell & jnp.uint32(0xFFFF)).astype(jnp.uint16)
         cell_hi = (cell >> jnp.uint32(16)).astype(jnp.uint8)
-        return p16, cell_lo, cell_hi
-    return p16, cell, None
+        # one contiguous byte buffer -> a single host fetch (per-transfer
+        # latency on remote links is significant)
+        buf = jnp.concatenate([
+            jax.lax.bitcast_convert_type(p16, jnp.uint8),
+            jax.lax.bitcast_convert_type(cell_lo, jnp.uint8),
+            cell_hi[..., None]], axis=-1)
+        return buf
+    buf = jnp.concatenate([
+        jax.lax.bitcast_convert_type(p16, jnp.uint8),
+        jax.lax.bitcast_convert_type(cell, jnp.uint8)], axis=-1)
+    return buf
 
 
 @functools.partial(jax.jit, static_argnames=("T",))
@@ -740,19 +749,24 @@ class PallasBatchAligner:
             f_incr, b_incr, f_lse, b_lse, self.n_diag, T=T)
         del fstack  # free the forward stack before compaction peaks
         C = max(T, 1)
-        p16, cell, hi = _compact_chunked(postlog, cvec, self.xoffs,
-                                         self.widths, self.n_diag,
-                                         K=compact_k, C=C)
+        buf = _compact_chunked(postlog, cvec, self.xoffs,
+                               self.widths, self.n_diag,
+                               K=compact_k, C=C)
+        totals = jnp.stack([tf_hi, tf_lo, tb_hi, tb_lo])
 
         def finish():
-            total_f = (np.asarray(tf_hi, dtype=np.float64)
-                       + np.asarray(tf_lo, dtype=np.float64))
-            total_b = (np.asarray(tb_hi, dtype=np.float64)
-                       + np.asarray(tb_lo, dtype=np.float64))
-            cell_h = np.asarray(cell, dtype=np.uint32)
-            if hi is not None:
-                cell_h = cell_h | (np.asarray(hi, dtype=np.uint32) << 16)
-            return self._decode_packed(np.asarray(p16), cell_h,
+            th = np.asarray(totals, dtype=np.float64)
+            total_f = th[0] + th[1]
+            total_b = th[2] + th[3]
+            bh = np.asarray(buf)
+            p16 = bh[..., 0:2].copy().view(np.uint16)[..., 0]
+            if bh.shape[-1] == 5:
+                cell_h = (bh[..., 2:4].copy().view(np.uint16)[..., 0]
+                          .astype(np.uint32)
+                          | (bh[..., 4].astype(np.uint32) << 16))
+            else:
+                cell_h = bh[..., 2:6].copy().view(np.uint32)[..., 0]
+            return self._decode_packed(p16, cell_h,
                                        total_f, total_b, threshold,
                                        as_arrays)
         return finish
