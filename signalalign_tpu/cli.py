@@ -97,11 +97,17 @@ def cmd_run(args) -> int:
         positions = AmbiguityPositions.from_file(pf)
     motifs = sample.get("motifs")
 
+    ambig_map = None
+    am = args.ambig_model or sample.get("ambig_model")
+    if am:
+        from signalalign_tpu.utils.alphabet import load_ambig_model
+        ambig_map = load_ambig_model(am)
     config = AlignmentConfig(
         threshold=float(args.threshold),
         diagonal_expansion=int(args.diagonal_expansion),
         constraint_trim=int(args.constraint_trim),
         emission_mode=bfb.MODE_HDP if hdp else bfb.MODE_MEAN_ONLY,
+        **({"ambig_map": ambig_map} if ambig_map else {}),
     )
     written = run_signal_align(
         alignment_file=alignment_file, readdb=readdb, fast5_dirs=fast5_dirs,
@@ -254,6 +260,8 @@ def main(argv=None) -> int:
     runp.add_argument("--model")
     runp.add_argument("--hdp")
     runp.add_argument("--positions_file")
+    runp.add_argument("--ambig_model",
+                      help="custom ambiguity-expansion table (tsv)")
     runp.add_argument("--output_dir")
     runp.add_argument("--output_format", default="full",
                       choices=["full", "variantCaller", "both"])

@@ -194,3 +194,53 @@ def read_mea_labels(fast5_path: str, complement: bool = False,
         return np.asarray(
             f5.fh[f"Analyses/SignalAlign_{n:03d}/MEA_alignment_labels"
                   f"{suffix}"][()])
+
+
+class CreateLabels:
+    """Signal-space label accessor over an embedded fast5.
+
+    reference: alignedsignal.CreateLabels (alignedsignal.py:159-343) — load
+    SignalAlign predictions / MEA labels / basecall-guide labels for one
+    read, keyed to raw-signal coordinates, for validation and plotting.
+    """
+
+    def __init__(self, fast5_path: str):
+        self.fast5_path = fast5_path
+        self.labels: dict = {}
+        with Fast5(fast5_path) as f5:
+            self.read_id = f5.read_id
+            try:
+                self.raw_signal = f5.raw_signal_pA()
+            except Exception:
+                self.raw_signal = None
+
+    def add_signal_align_predictions(self, number: Optional[int] = None
+                                     ) -> np.ndarray:
+        ev = read_signalalign_events(self.fast5_path, number=number)
+        self.labels["signalalign_full"] = ev
+        return ev
+
+    def add_mea_labels(self, number: Optional[int] = None,
+                       complement: bool = False) -> np.ndarray:
+        lab = read_mea_labels(self.fast5_path, complement=complement,
+                              number=number)
+        key = "mea_complement" if complement else "mea"
+        self.labels[key] = lab
+        return lab
+
+    def add_basecall_alignment_prediction(self, read, guide) -> np.ndarray:
+        """Per-event guide-alignment labels (raw_start, ref position) from
+        the basecall event map + guide CIGAR."""
+        from signalalign_tpu.pipeline.validate import guide_event_positions
+        gpos = guide_event_positions(read, guide)
+        with Fast5(self.fast5_path) as f5:
+            events = f5.template_events(read.analysis_path)
+        rs, rl = event_raw_coords(events)
+        out = np.zeros(len(gpos), dtype=[("raw_start", int),
+                                         ("raw_length", int),
+                                         ("event_index", int),
+                                         ("reference_index", int)])
+        for i, (ev, pos) in enumerate(sorted(gpos.items())):
+            out[i] = (rs[ev], rl[ev], ev, pos)
+        self.labels["basecall_guide"] = out
+        return out

@@ -205,3 +205,19 @@ def reverse_complement(seq: str) -> str:
 
 def complement(seq: str) -> str:
     return seq.translate(_IUPAC_COMPLEMENT)
+
+
+def load_ambig_model(path: str) -> dict:
+    """Custom ambiguity-expansion table from a 2-column tsv
+    (code \t expansion-bases), replacing the built-in table.
+
+    reference: create_ambig_bases2 (impl/pairwiseAligner.c:68-92) /
+    CustomAmbiguityPositions.parse_ambig_model (sequenceTools.py:563-584).
+    """
+    table = dict(DEFAULT_AMBIG_BASES)
+    with open(path) as fh:
+        for line in fh:
+            parts = line.split()
+            if len(parts) >= 2:
+                table[parts[0]] = parts[1]
+    return table

@@ -85,3 +85,15 @@ def test_second_embed_increments(embedded):
     assert path2 == "Analyses/SignalAlign_001"
     back = read_signalalign_events(f5)  # latest
     assert len(back) == len(rows)
+
+
+def test_create_labels_facade(embedded):
+    from signalalign_tpu.io.embed import CreateLabels
+    f5, rows, _, _ = embedded
+    cl = CreateLabels(f5)
+    assert cl.read_id.startswith("7d31de25")
+    ev = cl.add_signal_align_predictions()
+    assert len(ev) == len(rows)
+    mea = cl.add_mea_labels()
+    assert 0 < len(mea) <= len(rows)
+    assert set(cl.labels) == {"signalalign_full", "mea"}
