@@ -266,3 +266,32 @@ def _log_inv_gauss_pdf(x, mu, lam):
     """reference: emissions_signal_logInvGaussPdf (stateMachine.c:285)."""
     l_two_pi = 1.8378770664093453
     return (np.log(lam) - l_two_pi - 3.0 * np.log(x) - lam * ((x - mu) / mu) ** 2 / x) / 2.0
+
+
+def default_model_for_version(version: str, strand: str, model_dir: str,
+                              pop1_complement: bool = False) -> str:
+    """Default model filename for a basecaller version.
+
+    reference: defaultModelFromVersion (src/signalalign/__init__.py:98-135).
+    ``model_dir`` points at a signalAlign-style models directory.
+    """
+    import os
+
+    r73 = ("1.15.0", "1.19.0", "1.20.0")
+    if strand == "template":
+        if version in r73:
+            name = "testModelR73_acegot_template.model"
+        elif version == "1.23.0":
+            name = "testModelR9p4_acegt_template.model"
+        else:
+            name = "testModelR9_template.model"
+    else:
+        if version in r73:
+            name = ("testModelR9_complement_pop2.model" if pop1_complement
+                    else "testModelR73_acegot_complement.model")
+        else:
+            name = "testModelR9_complement.model"
+    path = os.path.join(model_dir, name)
+    if not os.path.exists(path):
+        raise FileNotFoundError(path)
+    return path

@@ -97,3 +97,15 @@ def test_create_labels_facade(embedded):
     mea = cl.add_mea_labels()
     assert 0 < len(mea) <= len(rows)
     assert set(cl.labels) == {"signalalign_full", "mea"}
+
+
+def test_plot_labelled_read(embedded, tmp_path):
+    from signalalign_tpu.io.embed import CreateLabels
+    from signalalign_tpu.visualization import plot_labelled_read
+    f5, _, _, _ = embedded
+    cl = CreateLabels(f5)
+    labels = cl.add_mea_labels()
+    out = plot_labelled_read(cl.raw_signal, labels,
+                             str(tmp_path / "read.png"))
+    import os
+    assert os.path.getsize(out) > 10000
