@@ -251,7 +251,8 @@ def main(argv=None) -> int:
     parser = argparse.ArgumentParser(prog="signalalign_tpu")
     sub = parser.add_subparsers(dest="command", required=True)
 
-    runp = sub.add_parser("run", help="align reads (runSignalAlign)")
+    runp = sub.add_parser("run", help="align reads (runSignalAlign)",
+                          aliases=["run2"])
     runp.add_argument("--config")
     runp.add_argument("--alignment_file")
     runp.add_argument("--readdb")

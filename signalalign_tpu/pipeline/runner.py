@@ -197,9 +197,10 @@ def run_alignment_batch(
         if pallas_ok:
             try:
                 lYmax = max(p.lY for p in probs)
-                # ~2x events bounds the >=1% posterior pairs per read with
-                # margin; rounded for shape reuse across similar buckets
-                K = max(((2 * lYmax + 127) // 128) * 128, 1024)
+                # ~3x events bounds the >=1% posterior pairs per read
+                # (upstream property: rows <= 3x events); rounded for shape
+                # reuse across similar buckets
+                K = max(((3 * lYmax + 127) // 128) * 128, 1024)
                 if pallas_interpret:
                     # per-read rows: far cheaper under the interpreter
                     from signalalign_tpu.ops.banded_fb_pallas import \
