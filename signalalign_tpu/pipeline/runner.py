@@ -201,12 +201,18 @@ def run_alignment_batch(
                 # (upstream property: rows <= 3x events); rounded for shape
                 # reuse across similar buckets
                 K = max(((3 * lYmax + 127) // 128) * 128, 1024)
-                if pallas_interpret:
-                    # per-read rows: far cheaper under the interpreter
+                if pallas_interpret or W > 768 or len(probs) < 32:
+                    # per-read-row kernel: far cheaper under the
+                    # interpreter; the only Pallas variant whose VMEM
+                    # footprint fits wide bands (the 128-lane kernel holds
+                    # ~9 (WB, 128) f32 ring rows in VMEM, exceeding the
+                    # 16MB scoped limit above W~768); and the right choice
+                    # for small buckets, where padding to full 128-lane
+                    # stripes would multiply host->device bytes
                     from signalalign_tpu.ops.banded_fb_pallas import \
                         PallasAligner
                     aligner = PallasAligner(probs, W=W, T=240,
-                                            interpret=True)
+                                            interpret=pallas_interpret)
                     res = aligner.execute(compact_k=K,
                                           threshold=config.threshold)
                     for i, r in zip(idxs, res[:len(probs)]):
@@ -231,7 +237,10 @@ def run_alignment_batch(
                     pending.append((idxs, len(probs), fin))
                     drain(1)
                 continue
-            except ValueError as exc:
+            except Exception as exc:
+                # geometry constraints raise ValueError; device compile
+                # limits (e.g. VMEM) surface as runtime errors -> fall back
+                # to the XLA kernels either way
                 if verbose:
                     print(f"[runner] pallas fallback ({exc})",
                           file=sys.stderr)
