@@ -77,14 +77,16 @@ class ReadAlignment:
 
 
 def _bucket_w(w: int) -> int:
-    for b in (16, 32, 48, 64, 96, 128, 192, 256, 384, 512, 768, 1024):
+    # coarse power-of-two-ish buckets: padded band compute is cheap, while
+    # every distinct (W, Dpad) shape costs a kernel compile
+    for b in (64, 128, 256, 512, 768, 1024):
         if w <= b:
             return b
     return ((w + 255) // 256) * 256
 
 
 def _bucket_d(d: int) -> int:
-    b = 256
+    b = 2048
     while b < d + 1:
         b *= 2
     return b
