@@ -125,3 +125,37 @@ def test_zymo_r73_2d_vs_golden():
         assert (m.kmer_m == m.kmer_g).all()
         assert (m.evmean_m - m.evmean_g).abs().max() < 1e-4
         assert (m.p_m - m.p_g).abs().median() < 0.02
+
+
+def test_puc_forward_read_vs_golden():
+    """Forward-mapped pUC 2D read (complement ref frame = revcomp window,
+    shift = window_end) against its golden."""
+    import glob
+
+    from signalalign_tpu.io.minialign import generate_guide_alignment
+
+    reference = ProcessedReference(PUC_REF)
+    tm = PoreModel.from_file(T_MODEL)
+    cm = PoreModel.from_file(C_MODEL)
+    path = [p for p in sorted(glob.glob(PUC_DIR + "/*.fast5"))
+            if "read176" in p][0]
+    read = NanoporeRead2DData.from_fast5(path)
+    assert read.read_label.startswith("03274a9a")
+    guide = generate_guide_alignment(read.twod_sequence, reference)
+    assert guide is not None and guide.forward
+    t, c = sa.align_read_2d(read, guide, reference, tm, cm)
+    gold = pd.read_csv(f"{GOLD_DIR}/03274a9a-0eab-422e-ace7-b35fd3a0f48c"
+                       ".sm.forward.tsv", sep="\t", names=GOLD_COLS)
+    for strand, res, mdl, min_frac, p_tol in (("t", t, tm, 0.85, 0.02),
+                                              ("c", c, cm, 0.6, 0.05)):
+        gs = gold[gold.strand == strand]
+        mine = pd.DataFrame(
+            [(r.reference_index, r.event_index, r.reference_kmer,
+              r.posterior_probability, r.event_mean)
+             for r in res.full_rows(mdl)],
+            columns=["ref", "ev", "kmer", "p", "evmean"])
+        m = mine.merge(gs, on=["ref", "ev"], suffixes=("_m", "_g"))
+        assert len(m) > min_frac * len(gs)
+        assert (m.kmer_m == m.kmer_g).all()
+        assert (m.evmean_m - m.evmean_g).abs().max() < 1e-4
+        assert (m.p_m - m.p_g).abs().median() < p_tol
