@@ -21,7 +21,6 @@ import os
 import sys
 from typing import Optional
 
-import numpy as np
 
 
 def _load_config(path: Optional[str]) -> dict:

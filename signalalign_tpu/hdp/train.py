@@ -13,12 +13,11 @@ from __future__ import annotations
 
 import ctypes
 import dataclasses
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, Tuple
 
 import numpy as np
 
 from signalalign_tpu.models.pore_model import PoreModel
-from signalalign_tpu.models.hdp_model import NanoporeHDP
 from signalalign_tpu.utils.alphabet import Alphabet
 from signalalign_tpu.utils import native
 

@@ -8,7 +8,7 @@ the guide SAM under /Analyses/SignalAlign_NNN; alignedsignal.CreateLabels
 
 from __future__ import annotations
 
-from typing import List, Optional, Sequence, Tuple
+from typing import Optional, Sequence, Tuple
 
 import numpy as np
 

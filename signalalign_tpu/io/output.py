@@ -7,7 +7,7 @@ writePosteriorProbsVC (161), writeAssignments (234).
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, Iterable, List, Optional, Sequence, Tuple
+from typing import Dict, Iterable, List, Sequence, Tuple
 
 import numpy as np
 

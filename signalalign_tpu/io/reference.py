@@ -8,7 +8,6 @@ CustomAmbiguityPositions, motif replacement) and impl/fasta_handler.c
 from __future__ import annotations
 
 import dataclasses
-import os
 from typing import Dict, Iterator, List, Optional, Tuple
 
 import numpy as np

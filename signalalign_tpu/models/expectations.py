@@ -19,7 +19,7 @@ Format (5 lines):
 from __future__ import annotations
 
 import os
-from typing import List, Optional, Sequence
+from typing import Optional
 
 import numpy as np
 

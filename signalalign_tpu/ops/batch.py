@@ -11,7 +11,6 @@ This replaces the reference's process pool over reads
 
 from __future__ import annotations
 
-import dataclasses
 from collections import defaultdict
 from typing import Dict, List, Sequence, Tuple
 

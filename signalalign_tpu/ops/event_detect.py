@@ -12,8 +12,7 @@ to pure Python automatically.)
 
 from __future__ import annotations
 
-import dataclasses
-from typing import Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 

@@ -16,13 +16,13 @@ hiddenMarkovModel.py:424-557). The TPU-native design:
 from __future__ import annotations
 
 from functools import partial
-from typing import Optional, Sequence, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.experimental.shard_map import shard_map
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as PS
+from jax.sharding import Mesh, PartitionSpec as PS
 
 from signalalign_tpu.ops import banded_fb as bfb
 

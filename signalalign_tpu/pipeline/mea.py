@@ -18,7 +18,6 @@ import bisect
 import dataclasses
 from typing import List, Optional, Sequence, Tuple
 
-import numpy as np
 
 
 @dataclasses.dataclass

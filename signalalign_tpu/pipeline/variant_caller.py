@@ -7,9 +7,8 @@ MarginalizeVariants (18), AggregateOverReads(Full) (190/282).
 
 from __future__ import annotations
 
-import dataclasses
 from collections import defaultdict
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, Optional, Sequence, Tuple
 
 import numpy as np
 import pandas as pd

@@ -16,8 +16,7 @@ Parity notes (cited against the reference implementation):
 from __future__ import annotations
 
 import itertools
-from functools import lru_cache
-from typing import Dict, List, Sequence, Tuple
+from typing import Dict, List
 
 import numpy as np
 
