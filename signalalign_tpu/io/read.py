@@ -15,7 +15,8 @@ from signalalign_tpu.models.pore_model import ScalingParams
 
 
 def make_event_map(moves: np.ndarray, p_model_state: np.ndarray,
-                   n_bases: int, kmer_length: int) -> np.ndarray:
+                   n_bases: int, kmer_length: int,
+                   strict: bool = True) -> np.ndarray:
     """Per-base index of the event whose model_state covers that base.
 
     reference: NanoporeRead.make_event_map (nanoporeRead.py:314-333): walk
@@ -42,8 +43,16 @@ def make_event_map(moves: np.ndarray, p_model_state: np.ndarray,
     event_map.extend([event_map[-1]] * (kmer_length - 1))
     out = np.asarray(event_map, dtype=np.int64)
     if len(out) != n_bases:
-        raise ValueError(
-            f"event map length {len(out)} != read length {n_bases}")
+        if not strict and len(out) < n_bases:
+            # generated (kmer-event-aligned) tables may leave the trailing
+            # bases unaligned after band trimming; repeat the final event
+            out = np.concatenate([out, np.full(n_bases - len(out),
+                                               out[-1], dtype=np.int64)])
+        elif not strict:
+            out = out[:n_bases]
+        else:
+            raise ValueError(
+                f"event map length {len(out)} != read length {n_bases}")
     return out
 
 

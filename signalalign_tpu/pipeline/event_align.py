@@ -343,7 +343,8 @@ def nanopore_read_from_raw(fast5_path: str, model: PoreModel, sam_record,
             analysis = None  # read-only fast5: keep the in-memory table
     stored_read = seq.replace("U", "T")[::-1] if rna else seq
     event_map = make_event_map(result.moves, result.p_model_state,
-                               len(stored_read), model.kmer_length)
+                               len(stored_read), model.kmer_length,
+                               strict=False)
     return NanoporeReadData(
         read_label=read_id or fast5_path,
         template_read=stored_read,
