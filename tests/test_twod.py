@@ -159,3 +159,35 @@ def test_puc_forward_read_vs_golden():
         assert (m.kmer_m == m.kmer_g).all()
         assert (m.evmean_m - m.evmean_g).abs().max() < 1e-4
         assert (m.p_m - m.p_g).abs().median() < p_tol
+
+
+def test_hdp_mode_e2e_zymo():
+    """threeStateHdp inference on a real read with the shipped .nhdp
+    (a sparse test HDP: 351 observed kmers; unobserved fall back to the
+    base distribution, so posteriors are diffuse but valid)."""
+    import glob
+
+    from signalalign_tpu.io.minialign import generate_guide_alignment
+    from signalalign_tpu.models.hdp_model import load_nhdp
+    from signalalign_tpu.ops import banded_fb as bfb
+
+    ref = ProcessedReference(
+        "/root/reference/tests/test_sequences/zymo_sequence.fasta")
+    tm = PoreModel.from_file(
+        "/root/reference/models/testModelR73_acegot_template.model")
+    hdp = load_nhdp(
+        "/root/reference/models/templateSingleLevelFixed.nhdp")
+    path = [p for p in glob.glob(
+        "/root/reference/tests/minion_test_reads/C/*.fast5")
+        if "ch173" in p][0]
+    read = NanoporeRead2DData.from_fast5(path)
+    guide = generate_guide_alignment(read.twod_sequence, ref)
+    cfg = sa.AlignmentConfig(emission_mode=bfb.MODE_HDP)
+    res = sa.align_read(read.template, guide, ref, tm, cfg, hdp=hdp)
+    rows = res.full_rows(tm)
+    assert len(rows) > 500
+    assert res.score > 0
+    fwd = ref.forward["ZYMO"]
+    for r in rows:
+        assert fwd[r.reference_index:r.reference_index + 6] \
+            == r.reference_kmer
