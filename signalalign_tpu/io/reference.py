@@ -158,3 +158,26 @@ class ProcessedReference:
         if forward_mapped:
             return self.backward[name][start:end][::-1]
         return self.forward[name][start:end]
+
+
+def find_substring_indices(sequence: str, substring: str,
+                           offset: int = 0, overlap: bool = True):
+    """Yield indices (plus offset) of every occurrence of ``substring``.
+
+    reference: find_substring_indices (sequenceTools.py:64-88).
+    """
+    start = 0
+    step = 1 if overlap else max(len(substring), 1)
+    while True:
+        i = sequence.find(substring, start)
+        if i < 0:
+            return
+        yield i + offset
+        start = i + step
+
+
+def find_gatc_motifs(sequence: str):
+    """Indices of the A within GATC motifs (Dam 6mA sites).
+
+    reference: find_gatc_motifs (sequenceTools.py:90-96)."""
+    return find_substring_indices(sequence.upper(), "GATC", offset=1)

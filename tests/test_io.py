@@ -117,3 +117,16 @@ def test_processed_reference_targets(ecoli_fasta):
     assert fwd == pr.forward[name][100:160]
     rev = pr.template_target(name, 100, 160, False)
     assert rev == reverse_complement(pr.forward[name][100:160])
+
+
+def test_motif_and_substring_utils():
+    from signalalign_tpu.io.reference import (find_gatc_motifs,
+                                              find_substring_indices,
+                                              replace_motifs)
+    assert replace_motifs("ACCAGGT", [("CCAGG", "CEAGG")]) == "ACEAGGT"
+    assert replace_motifs("CCAGGCCTGG",
+                          [("CCAGG", "CEAGG"), ("CCTGG", "CETGG")]) \
+        == "CEAGGCETGG"
+    assert list(find_gatc_motifs("AGATCAGATC")) == [2, 7]
+    assert list(find_substring_indices("GGG", "GG")) == [0, 1]
+    assert list(find_substring_indices("GGG", "GG", overlap=False)) == [0]
