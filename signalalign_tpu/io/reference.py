@@ -181,3 +181,42 @@ def find_gatc_motifs(sequence: str):
 
     reference: find_gatc_motifs (sequenceTools.py:90-96)."""
     return find_substring_indices(sequence.upper(), "GATC", offset=1)
+
+
+def find_motifs_sequence_positions(sequence: str, motifs, overlap=False):
+    """(index, old_char, new_char) for each single-character motif edit.
+
+    reference: find_motifs_sequence_positions (sequenceTools.py:182-204)."""
+    seen = set()
+    for find, repl in motifs:
+        diffs = [i for i in range(len(find)) if find[i] != repl[i]]
+        if len(diffs) != 1:
+            raise ValueError(f"motif {find}->{repl} must differ in exactly "
+                             "one character")
+        off = diffs[0]
+        for idx in find_substring_indices(sequence.upper(), find.upper(),
+                                          offset=off, overlap=overlap):
+            if idx in seen:
+                raise ValueError("two motif edits hit one position")
+            seen.add(idx)
+            yield idx, find[off], repl[off]
+
+
+def make_positions_file(reference_fasta: str, output_path: str, motifs,
+                        overlap: bool = False) -> str:
+    """Positions tsv (contig position strand change_from change_to) from
+    find/replace motifs on both strands.
+
+    reference: make_positions_file (sequenceTools.py:136-161)."""
+    rev_motifs = [(f[::-1], r[::-1]) for f, r in motifs]
+    with open(output_path, "w") as out:
+        for name, seq in iter_fasta(reference_fasta):
+            fwd = seq.upper()
+            bwd = reverse_complement(fwd)[::-1]  # complement, fwd coords
+            for idx, old, new in find_motifs_sequence_positions(
+                    fwd, motifs, overlap):
+                out.write(f"{name}\t{idx}\t+\t{old}\t{new}\n")
+            for idx, old, new in find_motifs_sequence_positions(
+                    bwd, rev_motifs, overlap):
+                out.write(f"{name}\t{idx}\t-\t{old}\t{new}\n")
+    return output_path

@@ -130,3 +130,26 @@ def test_motif_and_substring_utils():
     assert list(find_gatc_motifs("AGATCAGATC")) == [2, 7]
     assert list(find_substring_indices("GGG", "GG")) == [0, 1]
     assert list(find_substring_indices("GGG", "GG", overlap=False)) == [0]
+
+
+def test_make_positions_file(tmp_path):
+    from signalalign_tpu.io.reference import (AmbiguityPositions,
+                                              ProcessedReference,
+                                              make_positions_file)
+    fa = tmp_path / "r.fa"
+    fa.write_text(">c\nACCAGGTTCCTGGA\n")
+    out = make_positions_file(str(fa), str(tmp_path / "p.tsv"),
+                              [("CCAGG", "CEAGG"), ("CCTGG", "CETGG")])
+    lines = [l.split("\t") for l in open(out).read().strip().split("\n")]
+    plus = [l for l in lines if l[2] == "+"]
+    minus = [l for l in lines if l[2] == "-"]
+    assert [int(l[1]) for l in plus] == [2, 9]
+    assert all(l[3] == "C" and l[4] == "E" for l in plus)
+    # minus-strand edits: the complement sequence (forward coords) carries
+    # the reversed motifs; CCAGG@1 pairs with GGACC editing position 11,
+    # CCTGG@8 with GGTCC editing position 4 (emitted per motif)
+    assert sorted(int(l[1]) for l in minus) == [4, 11]
+    # the generated file round-trips through the positions editor
+    pos = AmbiguityPositions.from_file(out)
+    ref = ProcessedReference(str(fa), positions=pos)
+    assert ref.forward["c"][2] == "E" and ref.forward["c"][9] == "E"
