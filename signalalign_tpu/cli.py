@@ -82,7 +82,7 @@ def cmd_run(args) -> int:
         return 0
 
     missing = [n for n, v in [("alignment_file", alignment_file),
-                              ("readdb", readdb), ("fast5_dir", fast5_dirs),
+                              ("fast5_dir", fast5_dirs),
                               ("ref", ref), ("model", model_path)] if not v]
     if missing:
         print(f"missing required arguments: {missing}", file=sys.stderr)

@@ -267,14 +267,19 @@ def load_readdb(path: str, fast5_dirs: List[str]) -> Dict[str, str]:
     return out
 
 
-def filter_reads(alignment_file: str, readdb: str, fast5_dirs: List[str],
+def filter_reads(alignment_file: str, readdb: Optional[str],
+                 fast5_dirs: List[str],
                  quality_threshold: float = 7.0,
                  trim: Optional[int] = None) -> List[Tuple[str, SamRecord]]:
     """(fast5_path, record) for primary mapped reads above quality threshold.
 
-    reference: filter_reads (src/signalalign/filter_reads.py:144-198).
+    reference: filter_reads (src/signalalign/filter_reads.py:144-198);
+    with ``readdb=None`` the mapping is built by scanning the fast5s.
     """
-    id_to_f5 = load_readdb(readdb, fast5_dirs)
+    if readdb is None:
+        id_to_f5 = build_readdb(fast5_dirs)
+    else:
+        id_to_f5 = load_readdb(readdb, fast5_dirs)
     _, records = read_alignment_file(alignment_file)
     out = []
     for rec in records:
@@ -287,3 +292,36 @@ def filter_reads(alignment_file: str, readdb: str, fast5_dirs: List[str],
             continue
         out.append((f5, rec))
     return out
+
+
+def build_readdb(fast5_dirs: List[str], out_path: Optional[str] = None,
+                 suffixes: Tuple[str, ...] = (
+                     "", "_Basecall_1D_template",
+                     "_Basecall_2D_template",
+                     "_Basecall_Alignment_template:1D_000:template")
+                 ) -> Dict[str, str]:
+    """read_id -> fast5 path mapping built by opening the fast5s directly
+    (a nanopolish-index readdb stand-in; the reference requires the user to
+    run `nanopolish index`). Known qname suffixes are aliased so BAM query
+    names resolve without the exact readdb the BAM was indexed with."""
+    import glob as _glob
+
+    from signalalign_tpu.io.fast5 import Fast5
+
+    mapping: Dict[str, str] = {}
+    for d in fast5_dirs:
+        for p in sorted(_glob.glob(os.path.join(d, "*.fast5"))):
+            try:
+                with Fast5(p) as f5:
+                    rid = f5.read_id
+            except Exception:
+                continue
+            if not rid:
+                continue
+            for suf in suffixes:
+                mapping.setdefault(rid + suf, p)
+    if out_path:
+        with open(out_path, "w") as fh:
+            for rid, p in mapping.items():
+                fh.write(f"{rid}\t{os.path.basename(p)}\n")
+    return mapping

@@ -153,3 +153,12 @@ def test_make_positions_file(tmp_path):
     pos = AmbiguityPositions.from_file(out)
     ref = ProcessedReference(str(fa), positions=pos)
     assert ref.forward["c"][2] == "E" and ref.forward["c"][9] == "E"
+
+
+def test_filter_reads_without_readdb():
+    from signalalign_tpu.io.sam import build_readdb, filter_reads
+    d = "/root/reference/tests/minion_test_reads/RNA_edge_cases"
+    mapping = build_readdb([d])
+    assert any(k.startswith("7d31de25") for k in mapping)
+    pairs = filter_reads(os.path.join(d, "rna_reads.bam"), None, [d])
+    assert any(rec.qname.startswith("7d31de25") for _, rec in pairs)
