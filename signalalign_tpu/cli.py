@@ -264,7 +264,8 @@ def main(argv=None) -> int:
                       help="custom ambiguity-expansion table (tsv)")
     runp.add_argument("--output_dir")
     runp.add_argument("--output_format", default="full",
-                      choices=["full", "variantCaller", "both"])
+                      choices=["full", "variantCaller", "both",
+                               "assignments"])
     runp.add_argument("--threshold", default=0.01)
     runp.add_argument("--diagonal_expansion", default=50)
     runp.add_argument("--constraint_trim", default=14)

@@ -21,9 +21,9 @@ from typing import Dict, List, Optional, Sequence, Tuple
 import numpy as np
 
 from signalalign_tpu.io.guide import GuideAlignment, guide_from_sam_record
-from signalalign_tpu.io.output import (build_full_rows, build_vc_rows,
-                                       posterior_score, write_full_tsv,
-                                       write_vc_tsv)
+from signalalign_tpu.io.output import (posterior_score,
+                                       write_assignments_tsv,
+                                       write_full_tsv, write_vc_tsv)
 from signalalign_tpu.io.read import NanoporeReadData
 from signalalign_tpu.io.reference import ProcessedReference
 from signalalign_tpu.io.sam import filter_reads
@@ -395,6 +395,13 @@ def run_signal_align(
         if output_format in ("variantCaller", "both"):
             write_vc_tsv(vcp, r.vc_rows(model), append=False)
             written.append(vcp)
+        if output_format == "assignments":
+            ap = os.path.join(output_dir,
+                              f"{r.read_label}.sm.assignments.tsv")
+            write_assignments_tsv(ap, r.aligned_pairs, r.events, model,
+                                  r.params, r.strand_template,
+                                  r.event_offset, append=False)
+            written.append(ap)
     if embed:
         from signalalign_tpu.io.embed import embed_alignment
         from signalalign_tpu.io.fast5 import Fast5

@@ -61,3 +61,21 @@ def test_runner_pallas_interpret_matches_xla(setup):
     assert len(shared) > 0.99 * max(len(xp), len(pp))
     diffs = [abs(xp[k] - pp[k]) for k in shared]
     assert np.median(diffs) < 2e-4 * 1e7
+
+
+def test_assignments_output_format(setup, tmp_path):
+    """writeAssignments format through the runner (kmer strand descaled p)."""
+    reference, model, read, guide = setup
+    from signalalign_tpu.pipeline.runner import run_alignment_batch
+    from signalalign_tpu.io.output import write_assignments_tsv
+    res = run_alignment_batch([(read, guide)], reference, model,
+                              AlignmentConfig(), use_pallas=False)[0]
+    out = tmp_path / "a.tsv"
+    write_assignments_tsv(str(out), res.aligned_pairs, res.events, model,
+                          res.params, res.strand_template, res.event_offset,
+                          append=False)
+    lines = open(out).read().strip().split("\n")
+    assert len(lines) == len(res.aligned_pairs)
+    k, s, d, p = lines[0].split("\t")
+    assert s == "t" and len(k) == model.kmer_length
+    assert 0.0 <= float(p) <= 1.0
