@@ -42,7 +42,7 @@ from signalalign_tpu.models.pore_model import (GAP_X, GAP_Y, LOG_ZERO, MATCH,
                                                PoreModel, ScalingParams,
                                                T_MM, T_MX, T_MY, T_XM, T_XX,
                                                T_YM, T_YY)
-from signalalign_tpu.ops.band_geometry import band_widths, build_band
+from signalalign_tpu.ops.band_geometry import build_band
 from signalalign_tpu.utils.alphabet import expand_kmer_paths
 
 LOG_GAPX_EMISSION = math.log(0.1)  # stateMachine3_construct (stateMachine.c:1586)
