@@ -114,6 +114,7 @@ def cmd_run(args) -> int:
         config=config, output_format=args.output_format,
         positions=positions, motifs=motifs, hdp=hdp,
         max_reads=args.max_reads, embed=args.embed,
+        force_kmer_event_alignment=args.force_kmer_event_alignment,
         quality_threshold=float(cfg.get("filter_reads", 7.0) or 7.0))
     print(f"[signalalign_tpu] wrote {len(written)} output files to "
           f"{output_dir}")
@@ -270,6 +271,9 @@ def main(argv=None) -> int:
     runp.add_argument("--diagonal_expansion", default=50)
     runp.add_argument("--constraint_trim", default=14)
     runp.add_argument("--max_reads", type=int)
+    runp.add_argument("--force_kmer_event_alignment", action="store_true",
+                      help="regenerate event tables from raw signal even "
+                           "when basecall events exist")
     runp.add_argument("--embed", action="store_true",
                       help="write alignment + MEA labels into the fast5s")
     runp.add_argument("--2d", dest="twod", action="store_true",

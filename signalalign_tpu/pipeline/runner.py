@@ -312,6 +312,7 @@ def run_signal_align(
     verbose: bool = True,
     embed: bool = False,
     overwrite: bool = True,
+    force_kmer_event_alignment: bool = False,
 ) -> List[str]:
     """Full CLI-equivalent run: filter reads -> align -> write TSVs.
 
@@ -342,6 +343,8 @@ def run_signal_align(
     for f5, rec in pairs:
         try:
             try:
+                if force_kmer_event_alignment:
+                    raise ValueError("no basecall events (forced)")
                 read = NanoporeReadData.from_fast5(
                     f5, quality_threshold=quality_threshold)
             except ValueError as exc:
