@@ -115,6 +115,10 @@ def cmd_run(args) -> int:
         positions=positions, motifs=motifs, hdp=hdp,
         max_reads=args.max_reads, embed=args.embed,
         force_kmer_event_alignment=args.force_kmer_event_alignment,
+        target_regions=(__import__("signalalign_tpu.io.guide",
+                                   fromlist=["TargetRegions"])
+                        .TargetRegions(args.target_regions)
+                        if args.target_regions else None),
         quality_threshold=float(cfg.get("filter_reads", 7.0) or 7.0))
     print(f"[signalalign_tpu] wrote {len(written)} output files to "
           f"{output_dir}")
@@ -261,6 +265,8 @@ def main(argv=None) -> int:
     runp.add_argument("--model")
     runp.add_argument("--hdp")
     runp.add_argument("--positions_file")
+    runp.add_argument("--target_regions",
+                      help="2-column tsv restricting alignments to regions")
     runp.add_argument("--ambig_model",
                       help="custom ambiguity-expansion table (tsv)")
     runp.add_argument("--output_dir")

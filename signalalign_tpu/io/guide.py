@@ -172,3 +172,32 @@ def adjust_reference_coordinate(x: int, ref_offset: int, target_len: int,
     if (strand_template and forward) or (not strand_template and not forward):
         return x + ref_offset
     return (target_len - kmer_length) - (x + (target_len - ref_offset))
+
+
+class TargetRegions:
+    """Restrict alignments to target regions (2-column tsv of start/end).
+
+    reference: TargetRegions (utils/bwaWrapper.py:34-56): a guide alignment
+    is kept only if some region lies fully inside its reference window.
+    """
+
+    def __init__(self, tsv: str):
+        regions = []
+        with open(tsv) as fh:
+            for line in fh:
+                parts = line.split()
+                if len(parts) >= 2:
+                    a, b = int(parts[0]), int(parts[1])
+                    regions.append((min(a, b), max(a, b)))
+        if not regions:
+            raise ValueError(f"empty regions file: {tsv}")
+        self.regions = regions
+
+    def check_aligned_region(self, left: int, right: int) -> bool:
+        if right < left:
+            left, right = right, left
+        return any(left <= a and b <= right for a, b in self.regions)
+
+    def accepts(self, guide: "GuideAlignment") -> bool:
+        return self.check_aligned_region(guide.window_start,
+                                         guide.window_end)

@@ -313,6 +313,7 @@ def run_signal_align(
     embed: bool = False,
     overwrite: bool = True,
     force_kmer_event_alignment: bool = False,
+    target_regions=None,
 ) -> List[str]:
     """Full CLI-equivalent run: filter reads -> align -> write TSVs.
 
@@ -363,6 +364,8 @@ def run_signal_align(
             guide = guide_from_sam_record(rec)
             if guide is None or not guide.validate(read.read_length):
                 raise ValueError("invalid guide alignment")
+            if target_regions is not None and not target_regions.accepts(guide):
+                raise ValueError("alignment outside target regions")
             rgs.append((read, guide))
         except Exception as exc:
             if verbose:

@@ -162,3 +162,14 @@ def test_filter_reads_without_readdb():
     assert any(k.startswith("7d31de25") for k in mapping)
     pairs = filter_reads(os.path.join(d, "rna_reads.bam"), None, [d])
     assert any(rec.qname.startswith("7d31de25") for _, rec in pairs)
+
+
+def test_target_regions(tmp_path):
+    from signalalign_tpu.io.guide import GuideAlignment, TargetRegions
+    f = tmp_path / "regions.tsv"
+    f.write_text("100\t200\n5000\t5100\n")
+    tr = TargetRegions(str(f))
+    g_in = GuideAlignment("c", True, 50, 300, 0, 250, [(250, "M")])
+    g_out = GuideAlignment("c", True, 300, 600, 0, 300, [(300, "M")])
+    assert tr.accepts(g_in)
+    assert not tr.accepts(g_out)
