@@ -21,6 +21,8 @@ import os
 import sys
 from typing import Optional
 
+import numpy as np
+
 
 
 def _load_config(path: Optional[str]) -> dict:
@@ -172,11 +174,17 @@ def cmd_train(args) -> int:
     if training.get("transitions", True):
         result = em_train_transitions(rgs, reference, model,
                                       iterations=iterations, verbose=True)
-        model = result.model
+        # per-iteration checkpoints: the base model with THAT iteration's
+        # transitions applied (reference copies the model each EM round,
+        # trainModels.py:938-949)
+        import copy as _copy
         for i, tr in enumerate(result.transitions_history):
             out = os.path.join(output_dir, f"template_trained_{i}.model")
-            model_i = model
+            model_i = _copy.deepcopy(model)
+            model_i.set_transitions(np.asarray(tr).reshape(-1))
+            model_i.likelihood = result.likelihoods[i]
             model_i.write(out)
+        model = result.model
     if training.get("normal_emissions", False):
         results = run_alignment_batch(rgs, reference, model,
                                       AlignmentConfig(), use_pallas=False)

@@ -152,6 +152,33 @@ def build_topology(alphabet: Alphabet, hdp_type: str,
                        num_leaves=K)
 
 
+def dp_depths(topo: HdpTopology) -> np.ndarray:
+    """Depth of each dp (base = 0) from the parent array."""
+    n = len(topo.parent)
+    depth = np.zeros(n, dtype=np.int64)
+    for i in range(n):
+        d, p = 0, int(topo.parent[i])
+        while p >= 0:
+            d += 1
+            p = int(topo.parent[p])
+        depth[i] = d
+    return depth
+
+
+def depth_gamma_vector(topo: HdpTopology) -> np.ndarray:
+    """Per-depth gamma vector in base-to-leaf order.
+
+    All dps at one depth share a gamma in every supported topology
+    (reference hdp.c stores gamma indexed by depth); pick the first dp at
+    each depth."""
+    depth = dp_depths(topo)
+    n_levels = int(depth.max()) + 1
+    out = np.zeros(n_levels)
+    for lvl in range(n_levels):
+        out[lvl] = topo.gamma[np.argmax(depth == lvl)]
+    return out
+
+
 def nig_params_from_data(data: np.ndarray) -> Tuple[float, float, float, float]:
     """Empirical normal-inverse-gamma base hyperparameters.
 
@@ -237,7 +264,10 @@ def write_nhdp(path: str, alphabet: Alphabet, grid: np.ndarray,
         fh.write(f"{nig[0]:.17g}\t{nig[1]:.17g}\t{nig[2]:.17g}\t"
                  f"{nig[3]:.17g}\n")
         fh.write(f"{grid[0]:.17g}\t{grid[-1]:.17g}\t{len(grid)}\n")
-        depth_gammas = sorted(set(topo.gamma.tolist()), reverse=True)
+        # one gamma per tree depth, base-to-leaf order (serialize_hdp writes
+        # the depth-indexed gamma array; reference deserialize_hdp expects
+        # exactly num_dir_levels values -- no dedup, no magnitude sorting)
+        depth_gammas = depth_gamma_vector(topo)
         fh.write("\t".join(f"{g:.17g}" for g in depth_gammas) + "\n")
         for i, p in enumerate(topo.parent):
             fh.write(("-" if p < 0 else str(int(p)))

@@ -332,13 +332,23 @@ def run_signal_align(
     if not overwrite:
         # rerun-resume: skip reads whose outputs already exist (the
         # reference's check_for_temp_file_existance behavior,
-        # signalAlignment.py:250-260)
-        def _done(rec):
-            label = rec.qname.split("_")[0]
-            import glob as _g
-            return bool(_g.glob(os.path.join(output_dir,
-                                             f"{label}*.sm.*tsv")))
-        pairs = [(f5, rec) for f5, rec in pairs if not _done(rec)]
+        # signalAlignment.py:250-260). The skip key must be the SAME
+        # read_label that names the outputs (the fast5 read id), matched
+        # against exact candidate filenames -- a prefix glob would
+        # false-positive on labels that prefix other labels.
+        from signalalign_tpu.io.fast5 import Fast5
+
+        def _done(f5_path, rec):
+            try:
+                with Fast5(f5_path) as f5:
+                    label = f5.read_id or f5_path
+            except Exception:
+                label = rec.qname
+            return any(os.path.exists(os.path.join(output_dir,
+                                                   f"{label}.sm.{sfx}.tsv"))
+                       for sfx in ("forward", "backward", "vc",
+                                   "assignments"))
+        pairs = [(f5, rec) for f5, rec in pairs if not _done(f5, rec)]
 
     rgs = []
     for f5, rec in pairs:
