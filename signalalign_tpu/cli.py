@@ -21,8 +21,6 @@ import os
 import sys
 from typing import Optional
 
-import numpy as np
-
 
 
 def _load_config(path: Optional[str]) -> dict:
@@ -136,7 +134,7 @@ def cmd_train(args) -> int:
     from signalalign_tpu.pipeline.runner import run_alignment_batch
     from signalalign_tpu.pipeline.signal_align import AlignmentConfig
     from signalalign_tpu.pipeline.train import (collect_kmer_observations,
-                                                em_train_transitions,
+                                                em_train,
                                                 train_gaussian_emissions,
                                                 write_hdp_training_file)
 
@@ -171,19 +169,21 @@ def cmd_train(args) -> int:
 
     os.makedirs(output_dir, exist_ok=True)
     result = None
+    trans_args = cfg.get("transitions_args", {})
     if training.get("transitions", True):
-        result = em_train_transitions(rgs, reference, model,
-                                      iterations=iterations, verbose=True)
-        # per-iteration checkpoints: the base model with THAT iteration's
-        # transitions applied (reference copies the model each EM round,
-        # trainModels.py:938-949)
-        import copy as _copy
-        for i, tr in enumerate(result.transitions_history):
-            out = os.path.join(output_dir, f"template_trained_{i}.model")
-            model_i = _copy.deepcopy(model)
-            model_i.set_transitions(np.asarray(tr).reshape(-1))
-            model_i.likelihood = result.likelihoods[i]
-            model_i.write(out)
+        # unified per-iteration EM: transition posteriors + per-kmer
+        # emission moments from one device expectation pass; per-iteration
+        # model checkpoints and reference-format expectations files
+        # (trainModels.py:922-985 + expectation_maximization_training)
+        result = em_train(
+            rgs, reference, model, iterations=iterations, verbose=True,
+            update_transitions=True,
+            update_emissions=bool(training.get("em_emissions", False)),
+            training_bases=(trans_args.get("training_bases")
+                            or training.get("training_bases")),
+            checkpoint_dir=output_dir,
+            write_expectations=True,
+            assert_monotonic=bool(trans_args.get("test", False)))
         model = result.model
     if training.get("normal_emissions", False):
         results = run_alignment_batch(rgs, reference, model,

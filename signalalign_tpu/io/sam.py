@@ -270,19 +270,31 @@ def load_readdb(path: str, fast5_dirs: List[str]) -> Dict[str, str]:
 def filter_reads(alignment_file: str, readdb: Optional[str],
                  fast5_dirs: List[str],
                  quality_threshold: float = 7.0,
-                 trim: Optional[int] = None) -> List[Tuple[str, SamRecord]]:
+                 trim: Optional[int] = None,
+                 randomize: bool = False,
+                 seed: Optional[int] = None) -> List[Tuple[str, SamRecord]]:
     """(fast5_path, record) for primary mapped reads above quality threshold.
 
     reference: filter_reads (src/signalalign/filter_reads.py:144-198);
     with ``readdb=None`` the mapping is built by scanning the fast5s.
+    ``trim`` caps the cumulative query bases yielded (the reference's
+    training_bases E-step budget), ``randomize`` shuffles read order first.
     """
+    import random as _random
+
     if readdb is None:
         id_to_f5 = build_readdb(fast5_dirs)
     else:
         id_to_f5 = load_readdb(readdb, fast5_dirs)
     _, records = read_alignment_file(alignment_file)
+    if randomize:
+        records = list(records)
+        _random.Random(seed).shuffle(records)
     out = []
+    n_bases = 0
     for rec in records:
+        if trim and n_bases > trim:
+            break
         if not rec.is_mapped or not rec.is_primary:
             continue
         if rec.qual is not None and rec.mean_quality < quality_threshold:
@@ -291,6 +303,7 @@ def filter_reads(alignment_file: str, readdb: Optional[str],
         if f5 is None:
             continue
         out.append((f5, rec))
+        n_bases += len(rec.seq) if rec.seq else 0
     return out
 
 

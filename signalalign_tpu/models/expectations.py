@@ -26,6 +26,32 @@ import numpy as np
 from signalalign_tpu.models.pore_model import PoreModel
 
 
+def emission_slots_from_kexp(kexp: np.ndarray, level_mean: np.ndarray):
+    """Convert the device kernel's centered per-kmer moments into the
+    reference expectations-file slots.
+
+    kexp rows (banded_fb._expectations_core): [Σp, Σp·dx, Σp·dx²] with
+    dx = descaled_mean − µ_model. Returns (mean_expectations = Σp·x,
+    sd_expectations = Σp·(x−µ̂)² with µ̂ the batch mean, posteriors = Σp,
+    observed). The reference accumulates sd around a RUNNING mean
+    (continuousHmm.c:159-168) which is order-dependent; the batch-centered
+    sum of squared deviations is its well-defined limit and what
+    HmmModel.normalize (hiddenMarkovModel.py:488-517) divides by Σp.
+    """
+    kexp = np.asarray(kexp, dtype=np.float64)
+    sp, sdx, sdx2 = kexp[0], kexp[1], kexp[2]
+    # threshold well above the expectations-file resolution (9 decimal
+    # places) so the in-memory M-step and a file round-trip agree exactly
+    observed = sp > 1e-6
+    sp = np.where(observed, sp, 0.0)
+    safe = np.maximum(sp, 1e-300)
+    mean_expectations = np.where(observed, sp * level_mean + sdx, 0.0)
+    sd_expectations = np.where(observed,
+                               np.maximum(sdx2 - sdx * sdx / safe, 0.0), 0.0)
+    sd_expectations = np.where(sd_expectations > 1e-8, sd_expectations, 0.0)
+    return mean_expectations, sd_expectations, sp, observed
+
+
 class ExpectationsAccumulator:
     """Sum expectations files and apply the M-step to a model."""
 
@@ -92,7 +118,9 @@ class ExpectationsAccumulator:
                                  / np.maximum(self.posteriors, 1e-300), 0.0))
             upd = ok & (u > 0)
             model.level_mean = np.where(upd, u, model.level_mean)
-            model.level_sd = np.where(upd, o, model.level_sd)
+            # keep the old sd for degenerate (single-event) kmers rather
+            # than collapsing the pdf (reference normalize would write 0)
+            model.level_sd = np.where(upd & (o > 0), o, model.level_sd)
         model.likelihood = self.likelihood
         return model
 

@@ -106,6 +106,7 @@ class BandedProblem:
     hdp_slopes: Optional[np.ndarray] = None
     hdp_grid: Optional[np.ndarray] = None
     # bookkeeping for output decoding
+    num_kmers: int = 0             # model alphabet size**k (emission EM)
     seq: str = ""                  # segment nucleotide sequence
     kmer_len: int = 0
     path_kmers: Optional[List[List[str]]] = None  # per position path kmers
@@ -279,6 +280,7 @@ def prepare_problem(
         kmer_ids=kmer_ids, path_valid=path_valid, legal=legal, n_paths=n_paths,
         ev_params=ev_params.astype(DTYPE), ev_front_pad=ev_front_pad,
         hdp_dens=hdp_dens, hdp_slopes=hdp_slopes, hdp_grid=hdp_grid,
+        num_kmers=model.alphabet.num_kmers,
         seq=seq, kmer_len=k, path_kmers=path_kmers,
     )
 
@@ -595,18 +597,30 @@ def _expectations_core(
     fstack, bstack, cvec_d1, cvec_d2,
     x0, width, ref_params, legal, ev_params,
     log_trans, var, lY, n_diag, ev_front_pad,
-    hdp_dens=None, hdp_slopes=None, hdp_grid=None, kmer_ids=None,
-    *, W: int, P: int, mode: int,
+    kmer_ids=None, hdp_dens=None, hdp_slopes=None, hdp_grid=None,
+    *, W: int, P: int, mode: int, num_kmers: int = 0,
 ):
-    """Transition-expectation accumulation over the band.
+    """Transition + per-kmer emission expectation accumulation over the band.
 
     For diagonal d (TO cells), FROM cells are on d-1 (gapX/gapY) and d-2
     (match). cvec_d1[d] = Fo[d-1] + Bo[d] - total; cvec_d2[d] uses Fo[d-2].
-    Returns (texp (3,3), match_tp (Dpad+1, P, W)): per-transition posterior
-    sums and per-cell into-match transition posteriors (HDP assignments).
+    Returns (texp (3,3), match_tp (Dpad+1, P, W), kexp (3, num_kmers)):
+    per-transition posterior sums, per-cell into-match transition posteriors
+    (HDP assignments), and per-kmer emission moments.
+
+    ``kexp`` rows are [Σp, Σp·dx, Σp·dx²] with dx = (event_mean − m̂)/var =
+    descaled_mean − µ_model, accumulated by segment-sum over kmer ids
+    (num_kmers == 0 disables the accumulation and returns zeros (3, 1)).
+    Centering on the model mean keeps float32 accumulation well-conditioned
+    (deviations are a few pA, vs descaled means ~100 pA whose squares would
+    lose the variance signal to cancellation); the host converts to the
+    reference's (Σp·x, Σp·(x−µ̂)²) file slots exactly.
 
     reference: cell_signal_updateExpectations /
-    cell_signal_updateExpectationsAndAssignments (pairwiseAligner.c:914-970).
+    cell_signal_updateExpectationsAndAssignments (pairwiseAligner.c:914-970)
+    + continuousPairHmm_addToEmissionExpectation (continuousHmm.c:159-178;
+    its running-mean update rule is order-dependent — this kernel computes
+    the exact batch moments instead).
     """
     Dpad = x0.shape[0] - 1
     f32 = jnp.dtype(DTYPE)
@@ -614,14 +628,16 @@ def _expectations_core(
     hdp = (hdp_dens, hdp_slopes, hdp_grid) if mode == MODE_HDP else None
 
     def step_exp(acc, d):
-        texp, match_tp = acc
+        texp, match_tp, kexp = acc
         xd = x0[d]
         wd = width[d]
         refw = _slice_cols(ref_params, xd, W)
         evw = _slice_cols(ev_params, lY - d + xd + ev_front_pad, W)
         legw = _slice_cols(legal, xd, W)
-        kw = _slice_cols(kmer_ids, xd, W) if mode == MODE_HDP else None
-        e_match, e_stay, e_gapx = _emissions_at(refw, evw, mode, var, hdp, kw)
+        kw = _slice_cols(kmer_ids, xd, W) \
+            if (mode == MODE_HDP or num_kmers > 0) else None
+        e_match, e_stay, e_gapx = _emissions_at(
+            refw, evw, mode, var, hdp, kw if mode == MODE_HDP else None)
 
         shift1 = xd - x0[jnp.maximum(d - 1, 0)] - 1
         shift1 = jnp.where(d >= 1, shift1, W + 5)
@@ -665,21 +681,31 @@ def _expectations_core(
         texp = texp.at[GAP_Y, GAP_Y].add(jnp.sum(val_yy))
 
         mtp = jnp.sum(p_mm + p_xm + p_ym, axis=1)
-        return (texp, match_tp.at[d].set(mtp)), None
+        if num_kmers > 0:
+            # per-kmer emission moments from into-match posteriors:
+            # dx = (event_mean − m̂)/var = descaled_mean − µ_model
+            dx = (evw[0][None, :] - refw[0]) / var
+            dx = jnp.where(refw[1] > 0.0, dx, 0.0)  # zero invalid path slots
+            kexp = kexp.at[0, kw].add(mtp)
+            kexp = kexp.at[1, kw].add(mtp * dx)
+            kexp = kexp.at[2, kw].add(mtp * dx * dx)
+        return (texp, match_tp.at[d].set(mtp), kexp), None
 
     zvar = jnp.zeros((), f32) * var.astype(f32)
     texp0 = jnp.zeros((3, 3), dtype=f32) + zvar
     mtp0 = jnp.zeros((Dpad + 1, P, W), dtype=f32) + zvar
-    (texp, match_tp), _ = jax.lax.scan(step_exp, (texp0, mtp0),
-                                       jnp.arange(0, Dpad + 1), unroll=8)
-    return texp, match_tp
+    kexp0 = jnp.zeros((3, max(num_kmers, 1)), dtype=f32) + zvar
+    (texp, match_tp, kexp), _ = jax.lax.scan(step_exp, (texp0, mtp0, kexp0),
+                                             jnp.arange(0, Dpad + 1), unroll=8)
+    return texp, match_tp, kexp
 
 
 banded_sweeps_device = partial(
     jax.jit, static_argnames=("W", "P", "mode", "store_full"))(
     _banded_sweeps_core)
 posterior_device = partial(jax.jit, static_argnames=("W", "P"))(_posterior_core)
-expectations_device = partial(jax.jit, static_argnames=("W", "P", "mode"))(
+expectations_device = partial(
+    jax.jit, static_argnames=("W", "P", "mode", "num_kmers"))(
     _expectations_core)
 
 # Batched variants: vmap over a leading problem axis of every array arg.
@@ -700,11 +726,12 @@ def posterior_batched(*args, W, P):
     return jax.vmap(partial(_posterior_core, W=W, P=P))(*args)
 
 
-@partial(jax.jit, static_argnames=("W", "P", "mode"))
-def expectations_batched(*args, W, P, mode):
-    f = partial(_expectations_core, W=W, P=P, mode=mode)
-    if len(args) > 14:
-        axes = (0,) * 14 + (None, None, None, 0)
+@partial(jax.jit, static_argnames=("W", "P", "mode", "num_kmers"))
+def expectations_batched(*args, W, P, mode, num_kmers=0):
+    f = partial(_expectations_core, W=W, P=P, mode=mode,
+                num_kmers=num_kmers)
+    if len(args) > 15:  # ... kmer_ids(batched) + 3 replicated hdp tables
+        axes = (0,) * 15 + (None, None, None)
         return jax.vmap(f, in_axes=axes)(*args)
     return jax.vmap(f)(*args)
 
@@ -762,16 +789,18 @@ def run_banded_fb(problem: BandedProblem, W: int, P: int,
                  jnp.asarray(problem.log_trans),
                  jnp.asarray(problem.var, dtype=DTYPE),
                  jnp.int32(problem.lY), jnp.int32(D),
-                 jnp.int32(problem.ev_front_pad)]
+                 jnp.int32(problem.ev_front_pad),
+                 jnp.asarray(problem.kmer_ids)]
         if problem.mode == MODE_HDP:
             eargs += [jnp.asarray(problem.hdp_dens),
                       jnp.asarray(problem.hdp_slopes),
-                      jnp.asarray(problem.hdp_grid),
-                      jnp.asarray(problem.kmer_ids)]
-        texp, match_tp = expectations_device(*eargs, W=W, P=P,
-                                             mode=problem.mode)
+                      jnp.asarray(problem.hdp_grid)]
+        texp, match_tp, kexp = expectations_device(
+            *eargs, W=W, P=P, mode=problem.mode,
+            num_kmers=problem.num_kmers)
         out["texp"] = np.asarray(texp, dtype=np.float64)
         out["match_tp"] = np.asarray(match_tp)
+        out["kexp"] = np.asarray(kexp, dtype=np.float64)
     return out
 
 

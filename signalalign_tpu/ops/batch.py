@@ -27,6 +27,13 @@ def _pad_last(arr: np.ndarray, size: int) -> np.ndarray:
     return np.pad(arr, pad)
 
 
+def stack_kmer_ids(problems: Sequence[bfb.BandedProblem]):
+    """Stacked (B, P, LX) kmer-id windows (emission-EM segment-sum keys)."""
+    LX = max(p.ref_params.shape[-1] for p in problems)
+    return jnp.asarray(np.stack([_pad_last(p.kmer_ids, LX)
+                                 for p in problems]))
+
+
 def stack_problems(problems: Sequence[bfb.BandedProblem]):
     """Stack same-bucket problems into batched device arrays."""
     LX = max(p.ref_params.shape[-1] for p in problems)
@@ -72,8 +79,15 @@ def run_banded_fb_batch(problems: Sequence[bfb.BandedProblem], W: int, P: int,
         return []
     mode = problems[0].mode
     args = stack_problems(problems)
+    sweep_args = list(args)
+    if mode == bfb.MODE_HDP:
+        # replicated density tables + per-problem kmer-id windows
+        sweep_args += [jnp.asarray(problems[0].hdp_dens),
+                       jnp.asarray(problems[0].hdp_slopes),
+                       jnp.asarray(problems[0].hdp_grid),
+                       stack_kmer_ids(problems)]
     fstack, f_incr, lse_f, bstack, b_incr, lse_b = bfb.banded_sweeps_batched(
-        *args, W=W, P=P, mode=mode, store_full=with_expectations)
+        *sweep_args, W=W, P=P, mode=mode, store_full=with_expectations)
 
     f_incr_h = np.asarray(f_incr, dtype=np.float64)
     b_incr_h = np.asarray(b_incr, dtype=np.float64)
@@ -114,16 +128,24 @@ def run_banded_fb_batch(problems: Sequence[bfb.BandedProblem], W: int, P: int,
         fo_d2 = np.concatenate([z, z, fo[:, :-2]], axis=1)
         cvec_d1 = (fo_d1 + bo - total_f[:, None]).astype(bfb.DTYPE)
         cvec_d2 = (fo_d2 + bo - total_f[:, None]).astype(bfb.DTYPE)
-        texp, match_tp = bfb.expectations_batched(
-            fstack, bstack, jnp.asarray(cvec_d1), jnp.asarray(cvec_d2),
-            args[0], args[1], args[2], args[3], args[4], args[5], args[8],
-            args[10], jnp.asarray(Ds.astype(np.int32)), args[12],
-            W=W, P=P, mode=problems[0].mode)
+        num_kmers = problems[0].num_kmers
+        eargs = [fstack, bstack, jnp.asarray(cvec_d1), jnp.asarray(cvec_d2),
+                 args[0], args[1], args[2], args[3], args[4], args[5],
+                 args[8], args[10], jnp.asarray(Ds.astype(np.int32)),
+                 args[12], stack_kmer_ids(problems)]
+        if mode == bfb.MODE_HDP:
+            eargs += [jnp.asarray(problems[0].hdp_dens),
+                      jnp.asarray(problems[0].hdp_slopes),
+                      jnp.asarray(problems[0].hdp_grid)]
+        texp, match_tp, kexp = bfb.expectations_batched(
+            *eargs, W=W, P=P, mode=mode, num_kmers=num_kmers)
         texp_h = np.asarray(texp, dtype=np.float64)
         mtp_h = np.asarray(match_tp)
+        kexp_h = np.asarray(kexp, dtype=np.float64)
         for i in range(B):
             results[i]["texp"] = texp_h[i]
             results[i]["match_tp"] = mtp_h[i]
+            results[i]["kexp"] = kexp_h[i]
     return results
 
 

@@ -47,10 +47,14 @@ def _device_offsets(incr, reverse: bool):
     return jnp.cumsum(incr, axis=-1)
 
 
-def _em_shard_fn(args, W: int, P: int, mode: int):
-    """Per-shard EM expectation computation over a local read batch."""
+def _em_shard_fn(args, W: int, P: int, mode: int, num_kmers: int = 0):
+    """Per-shard EM expectation computation over a local read batch.
+
+    ``args`` is the 13-tuple from batch.stack_problems, optionally followed
+    by a stacked (B, P, LX) kmer_ids array enabling per-kmer emission
+    expectations (num_kmers > 0)."""
     (x0, width, ref_params, legal, ev_params, log_trans, start_logs,
-     end_logs, var, lX, lY, n_diag, ev_front_pad) = args
+     end_logs, var, lX, lY, n_diag, ev_front_pad) = args[:13]
 
     sweep = jax.vmap(partial(bfb._banded_sweeps_core, W=W, P=P, mode=mode))
     fstack, f_incr, lse_f, bstack, b_incr, lse_b = sweep(
@@ -68,9 +72,13 @@ def _em_shard_fn(args, W: int, P: int, mode: int):
     cvec_d1 = fo_d1 + bo - total_f[:, None]
     cvec_d2 = fo_d2 + bo - total_f[:, None]
 
-    exps = jax.vmap(partial(bfb._expectations_core, W=W, P=P, mode=mode))
-    texp, _ = exps(fstack, bstack, cvec_d1, cvec_d2, x0, width, ref_params,
-                   legal, ev_params, log_trans, var, lY, n_diag, ev_front_pad)
+    exps = jax.vmap(partial(bfb._expectations_core, W=W, P=P, mode=mode,
+                            num_kmers=num_kmers))
+    eargs = [fstack, bstack, cvec_d1, cvec_d2, x0, width, ref_params,
+             legal, ev_params, log_trans, var, lY, n_diag, ev_front_pad]
+    if len(args) > 13:
+        eargs.append(args[13])
+    texp, _, kexp = exps(*eargs)
 
     # likelihood uses the reference's per-diagonal accumulation hack
     # (diagonalCalculation_Expectations, pairwiseAligner.c:1433)
@@ -79,18 +87,22 @@ def _em_shard_fn(args, W: int, P: int, mode: int):
 
     texp_all = jax.lax.psum(texp_sum, READS_AXIS)
     lik_all = jax.lax.psum(lik, READS_AXIS)
-    return texp_all, lik_all, total_f
+    # per-kmer emission moments: tiny (3, num_kmers) -> all-reduce
+    kexp_all = jax.lax.psum(jnp.sum(kexp, axis=0), READS_AXIS)
+    return texp_all, lik_all, total_f, kexp_all
 
 
-def em_expectation_step(mesh: Mesh, stacked_args, W: int, P: int, mode: int):
-    """Sharded EM E-step: returns (replicated (3,3) expectations, total
-    likelihood, per-read total log probs)."""
+def em_expectation_step(mesh: Mesh, stacked_args, W: int, P: int, mode: int,
+                        num_kmers: int = 0):
+    """Sharded EM E-step: returns (replicated (3,3) transition expectations,
+    total likelihood, per-read total log probs, replicated (3, num_kmers)
+    emission moments)."""
     specs_in = tuple(PS(READS_AXIS) for _ in stacked_args)
     fn = shard_map(
-        partial(_em_shard_fn, W=W, P=P, mode=mode),
+        partial(_em_shard_fn, W=W, P=P, mode=mode, num_kmers=num_kmers),
         mesh=mesh,
         in_specs=(specs_in,),
-        out_specs=(PS(), PS(), PS(READS_AXIS)),
+        out_specs=(PS(), PS(), PS(READS_AXIS), PS()),
     )
     return jax.jit(fn)(tuple(stacked_args))
 
@@ -105,11 +117,20 @@ def normalize_transitions(texp: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(rows > 0, texp / rows, texp)
 
 
-def em_train_step(mesh: Mesh, stacked_args, W: int, P: int, mode: int):
+def em_train_step(mesh: Mesh, stacked_args, W: int, P: int, mode: int,
+                  num_kmers: int = 0):
     """One full EM iteration over a sharded read batch: E-step psum +
-    transition M-step. The flagship multi-chip training program."""
-    texp, lik, totals = em_expectation_step(mesh, stacked_args, W, P, mode)
+    transition M-step. The flagship multi-chip training program.
+
+    With num_kmers > 0 (stacked_args carries kmer_ids as element 14) the
+    replicated per-kmer emission moments come back too; the Gaussian M-step
+    (models.expectations.emission_slots_from_kexp + HmmModel.normalize
+    semantics) is a host-side O(num_kmers) update."""
+    texp, lik, totals, kexp = em_expectation_step(mesh, stacked_args, W, P,
+                                                  mode, num_kmers)
     new_trans = normalize_transitions(texp)
+    if num_kmers > 0:
+        return new_trans, lik, totals, kexp
     return new_trans, lik, totals
 
 

@@ -265,6 +265,7 @@ def run_alignment_batch(
         all_pairs = []
         total_lp = 0.0
         texp = np.zeros((3, 3))
+        kexp = np.zeros((3, model.alphabet.num_kmers))
         lik = 0.0
         for si in pr.segments:
             t = seg_tasks[si]
@@ -272,6 +273,7 @@ def run_alignment_batch(
             total_lp += r["total_f"]
             if config.compute_expectations and "texp" in r:
                 texp += r["texp"]
+                kexp += r["kexp"]
                 lik += r["total_f"] * t.problem.n_diag
             for prob, x, y, kmer in r["pairs"]:
                 all_pairs.append((prob, x + t.x1, y + t.y1, kmer))
@@ -290,7 +292,9 @@ def run_alignment_batch(
             ref_offset=ref_shift, params=pr.params,
             events=pr.events, total_log_prob=total_lp, rna=pr.read.rna,
             transition_expectations=texp if config.compute_expectations else None,
-            likelihood=lik))
+            likelihood=lik,
+            emission_expectations=kexp if config.compute_expectations
+            else None))
     return out
 
 

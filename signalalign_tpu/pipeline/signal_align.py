@@ -61,6 +61,10 @@ class ReadAlignment:
     rna: bool = False
     transition_expectations: Optional[np.ndarray] = None
     likelihood: float = 0.0
+    # (3, num_kmers) per-kmer emission moments [Σp, Σp·dx, Σp·dx²]
+    # (banded_fb._expectations_core; convert with
+    # models.expectations.emission_slots_from_kexp)
+    emission_expectations: Optional[np.ndarray] = None
 
     def full_rows(self, model: PoreModel):
         return build_full_rows(
@@ -160,6 +164,7 @@ def align_read(read: NanoporeReadData, guide: GuideAlignment,
                               True, True)
     all_pairs: List[Tuple[int, int, int, str]] = []
     texp_total = np.zeros((3, 3))
+    kexp_total = np.zeros((3, model.alphabet.num_kmers))
     likelihood = 0.0
     total_lp = 0.0
     j = 0
@@ -178,6 +183,7 @@ def align_read(read: NanoporeReadData, guide: GuideAlignment,
         total_lp += float(seg_out["total_f"])
         if config.compute_expectations:
             texp_total += seg_out["texp"]
+            kexp_total += seg_out["kexp"]
             likelihood += float(seg_out["total_f"]) * (len(seg_chars) - k + 1 + len(seg_events))
         for prob, x, y, kmer in pairs:
             all_pairs.append((prob, x + x1, y + y1, kmer))
@@ -196,7 +202,8 @@ def align_read(read: NanoporeReadData, guide: GuideAlignment,
         target=target, event_offset=ev_start, ref_offset=ref_shift,
         params=params, events=events, total_log_prob=total_lp, rna=read.rna,
         transition_expectations=texp_total if config.compute_expectations else None,
-        likelihood=likelihood)
+        likelihood=likelihood,
+        emission_expectations=kexp_total if config.compute_expectations else None)
 
 
 def align_read_2d(read2d, guide: GuideAlignment,

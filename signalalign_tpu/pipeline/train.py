@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import copy
 import dataclasses
+import os
 import sys
 from collections import defaultdict
 from typing import Dict, List, Optional, Sequence, Tuple
@@ -33,6 +34,11 @@ class EMResult:
     likelihoods: List[float]          # reference-style (tot * n_diagonals)
     log_likelihoods: List[float]      # true sum of total log probs
     transitions_history: List[np.ndarray]
+    # per-iteration raw (3, num_kmers) emission moments (device kexp sums);
+    # empty unless the EM ran with emission expectations
+    kexp_history: List[np.ndarray] = dataclasses.field(default_factory=list)
+    expectations_files: List[str] = dataclasses.field(default_factory=list)
+    checkpoint_files: List[str] = dataclasses.field(default_factory=list)
 
 
 def normalize_transitions_expectations(texp: np.ndarray) -> np.ndarray:
@@ -49,6 +55,133 @@ def normalize_transitions_expectations(texp: np.ndarray) -> np.ndarray:
     return out
 
 
+def em_train(
+    reads_and_guides,
+    reference,
+    model: PoreModel,
+    iterations: int = 3,
+    config: Optional[AlignmentConfig] = None,
+    update_transitions: bool = True,
+    update_emissions: bool = False,
+    emission_prior_weight: float = 0.0,
+    min_sd: float = 0.0,
+    training_bases: Optional[int] = None,
+    seed: int = 0,
+    checkpoint_dir: Optional[str] = None,
+    checkpoint_prefix: str = "template_trained",
+    write_expectations: bool = False,
+    verbose: bool = False,
+    assert_monotonic: bool = False,
+) -> EMResult:
+    """Unified per-iteration Baum-Welch EM over a read batch.
+
+    Each iteration runs ONE expectation pass on device (transition posteriors
+    AND per-kmer emission moments come back from the same kernel,
+    banded_fb._expectations_core) and applies both M-steps — vs the
+    reference's two separate alignment passes per round
+    (expectation_maximization_training, trainModels.py:986-1060, whose
+    emission pass re-aligns with output_format=full). The likelihood trace
+    is asserted non-decreasing in test mode (trainModels.py:966-979).
+
+    ``training_bases`` caps the E-step to a random read subset totalling
+    that many read bases per iteration (filter_reads trim semantics,
+    trainModels.py:1144 / filter_reads.py:155-170). ``checkpoint_dir``
+    writes a model file per iteration (trainModels.py:938-949) and, with
+    ``write_expectations``, a reference-format expectations file summing
+    the batch (continuousHmm_writeToFile layout).
+    """
+    import random as _random
+
+    from signalalign_tpu.models.expectations import (
+        emission_slots_from_kexp, write_expectations_file)
+
+    model = copy.deepcopy(model)
+    config = config or AlignmentConfig()
+    config = dataclasses.replace(config, compute_expectations=True)
+    likelihoods: List[float] = []
+    lls: List[float] = []
+    history: List[np.ndarray] = []
+    kexp_history: List[np.ndarray] = []
+    exp_files: List[str] = []
+    ckpt_files: List[str] = []
+
+    for it in range(iterations):
+        batch = list(reads_and_guides)
+        if training_bases:
+            _random.Random(seed + it).shuffle(batch)
+            subset, n_bases = [], 0
+            for rg in batch:
+                if n_bases > training_bases:
+                    break
+                subset.append(rg)
+                n_bases += rg[0].read_length
+            batch = subset
+        results = run_alignment_batch(batch, reference, model,
+                                      config, use_pallas=False)
+        texp = np.zeros((3, 3))
+        kexp = np.zeros((3, model.alphabet.num_kmers))
+        lik = 0.0
+        ll = 0.0
+        for r in results:
+            texp += r.transition_expectations
+            if r.emission_expectations is not None:
+                kexp += r.emission_expectations
+            lik += r.likelihood
+            ll += r.total_log_prob
+        mean_exp, sd_exp, posteriors, observed = emission_slots_from_kexp(
+            kexp, model.level_mean)
+        if write_expectations and checkpoint_dir:
+            ep = os.path.join(checkpoint_dir,
+                              f"{checkpoint_prefix}_{it}"
+                              ".template.expectations.tsv")
+            write_expectations_file(
+                ep, model, texp.reshape(-1), lik,
+                mean_expectations=mean_exp, sd_expectations=sd_exp,
+                posteriors=posteriors, observed=observed)
+            exp_files.append(ep)
+        if update_transitions:
+            probs = normalize_transitions_expectations(texp)
+            model.set_transitions(probs.reshape(-1))
+            history.append(probs)
+        if update_emissions:
+            # HmmModel.normalize emission M-step
+            # (hiddenMarkovModel.py:488-517): µ̂ = Σpx/Σp, σ̂ = √(Σp(x−µ̂)²/Σp).
+            # ``emission_prior_weight`` > 0 blends with the current model
+            # exactly like train_normal_emmissions (trainModels.py:761-828,
+            # prior weight 100): sparsely-observed kmers would otherwise
+            # collapse their sd and crater the next E-step's likelihood.
+            safe = np.maximum(posteriors, 1e-300)
+            u = mean_exp / safe
+            o = np.sqrt(sd_exp / safe)
+            w = emission_prior_weight
+            if w > 0:
+                u = (mean_exp + model.level_mean * w) / (posteriors + w)
+                o = (o * posteriors + model.level_sd * w) / (posteriors + w)
+            upd = observed & (u > 0)
+            model.level_mean = np.where(upd, u, model.level_mean)
+            model.level_sd = np.maximum(
+                np.where(upd & (o > 0), o, model.level_sd), min_sd)
+        model.likelihood = lik
+        likelihoods.append(lik)
+        lls.append(ll)
+        kexp_history.append(kexp)
+        if checkpoint_dir:
+            cp = os.path.join(checkpoint_dir,
+                              f"{checkpoint_prefix}_{it}.model")
+            model.write(cp)
+            ckpt_files.append(cp)
+        if verbose:
+            print(f"[train] iter {it}: log-likelihood {ll:.2f} "
+                  f"({len(batch)} reads)", file=sys.stderr)
+        if assert_monotonic and it > 0 and ll + 1e-6 < lls[-2]:
+            raise AssertionError(
+                f"EM log-likelihood decreased: {lls[-2]} -> {ll}")
+    return EMResult(model=model, likelihoods=likelihoods,
+                    log_likelihoods=lls, transitions_history=history,
+                    kexp_history=kexp_history, expectations_files=exp_files,
+                    checkpoint_files=ckpt_files)
+
+
 def em_train_transitions(
     reads_and_guides,
     reference,
@@ -58,44 +191,12 @@ def em_train_transitions(
     verbose: bool = False,
     assert_monotonic: bool = False,
 ) -> EMResult:
-    """Transition-only Baum-Welch EM over a read batch.
-
-    reference loop: train_transitions -> run expectation alignments ->
-    add_and_normalize_expectations (trainModels.py:922-985), with the
-    likelihood trace asserted non-decreasing in test mode
-    (trainModels.py:966-979).
-    """
-    model = copy.deepcopy(model)
-    config = config or AlignmentConfig()
-    config = dataclasses.replace(config, compute_expectations=True)
-    likelihoods: List[float] = []
-    lls: List[float] = []
-    history: List[np.ndarray] = []
-
-    for it in range(iterations):
-        results = run_alignment_batch(reads_and_guides, reference, model,
-                                      config, use_pallas=False)
-        texp = np.zeros((3, 3))
-        lik = 0.0
-        ll = 0.0
-        for r in results:
-            texp += r.transition_expectations
-            lik += r.likelihood
-            ll += r.total_log_prob
-        probs = normalize_transitions_expectations(texp)
-        model.set_transitions(probs.reshape(-1))
-        model.likelihood = lik
-        likelihoods.append(lik)
-        lls.append(ll)
-        history.append(probs)
-        if verbose:
-            print(f"[train] iter {it}: log-likelihood {ll:.2f}",
-                  file=sys.stderr)
-        if assert_monotonic and it > 0 and ll + 1e-6 < lls[-2]:
-            raise AssertionError(
-                f"EM log-likelihood decreased: {lls[-2]} -> {ll}")
-    return EMResult(model=model, likelihoods=likelihoods,
-                    log_likelihoods=lls, transitions_history=history)
+    """Transition-only Baum-Welch EM (train_transitions,
+    trainModels.py:922-985). Thin wrapper over em_train."""
+    return em_train(reads_and_guides, reference, model,
+                    iterations=iterations, config=config,
+                    update_transitions=True, update_emissions=False,
+                    verbose=verbose, assert_monotonic=assert_monotonic)
 
 
 def collect_kmer_observations(results, model: PoreModel,

@@ -137,6 +137,58 @@ def test_random_case_matches_oracle_with_anchors(r94_model):
     assert hits / len(truth) > 0.8
 
 
+def test_emission_expectations_match_posteriors(r94_model):
+    """Device per-kmer emission moments == host accumulation over the
+    posterior match tensor (into-match transition posteriors sum to the
+    match-state posterior at every interior cell)."""
+    model = r94_model
+    rng = np.random.default_rng(11)
+    params = ScalingParams(shift=2.0, scale=1.05, var=1.1)
+    seq, events, truth = _synthetic_read(model, rng, 40, params)
+    anchors = [truth[i] for i in range(4, len(truth) - 4, 8)]
+    W = 32
+    problem = bfb.prepare_problem(
+        seq, events, model, params, DEFAULT_AMBIG_BASES,
+        W=W, Dpad=len(seq) + len(events) + 8, P=1,
+        mode=bfb.MODE_MEAN_ONLY, anchor_pairs=anchors, expansion=6)
+    res = bfb.run_banded_fb(problem, W=W, P=1, with_expectations=True)
+    post = res["post"]
+    kexp = res["kexp"]
+    K = model.alphabet.num_kmers
+    assert kexp.shape == (3, K)
+    sp = np.zeros(K)
+    sdx = np.zeros(K)
+    sdx2 = np.zeros(K)
+    ids = model.alphabet.seq_to_kmer_ids(seq)
+    means = events[:, 0]
+    for d in range(problem.n_diag + 1):
+        for o in range(W):
+            p = float(post[d, 0, o])
+            if p <= 0:
+                continue
+            x = int(problem.x0[d]) + o
+            y = d - x
+            if x < 1 or y < 1 or x > problem.lX or y > problem.lY:
+                continue
+            kid = int(ids[x - 1])
+            m_hat = params.scale * model.level_mean[kid] + params.shift
+            dx = (means[y - 1] - m_hat) / params.var
+            sp[kid] += p
+            sdx[kid] += p * dx
+            sdx2[kid] += p * dx * dx
+    np.testing.assert_allclose(kexp[0], sp, atol=5e-3)
+    np.testing.assert_allclose(kexp[1], sdx, atol=2e-2)
+    np.testing.assert_allclose(kexp[2], sdx2, atol=1e-1)
+    # slot conversion: Σp·x and batch-centered Σp·(x−µ̂)²
+    from signalalign_tpu.models.expectations import emission_slots_from_kexp
+    me, sd, po, obs = emission_slots_from_kexp(kexp, model.level_mean)
+    ok = sp > 1e-3
+    x_mean = model.level_mean + np.where(ok, sdx / np.maximum(sp, 1e-9), 0)
+    np.testing.assert_allclose(me[ok], (sp * x_mean)[ok], rtol=1e-3)
+    assert (sd >= 0).all() and (po == kexp[0]).all()
+    assert obs.sum() > 20
+
+
 def test_full_descaled_mode_matches_oracle(r94_model):
     model = r94_model
     rng = np.random.default_rng(7)

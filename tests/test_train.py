@@ -105,6 +105,83 @@ def test_gaussian_emission_update(tmp_path):
     assert moved / total > 0.7
 
 
+def test_em_train_unified_emissions(tmp_path):
+    """Unified EM: one device expectation pass updates transitions AND
+    Gaussian emissions; expectations files + per-iteration checkpoints
+    round-trip (VERDICT r1 item 3)."""
+    import copy
+
+    from signalalign_tpu.models.expectations import ExpectationsAccumulator
+    from signalalign_tpu.pipeline.train import em_train
+
+    model, reference, rgs = _make_synthetic(tmp_path, n_reads=3)
+    shifted = copy.deepcopy(model)
+    # corrupt per-kmer means with ZERO-MEAN noise: a global shift would be
+    # absorbed by the per-read WLS scaling re-fit (ESTIMATE_PARAMS, same as
+    # the reference), so EM can only recover kmer-relative deviations
+    noise_rng = np.random.default_rng(99)
+    noise = noise_rng.normal(0.0, 1.5, size=shifted.level_mean.shape)
+    shifted.level_mean = shifted.level_mean + noise
+
+    # prior-weighted EM over 2 iterations: likelihood recovers once the
+    # emissions move (the raw normalize M-step would collapse the sd of
+    # sparsely-observed kmers -- same failure the reference avoids by
+    # training emissions with a prior weight)
+    res = em_train(rgs, reference, shifted, iterations=2,
+                   config=AlignmentConfig(diagonal_expansion=12),
+                   update_transitions=True, update_emissions=True,
+                   emission_prior_weight=5.0,
+                   checkpoint_dir=str(tmp_path), write_expectations=True)
+    assert len(res.expectations_files) == 2
+    assert len(res.checkpoint_files) == 2
+    assert res.log_likelihoods[-1] > res.log_likelihoods[0]
+
+    # emissions moved toward the generative truth for well-observed kmers
+    # that started meaningfully wrong (near-correct kmers can only wander)
+    kexp = res.kexp_history[0]
+    err0 = np.abs(shifted.level_mean - model.level_mean)
+    heavy = np.where((kexp[0] > 3.0) & (err0 > 0.75))[0]
+    assert len(heavy) >= 10
+    trained = res.model
+    before = err0[heavy]
+    after = np.abs(trained.level_mean[heavy] - model.level_mean[heavy])
+    assert (after < before).mean() > 0.7
+    assert after.mean() < before.mean() * 0.8
+
+    # pure-normalize single iteration: the expectations file reproduces the
+    # checkpoint through the reference accumulate+normalize path
+    res1 = em_train(rgs, reference, shifted, iterations=1,
+                    config=AlignmentConfig(diagonal_expansion=12),
+                    update_transitions=True, update_emissions=True,
+                    checkpoint_dir=str(tmp_path / ""),
+                    checkpoint_prefix="pure", write_expectations=True)
+    acc = ExpectationsAccumulator(copy.deepcopy(shifted))
+    assert acc.add_file(res1.expectations_files[0])
+    m2 = acc.apply(update_transitions=True, update_emissions=True)
+    ck0 = PoreModel.from_file(res1.checkpoint_files[0])
+    np.testing.assert_allclose(m2.level_mean, ck0.level_mean, atol=1e-4)
+    np.testing.assert_allclose(m2.level_sd, ck0.level_sd, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(m2.transitions, dtype=float),
+                               np.asarray(ck0.transitions, dtype=float),
+                               atol=1e-6)
+
+
+def test_em_train_training_bases_trim(tmp_path):
+    """training_bases caps each E-step to a read subset
+    (trainModels.py:1144 / filter_reads trim semantics)."""
+    from signalalign_tpu.pipeline.train import em_train
+
+    model, reference, rgs = _make_synthetic(tmp_path, n_reads=3)
+    one_read_bases = rgs[0][0].read_length
+    res = em_train(rgs, reference, model, iterations=1,
+                   config=AlignmentConfig(diagonal_expansion=12),
+                   training_bases=one_read_bases - 1)
+    full = em_train(rgs, reference, model, iterations=1,
+                    config=AlignmentConfig(diagonal_expansion=12))
+    # trimmed run used fewer reads -> strictly less posterior mass
+    assert res.kexp_history[0][0].sum() < full.kexp_history[0][0].sum()
+
+
 def test_hdp_training_file(tmp_path):
     obs = {"AAAAA": np.array([80.0, 81.0]), "ACGTA": np.array([95.5])}
     path = write_hdp_training_file(obs, str(tmp_path / "build.tsv"))
