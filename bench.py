@@ -1,22 +1,37 @@
 """Benchmark: banded forward-backward posterior decoding throughput.
 
-Metric: events/s on one chip for the full device pipeline (forward +
-backward sweeps + posterior extraction) over a batch of real bundled
-E. coli reads with production parameters (expansion 50, trim 14,
-threshold 0.01, 5-mer r9.4 model).
+Workload: ALL bundled 1D E. coli reads (3 reads, 6.8k-12.1k ref bases,
+mixed band widths) through the PRODUCTION pipeline path — per-read prep
+(WLS scaling, anchors, banding, splitting), shape bucketing, and the
+lane-batched Pallas kernels with the production result path (device
+top-k compaction + cell-sort, count-prefixed 4 B/pair fetch) — exactly
+what `runner.run_alignment_batch` dispatches. Buckets are replicated to
+full 128-lane stripes; every lane (replicas included) is real computed +
+fetched work and is counted.
+
+Metrics:
+  * value — end-to-end events/s on one chip, steady-state pipelined
+    (batch i+1's kernels overlap batch i's result fetch + decode). On
+    this environment the device<->host link is a ~10-16 MB/s tunnel, so
+    this number is transfer-bound.
+  * compute_only_events_per_s — the same device pipeline with only the
+    per-read totals/counts scalars fetched: device compute throughput,
+    i.e. the projection for production hosts where PCIe (GB/s) replaces
+    the tunnel.
 
 Baseline: the reference publishes no numbers (BASELINE.md). We use an
 estimated 96-process C signalMachine aggregate of 2.88M events/s
-(~30k events/s/core for the banded C DP at these band widths), which is
-the production configuration in the reference README (job_count: 96).
+(~30k events/s/core for the banded C DP at these band widths), the
+production configuration in the reference README (job_count: 96).
 
-Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints one JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 """
 
 import json
 import os
 import sys
 import time
+from collections import defaultdict
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
@@ -26,55 +41,73 @@ BASELINE_EVENTS_PER_S = 2.88e6  # estimated 96-core signalMachine aggregate
 
 ONED = "/root/reference/tests/minion_test_reads/1D"
 MODEL = "/root/reference/models/testModelR9p4_5mer_acegt_template.model"
+S = 128  # lanes per stripe
 
 
-def build_problems(batch: int):
+def _ecoli_fasta() -> str:
+    """Reconstruct the E. coli windows covered by the bundled BAM (the
+    genome fasta is not shipped; MD tags rebuild the aligned windows)."""
+    path = "/tmp/signalalign_bench_ecoli.fa"
+    if os.path.exists(path):
+        return path
+    from signalalign_tpu.io.sam import (read_bam,
+                                        reconstruct_reference_window)
+    _, records = read_bam(os.path.join(ONED, "1D.bam"))
+    genome = np.full(4641652, ord("A"), dtype=np.uint8)
+    for rec in records:
+        window = reconstruct_reference_window(rec)
+        genome[rec.pos:rec.pos + len(window)] = np.frombuffer(
+            window.encode("latin-1"), dtype=np.uint8)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as fh:
+        fh.write(">gi_ecoli\n")
+        s = genome.tobytes().decode("latin-1")
+        for i in range(0, len(s), 10000):
+            fh.write(s[i:i + 10000] + "\n")
+    os.replace(tmp, path)
+    return path
+
+
+def build_workload():
+    """Production prep for every bundled 1D read -> runner-style shape
+    buckets of segment problems, each replicated to full 128-lane
+    stripes."""
     from signalalign_tpu.io.guide import guide_from_sam_record
     from signalalign_tpu.io.read import NanoporeReadData
+    from signalalign_tpu.io.reference import ProcessedReference
     from signalalign_tpu.io.sam import filter_reads
     from signalalign_tpu.models.pore_model import PoreModel
-    from signalalign_tpu.ops import banded_fb as bfb
-    from signalalign_tpu.ops.band_geometry import (band_widths, build_band,
-                                                   remap_anchors_to_events)
-    from signalalign_tpu.ops.scaling import (adjust_events_for_drift,
-                                             estimate_nanopore_params)
-    from signalalign_tpu.utils.alphabet import DEFAULT_AMBIG_BASES
-    from signalalign_tpu.io.sam import reconstruct_reference_window
+    from signalalign_tpu.pipeline.runner import prepare_read
+    from signalalign_tpu.pipeline.signal_align import AlignmentConfig
 
     model = PoreModel.from_file(MODEL)
+    reference = ProcessedReference(_ecoli_fasta())
+    config = AlignmentConfig()
     pairs = filter_reads(os.path.join(ONED, "1D.bam"),
                          os.path.join(ONED, "1D.fastq.index.readdb"), [ONED])
-    f5, rec = [p for p in pairs if p[1].qname.startswith("6deaf971")][0]
-    read = NanoporeReadData.from_fast5(f5)
-    guide = guide_from_sam_record(rec)
-    window = reconstruct_reference_window(rec)
-    target = window  # forward-mapped read
+    buckets = defaultdict(list)
+    for f5, rec in pairs:
+        read = NanoporeReadData.from_fast5(f5)
+        guide = guide_from_sam_record(rec)
+        _, _, _, _, tasks = prepare_read(read, guide, reference, model,
+                                         config)
+        for (_, problem, W, Dpad, P) in tasks:
+            buckets[(W, Dpad, P)].append(problem)
 
-    params = estimate_nanopore_params(read.template_read, read.event_map,
-                                      read.events, model)
-    events = adjust_events_for_drift(read.events, params.drift)
-    qs, qe = guide.query_start, guide.query_end
-    ev_start = int(read.event_map[qs])
-    ev_end = int(read.event_map[qe - 1])
-    window_events = events[ev_start:ev_end]
-    lX = len(target) - model.kmer_length + 1
-    lY = ev_end - ev_start
-    anchors = remap_anchors_to_events(guide.anchor_pairs(14),
-                                      read.event_map, qs)
-    anchors = [(x, y) for x, y in anchors if 0 <= x < lX and 0 <= y < lY]
-
-    xmyL, xmyR = build_band(anchors, lX, lY, 50)
-    wmax = int(band_widths(xmyL, xmyR).max())
-    W = 128
-    while W < wmax:
-        W *= 2
-    Dpad = lX + lY  # tile_geometry pads to a tile multiple
-
-    problem = bfb.prepare_problem(
-        target, window_events, model, params, DEFAULT_AMBIG_BASES,
-        W=W, Dpad=Dpad, P=1, mode=bfb.MODE_MEAN_ONLY,
-        anchor_pairs=anchors, expansion=50)
-    return [problem] * batch, W, lY
+    out = []
+    for (W, Dpad, P), probs in sorted(buckets.items()):
+        # the runner's kernel gate: lane-batched v2 for W <= 768 (VMEM),
+        # per-read-row v1 for wide bands. v2 stripes are 128 lanes; the
+        # v1 wide-band blocks batch 32 grid rows.
+        kind = "v2" if W <= 1024 else "v1"
+        lanes = 128 if kind == "v2" else 32
+        padded = []
+        i = 0
+        while len(padded) < lanes or len(padded) % lanes:
+            padded.append(probs[i % len(probs)])
+            i += 1
+        out.append((W, kind, padded))
+    return out
 
 
 def main():
@@ -82,39 +115,95 @@ def main():
 
     from signalalign_tpu.ops.banded_fb_pallas_batch import PallasBatchAligner
 
-    batch = int(os.environ.get("BENCH_BATCH", "128"))
-    reps = int(os.environ.get("BENCH_REPS", "8"))
-    problems, W, lY = build_problems(batch)
+    from signalalign_tpu.ops.banded_fb_pallas import PallasAligner
+
+    reps = int(os.environ.get("BENCH_REPS", "6"))
+    workload = build_workload()
     dev = jax.devices()[0]
-    print(f"# device: {dev}, batch={batch}, W={W}, events/read={lY}",
-          file=sys.stderr)
 
-    K = 16384
-    aligner = PallasBatchAligner(problems, W=W, T=24, S=128, RB=128)
-    # warmup (compile)
-    res = aligner.execute(compact_k=K, as_arrays=True)
-    assert np.isfinite(res[0]["total_f"])
-    assert len(res[0]["pairs_arrays"][0]) > lY * 0.8
+    aligners = []
+    total_events = 0
+    v2_events = 0
+    for W, kind, probs in workload:
+        lYmax = max(p.lY for p in probs)
+        K = max(((3 * lYmax + 127) // 128) * 128, 1024)
+        ev = sum(p.lY for p in probs)
+        if kind == "v2":
+            al = PallasBatchAligner(probs, W=W, T=24, S=128, RB=128)
+            v2_events += ev
+        else:
+            al = PallasAligner(probs, W=W, T=240)
+        aligners.append((al, K, kind))
+        total_events += ev
+    print(f"# device: {dev}, buckets(W, kind, lanes, K)="
+          f"{[(W, k, len(p), a[1]) for (W, k, p), a in zip(workload, aligners)]},"
+          f" events/rep={total_events}", file=sys.stderr)
 
-    # steady-state pipelined throughput: batch i+1's kernels overlap the
-    # fetch+decode of batch i (execute_async two-phase)
+    # ---- end-to-end (production result path, pipelined) ----
+    def run_e2e(n_reps):
+        pending = []
+        fetched_pairs = 0
+
+        def finish_one():
+            nonlocal fetched_pairs
+            res = pending.pop(0)()
+            assert np.isfinite(res[0]["total_f"])
+            fetched_pairs += sum(len(r["pairs_arrays"][0]) for r in res)
+
+        for _ in range(n_reps):
+            for al, K, kind in aligners:
+                if kind == "v2":
+                    pending.append(al.execute_async(compact_k=K,
+                                                    as_arrays=True))
+                else:
+                    res = al.execute(compact_k=K, as_arrays=True)
+                    pending.append(lambda r=res: r)
+                while len(pending) > 1:
+                    finish_one()
+        while pending:
+            finish_one()
+        return fetched_pairs
+
+    # warmup/compile + correctness sniff
+    pairs_per_rep = run_e2e(1)
     t0 = time.perf_counter()
-    pending = aligner.execute_async(compact_k=K, as_arrays=True)
-    for _ in range(reps - 1):
-        nxt = aligner.execute_async(compact_k=K, as_arrays=True)
-        res = pending()
-        assert np.isfinite(res[0]["total_f"])
-        pending = nxt
-    res = pending()
-    assert np.isfinite(res[0]["total_f"])
-    elapsed = time.perf_counter() - t0
+    run_e2e(reps)
+    e2e_s = time.perf_counter() - t0
+    e2e_events_per_s = total_events * reps / e2e_s
 
-    events_per_s = batch * lY * reps / elapsed
+    # ---- device-compute-only (totals/counts fetch only; v2 buckets) ----
+    def run_compute(n_reps):
+        pending = []
+        for _ in range(n_reps):
+            for al, K, kind in aligners:
+                if kind != "v2":
+                    continue
+                pending.append(al.execute_device_only(compact_k=K))
+                while len(pending) > 1:
+                    tf, _ = pending.pop(0)()
+                    assert np.isfinite(tf).all()
+        while pending:
+            tf, _ = pending.pop(0)()
+            assert np.isfinite(tf).all()
+
+    run_compute(1)  # compile
+    t0 = time.perf_counter()
+    run_compute(reps)
+    comp_s = time.perf_counter() - t0
+    comp_events_per_s = v2_events * reps / comp_s
+
     out = {
         "metric": "banded_fb_posterior_events_per_s_per_chip",
-        "value": round(events_per_s, 1),
+        "value": round(e2e_events_per_s, 1),
         "unit": "events/s",
-        "vs_baseline": round(events_per_s / BASELINE_EVENTS_PER_S, 4),
+        "vs_baseline": round(e2e_events_per_s / BASELINE_EVENTS_PER_S, 4),
+        "compute_only_events_per_s": round(comp_events_per_s, 1),
+        "compute_only_vs_baseline": round(
+            comp_events_per_s / BASELINE_EVENTS_PER_S, 4),
+        "workload": f"{len(workload)} buckets, "
+                    f"{sum(len(p) for *_, p in workload)} lanes, "
+                    f"{total_events} events/rep, all bundled 1D reads",
+        "aligned_pairs_per_rep": int(pairs_per_rep),
     }
     print(json.dumps(out))
 

@@ -434,10 +434,23 @@ extern "C" {
 // data[n_data], data_dp[n_data]: observations and their leaf dp ids
 // parent[num_dps] (-1 root), gamma[num_dps]
 // mu0/nu/alpha/beta: NIG base; grid[grid_len]: sampling grid
-// burn_in, num_samples, thinning: Gibbs schedule
+// burn_in, num_samples, thinning: Gibbs schedule, counted in SINGLE-FACTOR
+//   updates (one datum reseating = one iteration; each per-depth gamma
+//   update also counts one), matching the reference's iter accounting
+//   (sample_dp_factors / sample_gammas, hdp.c:2110-2291): a distribution
+//   sample is taken whenever iter % thinning == 0 && iter > burn_in.
+// sample_gamma != 0 enables concentration-parameter resampling from
+//   per-depth Gamma(gamma_alpha[d], gamma_beta[d]) priors by the
+//   auxiliary-variable scheme (hdp.c:2165-2291): per observed dp,
+//   w ~ Beta(gamma+1, #customers), s ~ Bernoulli(n/(n+gamma)); depth 0
+//   uses Escobar & West's (1995) weighted two-gamma update, deeper levels
+//   Gamma(alpha + #tables_at_depth - sum_s, beta - sum_log_w). All dps at
+//   one depth share a gamma (the reference indexes gamma by depth).
 // out_density: (num_dps x grid_len) averaged posterior predictive per dp
 //              (only for dps with data under them; others zero-filled and
 //              flagged 0 in out_observed[num_dps])
+// out_gamma[tree_depth], out_w[num_dps], out_s[num_dps]: final sampled
+//   concentrations / auxiliary variables (sample_gamma mode; may be null).
 // Returns 0 on success.
 long sa_hdp_gibbs(const double* data, const long* data_dp, long n_data,
                   const long* parent, const double* gamma_in, long num_dps,
@@ -445,7 +458,11 @@ long sa_hdp_gibbs(const double* data, const long* data_dp, long n_data,
                   const double* grid, long grid_len,
                   long burn_in, long num_samples, long thinning,
                   unsigned long seed,
-                  double* out_density, unsigned char* out_observed) {
+                  int sample_gamma,
+                  const double* gamma_alpha, const double* gamma_beta,
+                  long tree_depth,
+                  double* out_density, unsigned char* out_observed,
+                  double* out_gamma, double* out_w, unsigned char* out_s) {
     HdpState h;
     h.num_dps = num_dps;
     h.parent.assign(parent, parent + num_dps);
@@ -469,44 +486,129 @@ long sa_hdp_gibbs(const double* data, const long* data_dp, long n_data,
     }
     for (long d = 0; d < num_dps; ++d) out_observed[d] = has_data[d];
 
+    // dp depth (base = 0) for the per-depth shared gammas
+    std::vector<long> depth(num_dps, 0);
+    for (long d = 0; d < num_dps; ++d) {
+        long p = parent[d], dep = 0;
+        while (p >= 0) { ++dep; p = parent[p]; }
+        depth[d] = dep;
+    }
+    std::vector<double> depth_gamma(std::max<long>(tree_depth, 1), 1.0);
+    for (long d = 0; d < num_dps; ++d) {
+        if (depth[d] < (long)depth_gamma.size())
+            depth_gamma[depth[d]] = h.gamma[d];
+    }
+    std::vector<double> w_aux(num_dps, 0.0);
+    std::vector<unsigned char> s_aux(num_dps, 0);
+
     std::vector<double> acc((size_t)num_dps * grid_len, 0.0);
     long taken = 0;
-    long total_iters = burn_in + num_samples * thinning;
+    long iter = 0;
     std::vector<long> order(n_data);
     for (long i = 0; i < n_data; ++i) order[i] = i;
+    if (thinning < 1) thinning = 1;
 
-    for (long it = 0; it < total_iters; ++it) {
+    auto take_sample = [&]() {
+        // bottom-up density pass: parents have larger ids than children
+        // in all supported topologies, so iterate ids descending and
+        // memoize each dp's grid density for its children.
+        std::vector<double> dens((size_t)num_dps * grid_len, 0.0);
+        for (long d = num_dps - 1; d >= 0; --d) {
+            if (!has_data[d]) continue;
+            double total = h.gamma[d];
+            for (long tid : h.dp_tables[d]) total += h.tables[tid].count;
+            for (long gidx = 0; gidx < grid_len; ++gidx) {
+                double x = grid[gidx];
+                double sum = 0.0;
+                for (long tid : h.dp_tables[d]) {
+                    sum += h.tables[tid].count
+                        * std::exp(h.log_predictive_table(x, tid));
+                }
+                double pparent = (parent[d] >= 0)
+                    ? dens[(size_t)parent[d] * grid_len + gidx]
+                    : std::exp(h.log_predictive_stats(x, 0, 0, 0));
+                dens[(size_t)d * grid_len + gidx] =
+                    (sum + h.gamma[d] * pparent) / total;
+            }
+        }
+        for (size_t q = 0; q < acc.size(); ++q) acc[q] += dens[q];
+        ++taken;
+    };
+
+    auto gamma_dist = [&](double shape, double rate) {
+        std::gamma_distribution<double> G(std::max(shape, 1e-3), 1.0);
+        return G(h.rng) / std::max(rate, 1e-12);
+    };
+
+    auto resample_gammas = [&]() {
+        // auxiliary variables per observed dp
+        for (long d = 0; d < num_dps; ++d) {
+            if (!has_data[d]) continue;
+            double n_children = 0.0;
+            for (long tid : h.dp_tables[d]) n_children += h.tables[tid].count;
+            // w ~ Beta(gamma + 1, n_children) via two gamma draws
+            double ga = gamma_dist(h.gamma[d] + 1.0, 1.0);
+            double gb = gamma_dist(n_children, 1.0);
+            w_aux[d] = ga / std::max(ga + gb, 1e-300);
+            std::uniform_real_distribution<double> U(0.0, 1.0);
+            s_aux[d] = U(h.rng)
+                < n_children / (n_children + h.gamma[d]) ? 1 : 0;
+        }
+        // per-depth sums
+        std::vector<double> sum_log_w(tree_depth, 0.0);
+        std::vector<long> sum_s(tree_depth, 0), nf(tree_depth, 0);
+        double base_children = 0.0;
+        for (long d = 0; d < num_dps; ++d) {
+            if (!has_data[d] || depth[d] >= tree_depth) continue;
+            nf[depth[d]] += (long)h.dp_tables[d].size();
+            sum_log_w[depth[d]] += std::log(std::max(w_aux[d], 1e-300));
+            if (s_aux[d]) sum_s[depth[d]]++;
+            if (parent[d] < 0) {
+                for (long tid : h.dp_tables[d])
+                    base_children += h.tables[tid].count;
+            }
+        }
+        bool stop = false;
+        for (long dep = 0; dep < tree_depth && !stop; ++dep) {
+            double a_post, b_post;
+            if (dep == 0) {
+                // Escobar & West (1995): the reference takes a WEIGHTED SUM
+                // of two gamma draws (hdp.c:2203-2210)
+                a_post = gamma_alpha[0] + (double)nf[0];
+                b_post = gamma_beta[0] - sum_log_w[0];
+                double frac = (a_post - 1.0)
+                    / (std::max(base_children, 1.0) * b_post);
+                double wt = frac / (1.0 + frac);
+                depth_gamma[0] = wt * gamma_dist(a_post, b_post)
+                    + (1.0 - wt) * gamma_dist(a_post - 1.0, b_post);
+            } else {
+                a_post = gamma_alpha[dep] + (double)(nf[dep] - sum_s[dep]);
+                b_post = gamma_beta[dep] - sum_log_w[dep];
+                depth_gamma[dep] = gamma_dist(a_post, b_post);
+            }
+            for (long d = 0; d < num_dps; ++d) {
+                if (depth[d] == dep) h.gamma[d] = depth_gamma[dep];
+            }
+            ++iter;
+            if (iter % thinning == 0 && iter > burn_in) {
+                take_sample();
+                if (taken >= num_samples) stop = true;
+            }
+        }
+    };
+
+    while (taken < num_samples) {
         std::shuffle(order.begin(), order.end(), h.rng);
-        for (long oi = 0; oi < n_data; ++oi) {
+        for (long oi = 0; oi < n_data && taken < num_samples; ++oi) {
             long i = order[oi];
             h.unseat(data[i], assignment[i]);
             assignment[i] = h.seat(data[i], data_dp[i]);
+            ++iter;
+            if (iter % thinning == 0 && iter > burn_in) take_sample();
         }
-        if (it >= burn_in && ((it - burn_in) % thinning == 0)) {
-            // bottom-up density pass: parents have larger ids than children
-            // in all supported topologies, so iterate ids descending and
-            // memoize each dp's grid density for its children.
-            std::vector<double> dens((size_t)num_dps * grid_len, 0.0);
-            for (long d = num_dps - 1; d >= 0; --d) {
-                if (!has_data[d]) continue;
-                double total = h.gamma[d];
-                for (long tid : h.dp_tables[d]) total += h.tables[tid].count;
-                for (long gidx = 0; gidx < grid_len; ++gidx) {
-                    double x = grid[gidx];
-                    double sum = 0.0;
-                    for (long tid : h.dp_tables[d]) {
-                        sum += h.tables[tid].count
-                            * std::exp(h.log_predictive_table(x, tid));
-                    }
-                    double pparent = (parent[d] >= 0)
-                        ? dens[(size_t)parent[d] * grid_len + gidx]
-                        : std::exp(h.log_predictive_stats(x, 0, 0, 0));
-                    dens[(size_t)d * grid_len + gidx] =
-                        (sum + h.gamma[d] * pparent) / total;
-                }
-            }
-            for (size_t q = 0; q < acc.size(); ++q) acc[q] += dens[q];
-            ++taken;
+        if (sample_gamma && taken < num_samples && tree_depth > 0
+            && gamma_alpha && gamma_beta) {
+            resample_gammas();
         }
     }
     if (taken == 0) taken = 1;
@@ -516,6 +618,12 @@ long sa_hdp_gibbs(const double* data, const long* data_dp, long n_data,
                 has_data[d] ? acc[(size_t)d * grid_len + gidx] / taken : 0.0;
         }
     }
+    if (out_gamma) {
+        for (long dep = 0; dep < tree_depth; ++dep)
+            out_gamma[dep] = depth_gamma[dep];
+    }
+    if (out_w) for (long d = 0; d < num_dps; ++d) out_w[d] = w_aux[d];
+    if (out_s) for (long d = 0; d < num_dps; ++d) out_s[d] = s_aux[d];
     return 0;
 }
 

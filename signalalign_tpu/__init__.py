@@ -23,11 +23,21 @@ __version__ = "0.1.0"
 
 from signalalign_tpu.models.pore_model import PoreModel  # noqa: F401
 
+import os as _os
+
+# Raise the TPU compiler's scoped-VMEM ceiling (default 16MB of the v5e's
+# 128MB physical VMEM): the W=768/1024 lane-batched wavefront kernels keep
+# ~20-26MB of ring + window state resident. Must be set before libtpu
+# initializes; appended so user-provided args win.
+_largs = _os.environ.get("LIBTPU_INIT_ARGS", "")
+if "xla_tpu_scoped_vmem_limit_kib" not in _largs:
+    _os.environ["LIBTPU_INIT_ARGS"] = \
+        ("--xla_tpu_scoped_vmem_limit_kib=65536 " + _largs).strip()
+
 # Persistent XLA compilation cache: kernel shapes are bucketed, so across
 # runs the same executables recur; caching them on disk removes the
 # dominant cold-start cost (remote TPU compilation). Opt out with
 # SIGNALALIGN_TPU_NO_COMPILE_CACHE=1.
-import os as _os
 
 if not _os.environ.get("SIGNALALIGN_TPU_NO_COMPILE_CACHE"):
     try:

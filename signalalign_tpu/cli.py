@@ -157,6 +157,17 @@ def cmd_train(args) -> int:
     pairs = filter_reads(alignment_file, readdb, fast5_dirs)
     if args.max_reads:
         pairs = pairs[:args.max_reads]
+    distributed = bool(getattr(args, "distributed", False))
+    proc0 = True
+    if distributed:
+        # each host aligns only its shard; em_train cross_host sums the
+        # expectation tensors over jax.process_count() hosts
+        import jax
+
+        from signalalign_tpu.parallel import multihost
+        multihost.initialize()
+        pairs = multihost.host_shard(pairs)
+        proc0 = jax.process_index() == 0
     rgs = []
     for f5, rec in pairs:
         try:
@@ -181,8 +192,9 @@ def cmd_train(args) -> int:
             update_emissions=bool(training.get("em_emissions", False)),
             training_bases=(trans_args.get("training_bases")
                             or training.get("training_bases")),
-            checkpoint_dir=output_dir,
-            write_expectations=True,
+            checkpoint_dir=output_dir if proc0 else None,
+            write_expectations=proc0,
+            cross_host=distributed,
             assert_monotonic=bool(trans_args.get("test", False)))
         model = result.model
     if training.get("normal_emissions", False):
@@ -213,6 +225,12 @@ def cmd_train(args) -> int:
             base_gamma=float(hdp_args.get("base_gamma", 1.0)),
             middle_gamma=float(hdp_args.get("middle_gamma", 1.0)),
             leaf_gamma=float(hdp_args.get("leaf_gamma", 1.0)),
+            base_alpha=float(hdp_args.get("base_alpha", 1.0)),
+            base_beta=float(hdp_args.get("base_beta", 1.0)),
+            middle_alpha=float(hdp_args.get("middle_alpha", 1.0)),
+            middle_beta=float(hdp_args.get("middle_beta", 1.0)),
+            leaf_alpha=float(hdp_args.get("leaf_alpha", 1.0)),
+            leaf_beta=float(hdp_args.get("leaf_beta", 1.0)),
             gibbs_samples=int(training.get(
                 "gibbs_samples", hdp_args.get("gibbs_samples", 1000))),
             burn_in=int(training.get(
@@ -305,6 +323,10 @@ def main(argv=None) -> int:
     trainp.add_argument("--output_dir")
     trainp.add_argument("--iterations", type=int)
     trainp.add_argument("--max_reads", type=int)
+    trainp.add_argument("--distributed", action="store_true",
+                        help="multi-host EM (jax.distributed; set "
+                             "SIGNALALIGN_COORD/NPROC/PROC per host, or "
+                             "rely on TPU pod autodetection)")
     trainp.set_defaults(func=cmd_train)
 
     scanp = sub.add_parser(

@@ -13,7 +13,7 @@ from __future__ import annotations
 
 import ctypes
 import dataclasses
-from typing import Dict, Tuple
+from typing import Dict, Optional, Tuple
 
 import numpy as np
 
@@ -31,8 +31,9 @@ class HdpTopology:
 
 # The reference's 21 named HDP build types (trainModels.py:574-604 name->id,
 # nanopore_hdp.c:1160-1420 id->factory). Each pins an alphabet
-# (stateMachine.h:15-33) and a tree shape; "Prior" variants sample gammas
-# (our sampler keeps them fixed, matching the Fixed behavior).
+# (stateMachine.h:15-33) and a tree shape; "Prior" variants resample the
+# per-depth concentration parameters from Gamma(alpha, beta) priors during
+# Gibbs (sa_hdp_gibbs sample_gamma path; hdp.c:2165-2291).
 HDP_TYPE_REGISTRY: Dict[str, Tuple[str, str]] = {
     "singleLevelFixed": ("ACEGOT", "single"),
     "singleLevelPrior": ("ACEGOT", "single"),
@@ -192,42 +193,73 @@ def nig_params_from_data(data: np.ndarray) -> Tuple[float, float, float, float]:
     return mu0, nu, alpha, beta
 
 
+@dataclasses.dataclass
+class GibbsResult:
+    densities: np.ndarray       # (num_dps, grid)
+    observed: np.ndarray        # (num_dps,) bool
+    gamma: np.ndarray           # (tree_depth,) final per-depth gammas
+    w_aux: np.ndarray           # (num_dps,) final auxiliary w
+    s_aux: np.ndarray           # (num_dps,) final auxiliary s
+
+
 def gibbs_train(data: np.ndarray, data_dp: np.ndarray, topo: HdpTopology,
                 grid: np.ndarray, nig: Tuple[float, float, float, float],
                 burn_in: int = 10000, num_samples: int = 100,
-                thinning: int = 10, seed: int = 1):
-    """Run the native sampler -> (densities (num_dps, grid), observed)."""
+                thinning: int = 10, seed: int = 1,
+                sample_gamma: bool = False,
+                gamma_alpha: Optional[np.ndarray] = None,
+                gamma_beta: Optional[np.ndarray] = None) -> GibbsResult:
+    """Run the native sampler. ``burn_in``/``thinning`` count single-factor
+    updates (one datum reseat == one iteration, as the reference's
+    sample_dp_factors does). ``sample_gamma`` enables per-depth
+    concentration resampling from Gamma(gamma_alpha, gamma_beta) priors
+    (the *Prior* topology families)."""
     lib = native._load()
     if lib is None:
         raise RuntimeError("native library unavailable for HDP training")
     lib.sa_hdp_gibbs.restype = ctypes.c_long
     num_dps = len(topo.parent)
+    depths = dp_depths(topo)
+    tree_depth = int(depths.max()) + 1
     out_density = np.zeros((num_dps, len(grid)), dtype=np.float64)
     out_observed = np.zeros(num_dps, dtype=np.uint8)
+    out_gamma = np.zeros(tree_depth, dtype=np.float64)
+    out_w = np.zeros(num_dps, dtype=np.float64)
+    out_s = np.zeros(num_dps, dtype=np.uint8)
     c = lambda a, t: np.ascontiguousarray(a, dtype=t)
     data = c(data, np.float64)
     data_dp = c(data_dp, np.int64)
     parent = c(topo.parent, np.int64)
     gamma = c(topo.gamma, np.float64)
     gridc = c(grid, np.float64)
+    ga = c(gamma_alpha if gamma_alpha is not None
+           else np.ones(tree_depth), np.float64)
+    gb = c(gamma_beta if gamma_beta is not None
+           else np.ones(tree_depth), np.float64)
+    dp = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
     rc = lib.sa_hdp_gibbs(
-        data.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        dp(data),
         data_dp.ctypes.data_as(ctypes.POINTER(ctypes.c_long)),
         ctypes.c_long(len(data)),
         parent.ctypes.data_as(ctypes.POINTER(ctypes.c_long)),
-        gamma.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        dp(gamma),
         ctypes.c_long(num_dps),
         ctypes.c_double(nig[0]), ctypes.c_double(nig[1]),
         ctypes.c_double(nig[2]), ctypes.c_double(nig[3]),
-        gridc.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        dp(gridc),
         ctypes.c_long(len(grid)),
         ctypes.c_long(burn_in), ctypes.c_long(num_samples),
         ctypes.c_long(thinning), ctypes.c_ulong(seed),
+        ctypes.c_int(1 if sample_gamma else 0),
+        dp(ga), dp(gb), ctypes.c_long(tree_depth),
         out_density.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
-        out_observed.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)))
+        out_observed.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+        dp(out_gamma), dp(out_w),
+        out_s.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)))
     if rc != 0:
         raise RuntimeError(f"sa_hdp_gibbs failed: {rc}")
-    return out_density, out_observed.astype(bool)
+    return GibbsResult(out_density, out_observed.astype(bool), out_gamma,
+                       out_w, out_s.astype(bool))
 
 
 def spline_slopes(grid: np.ndarray, density: np.ndarray) -> np.ndarray:
@@ -249,15 +281,27 @@ def spline_slopes(grid: np.ndarray, density: np.ndarray) -> np.ndarray:
 def write_nhdp(path: str, alphabet: Alphabet, grid: np.ndarray,
                topo: HdpTopology, densities: np.ndarray,
                observed: np.ndarray, nig, data: np.ndarray,
-               data_dp: np.ndarray) -> str:
+               data_dp: np.ndarray,
+               gamma_params: Optional[np.ndarray] = None,
+               gamma_alpha: Optional[np.ndarray] = None,
+               gamma_beta: Optional[np.ndarray] = None,
+               w_aux: Optional[np.ndarray] = None,
+               s_aux: Optional[np.ndarray] = None) -> str:
     """Serialize in the reference .nhdp layout (serialize_nhdp,
     nanopore_hdp.c:1077 + serialize_hdp, hdp.c:2919); the factor-tree tail
-    is omitted (inference-side readers stop before it)."""
+    is omitted (inference-side readers stop before it).
+
+    With ``gamma_alpha``/``gamma_beta`` given, the sample_gamma flag is set
+    and the per-depth prior params + final auxiliary w/s vectors are
+    written (serialize_hdp's sample_gamma branch, hdp.c:2946-2972).
+    """
     slopes = spline_slopes(grid, densities)
+    sample_gamma = gamma_alpha is not None and gamma_beta is not None
     with open(path, "w") as fh:
         fh.write(f"{alphabet.size}\n{alphabet.letters}\n"
                  f"{alphabet.kmer_length}\n")
-        fh.write("1\n1\n0\n")                       # splines, has_data, no sample_gamma
+        # splines, has_data, sample_gamma flags
+        fh.write(f"1\n1\n{1 if sample_gamma else 0}\n")
         fh.write(f"{len(topo.parent)}\n")
         fh.write("\t".join(f"{v:.17g}" for v in data) + "\n")
         fh.write("\t".join(str(int(v)) for v in data_dp) + "\n")
@@ -267,8 +311,16 @@ def write_nhdp(path: str, alphabet: Alphabet, grid: np.ndarray,
         # one gamma per tree depth, base-to-leaf order (serialize_hdp writes
         # the depth-indexed gamma array; reference deserialize_hdp expects
         # exactly num_dir_levels values -- no dedup, no magnitude sorting)
-        depth_gammas = depth_gamma_vector(topo)
+        depth_gammas = (gamma_params if gamma_params is not None
+                        else depth_gamma_vector(topo))
         fh.write("\t".join(f"{g:.17g}" for g in depth_gammas) + "\n")
+        if sample_gamma:
+            fh.write("\t".join(f"{g:.17g}" for g in gamma_alpha) + "\n")
+            fh.write("\t".join(f"{g:.17g}" for g in gamma_beta) + "\n")
+            w = w_aux if w_aux is not None else np.zeros(len(topo.parent))
+            s = s_aux if s_aux is not None else np.zeros(len(topo.parent))
+            fh.write("\t".join(f"{v:.17g}" for v in w) + "\n")
+            fh.write("\t".join(str(int(v)) for v in s) + "\n")
         for i, p in enumerate(topo.parent):
             fh.write(("-" if p < 0 else str(int(p)))
                      + f"\t{1 if observed[i] else 0}\n")
@@ -290,13 +342,20 @@ def train_hdp_from_alignment(build_alignment_path: str, model: PoreModel,
                              grid_length: int = 1200,
                              base_gamma: float = 5.0, middle_gamma: float = 2.0,
                              leaf_gamma: float = 0.5,
+                             base_alpha: float = 1.0, base_beta: float = 1.0,
+                             middle_alpha: float = 1.0, middle_beta: float = 1.0,
+                             leaf_alpha: float = 1.0, leaf_beta: float = 1.0,
                              gibbs_samples: int = 100, burn_in: int = 32,
                              thinning: int = 10, strand: str = "t",
                              seed: int = 1) -> str:
     """buildHdpUtil equivalent: assignment TSV -> Gibbs -> .nhdp.
 
     ``burn_in`` follows the reference's multiplier semantics
-    (min(30M, burn_in * n_assignments), trainModels.py:882-884).
+    (min(30M, burn_in * n_assignments), trainModels.py:882-884); burn-in
+    and thinning are counted in single-factor updates like the reference.
+    ``*Prior*`` topology types enable per-depth gamma resampling from
+    Gamma(alpha, beta) priors (nanopore_hdp.c factories 506-930 pass
+    gamma_alpha/gamma_beta; hdp.c:2165-2291 samples them).
     """
     if hdp_type in HDP_TYPE_REGISTRY:
         alphabet = hdp_type_alphabet(hdp_type, model.kmer_length)
@@ -318,14 +377,32 @@ def train_hdp_from_alignment(build_alignment_path: str, model: PoreModel,
                           middle_gamma, leaf_gamma)
     grid = np.linspace(grid_start, grid_stop, grid_length)
     nig = nig_params_from_data(data)
-    # reference counts burn-in/thinning in single-factor updates
-    # (trainModels.py:882-884); the native sampler counts whole sweeps
-    n = max(len(data), 1)
-    burn_sweeps = max(1, min(30_000_000, burn_in * n) // n)
-    thin_sweeps = max(1, thinning // n)
-    densities, observed = gibbs_train(
+    # burn-in/thinning count single-factor updates, like the reference
+    # (sample_dp_factors, hdp.c:2110; trainModels.py:882-884 multiplies
+    # the burn-in by the assignment count)
+    burn = min(30_000_000, burn_in * max(len(data), 1))
+    sample_gamma = "prior" in hdp_type.lower()
+    depths = dp_depths(topo)
+    tree_depth = int(depths.max()) + 1
+    ga = gb = None
+    if sample_gamma:
+        # per-depth Gamma(alpha, beta) priors, base-to-leaf order
+        # (nanopore_hdp.c factories pass (Ba, Bb), (Ma, Mb), (La, Lb))
+        alphas = [base_alpha, middle_alpha, leaf_alpha]
+        betas = [base_beta, middle_beta, leaf_beta]
+        if tree_depth == 2:     # single-level: base + leaves
+            alphas = [base_alpha, leaf_alpha]
+            betas = [base_beta, leaf_beta]
+        ga = np.array(alphas[:tree_depth], dtype=np.float64)
+        gb = np.array(betas[:tree_depth], dtype=np.float64)
+    res = gibbs_train(
         data, data_dp, topo, grid, nig,
-        burn_in=burn_sweeps, num_samples=gibbs_samples,
-        thinning=thin_sweeps, seed=seed)
-    return write_nhdp(out_path, alphabet, grid, topo, densities,
-                      observed, nig, data, data_dp)
+        burn_in=burn, num_samples=gibbs_samples,
+        thinning=thinning, seed=seed,
+        sample_gamma=sample_gamma, gamma_alpha=ga, gamma_beta=gb)
+    return write_nhdp(out_path, alphabet, grid, topo, res.densities,
+                      res.observed, nig, data, data_dp,
+                      gamma_params=res.gamma if sample_gamma else None,
+                      gamma_alpha=ga, gamma_beta=gb,
+                      w_aux=res.w_aux if sample_gamma else None,
+                      s_aux=res.s_aux if sample_gamma else None)

@@ -169,6 +169,63 @@ def get_split_points(anchor_pairs: Sequence[Tuple[int, int]], lX: int, lY: int,
     return split_points
 
 
+def split_segment_by_width(
+        anchor_pairs: Sequence[Tuple[int, int]], lX: int, lY: int,
+        expansion: int, cap: int,
+        _depth: int = 0) -> List[Tuple[int, int, int, int, List[Tuple[int, int]]]]:
+    """Split a segment whose band exceeds ``cap`` cells in width at the
+    anchors flanking the bulge. Returns (x1, y1, x2, y2, rel_anchors)
+    blocks covering [0,0]..[lX,lY] in order.
+
+    TPU-native banding policy (no reference counterpart): a localized band
+    bulge — a large inter-anchor gap — would otherwise bucket the WHOLE
+    read into a wide-band device shape that exceeds the lane-batched
+    kernel's VMEM budget. Cutting at the bulge's flanking anchors pins the
+    path there (exactly like the reference's getSplitPoints cuts,
+    pairwiseAligner.c:1886-1951) and confines the wide band to a small
+    block, which falls back to the per-read kernel; the bulk of the read
+    keeps the fast fixed-width shape.
+    """
+    anchors = list(anchor_pairs)
+    whole = [(0, 0, lX, lY, anchors)]
+    if lX <= 0 or lY <= 0 or _depth > 6:
+        return whole
+    xmyL, xmyR = build_band(anchors, lX, lY, expansion)
+    w = band_widths(xmyL, xmyR)
+    if int(w.max()) <= cap:
+        return whole
+    wide = np.nonzero(w > cap)[0]
+    dlo, dhi = int(wide.min()), int(wide.max())
+    # anchor (ax, ay) sits on matrix diagonal ax + ay + 2
+    before = [a for a in anchors if a[0] + a[1] + 2 <= dlo]
+    after = [a for a in anchors if a[0] + a[1] + 2 >= dhi]
+    cut_anchors = []
+    if before:
+        cut_anchors.append(before[-1])
+    if after and (not before or after[0] != before[-1]):
+        cut_anchors.append(after[0])
+    cuts = [(ax + 1, ay + 1) for ax, ay in cut_anchors
+            if 0 < ax + 1 < lX and 0 < ay + 1 < lY]
+    if not cuts:
+        return whole
+    out: List[Tuple[int, int, int, int, List[Tuple[int, int]]]] = []
+    px = py = 0
+    j = 0
+    for (cx, cy) in cuts + [(lX, lY)]:
+        sub: List[Tuple[int, int]] = []
+        while j < len(anchors):
+            ax, ay = anchors[j]
+            if ax + ay >= cx + cy:
+                break
+            sub.append((ax - px, ay - py))
+            j += 1
+        for (rx1, ry1, rx2, ry2, ra) in split_segment_by_width(
+                sub, cx - px, cy - py, expansion, cap, _depth + 1):
+            out.append((px + rx1, py + ry1, px + rx2, py + ry2, ra))
+        px, py = cx, cy
+    return out
+
+
 def remap_anchors_to_events(anchor_pairs: Sequence[Tuple[int, int]],
                             event_map: np.ndarray, map_offset: int) -> List[Tuple[int, int]]:
     """Map (ref_pos, read_pos) anchors to (ref_pos, event_index) anchors via

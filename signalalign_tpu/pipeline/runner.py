@@ -31,7 +31,8 @@ from signalalign_tpu.models.pore_model import PoreModel, ScalingParams
 from signalalign_tpu.ops import banded_fb as bfb
 from signalalign_tpu.ops.band_geometry import (band_widths, build_band,
                                                get_split_points,
-                                               remap_anchors_to_events)
+                                               remap_anchors_to_events,
+                                               split_segment_by_width)
 from signalalign_tpu.ops.scaling import (adjust_events_for_drift,
                                          estimate_nanopore_params)
 from signalalign_tpu.pipeline.signal_align import (AlignmentConfig,
@@ -112,8 +113,6 @@ def prepare_read(read: NanoporeReadData, guide: GuideAlignment,
     tasks = []
     j = 0
     for (x1, y1, x2, y2) in splits:
-        seg_chars = target[x1:x2 + k - 1]
-        seg_events = window_events[y1:y2]
         seg_anchors = []
         while j < len(anchors):
             ax, ay = anchors[j]
@@ -121,20 +120,28 @@ def prepare_read(read: NanoporeReadData, guide: GuideAlignment,
                 break
             seg_anchors.append((ax - x1, ay - y1))
             j += 1
-        slX = len(seg_chars) - k + 1
-        slY = len(seg_events)
-        xmyL, xmyR = build_band(seg_anchors, slX, slY,
-                                config.diagonal_expansion)
-        W = _bucket_w(int(band_widths(xmyL, xmyR).max()))
-        Dpad = _bucket_d(slX + slY)
-        P = max_paths_per_kmer(seg_chars, k, config.ambig_map)
-        problem = bfb.prepare_problem(
-            seg_chars, seg_events, model, params, config.ambig_map,
-            W=W, Dpad=Dpad, P=P, mode=config.emission_mode,
-            anchor_pairs=seg_anchors, expansion=config.diagonal_expansion,
-            scale_noise=(config.emission_mode == bfb.MODE_FULL_DESCALED),
-            hdp=hdp)
-        tasks.append(((x1, y1), problem, W, Dpad, P))
+        # width-capped sub-splitting: confine band bulges to small blocks
+        # so the bulk of the read keeps a fast-kernel-sized band
+        for (sx1, sy1, sx2, sy2, sub_anchors) in split_segment_by_width(
+                seg_anchors, x2 - x1, y2 - y1,
+                config.diagonal_expansion, config.max_band_width):
+            seg_chars = target[x1 + sx1:x1 + sx2 + k - 1]
+            seg_events = window_events[y1 + sy1:y1 + sy2]
+            slX = len(seg_chars) - k + 1
+            slY = len(seg_events)
+            xmyL, xmyR = build_band(sub_anchors, slX, slY,
+                                    config.diagonal_expansion)
+            W = _bucket_w(int(band_widths(xmyL, xmyR).max()))
+            Dpad = _bucket_d(slX + slY)
+            P = max_paths_per_kmer(seg_chars, k, config.ambig_map)
+            problem = bfb.prepare_problem(
+                seg_chars, seg_events, model, params, config.ambig_map,
+                W=W, Dpad=Dpad, P=P, mode=config.emission_mode,
+                anchor_pairs=sub_anchors,
+                expansion=config.diagonal_expansion,
+                scale_noise=(config.emission_mode == bfb.MODE_FULL_DESCALED),
+                hdp=hdp)
+            tasks.append(((x1 + sx1, y1 + sy1), problem, W, Dpad, P))
     return target, params, events, ev_start, tasks
 
 
@@ -196,19 +203,20 @@ def run_alignment_batch(
                      and not config.compute_expectations)
         if pallas_ok:
             try:
+                from signalalign_tpu.ops.banded_fb_pallas_batch import \
+                    choose_lanes as _choose_lanes
                 lYmax = max(p.lY for p in probs)
                 # ~3x events bounds the >=1% posterior pairs per read
                 # (upstream property: rows <= 3x events); rounded for shape
                 # reuse across similar buckets
                 K = max(((3 * lYmax + 127) // 128) * 128, 1024)
-                if pallas_interpret or W > 768 or len(probs) < 32:
+                S_lanes = _choose_lanes(max(p.n_diag for p in probs), W)
+                if pallas_interpret or W > 1024 or len(probs) < 32:
                     # per-read-row kernel: far cheaper under the
-                    # interpreter; the only Pallas variant whose VMEM
-                    # footprint fits wide bands (the 128-lane kernel holds
-                    # ~9 (WB, 128) f32 ring rows in VMEM, exceeding the
-                    # 16MB scoped limit above W~768); and the right choice
-                    # for small buckets, where padding to full 128-lane
-                    # stripes would multiply host->device bytes
+                    # interpreter; the fallback for shapes whose
+                    # lane-batched scratch exceeds VMEM; and the right
+                    # choice for small buckets, where padding to full
+                    # S-lane stripes would multiply host->device bytes
                     from signalalign_tpu.ops.banded_fb_pallas import \
                         PallasAligner
                     aligner = PallasAligner(probs, W=W, T=240,
@@ -218,24 +226,30 @@ def run_alignment_batch(
                     for i, r in zip(idxs, res[:len(probs)]):
                         seg_results[i] = r
                 else:
-                    from signalalign_tpu.ops.banded_fb_pallas_batch import \
-                        PallasBatchAligner
-                    # lane-batched kernel wants full 128-lane stripes;
-                    # repeat problems to fill the last stripe (extra lanes
-                    # decoded but discarded)
-                    S = 128
-                    padded = list(probs)
-                    while len(padded) % S:
-                        padded.append(probs[-1])
-                    aligner = PallasBatchAligner(padded, W=W, T=24, S=S,
-                                                 RB=256)
-                    # pipeline: overlap this bucket's kernels with the
-                    # previous bucket's result fetch (bounded in-flight
-                    # depth keeps HBM for two buckets of stacks)
-                    fin = aligner.execute_async(compact_k=K,
-                                                threshold=config.threshold)
-                    pending.append((idxs, len(probs), fin))
-                    drain(1)
+                    from signalalign_tpu.ops.banded_fb_pallas_batch import (
+                        PallasBatchAligner, choose_lanes)
+                    # lane-batched kernel wants full S-lane stripes; S
+                    # shrinks below 128 when long reads' DP stacks would
+                    # exceed HBM. One aligner dispatch per stripe keeps
+                    # in-flight stack memory bounded; repeat problems to
+                    # fill the last stripe (extra lanes decoded but
+                    # discarded)
+                    S = S_lanes
+                    for c0 in range(0, len(probs), S):
+                        chunk = probs[c0:c0 + S]
+                        cidx = idxs[c0:c0 + S]
+                        n_real = len(chunk)
+                        while len(chunk) % S:
+                            chunk.append(chunk[-1])
+                        aligner = PallasBatchAligner(chunk, W=W, T=24,
+                                                     S=S, RB=128)
+                        # pipeline: overlap this stripe's kernels with the
+                        # previous stripe's result fetch (bounded in-flight
+                        # depth keeps HBM for two stripes of stacks)
+                        fin = aligner.execute_async(
+                            compact_k=K, threshold=config.threshold)
+                        pending.append((cidx, n_real, fin))
+                        drain(1)
                 continue
             except Exception as exc:
                 # geometry constraints raise ValueError; device compile

@@ -36,6 +36,10 @@ class AlignmentConfig:
     diagonal_expansion: int = 50       # signalMachine.c:487 default
     constraint_trim: int = 14
     split_bigger_than: int = 3000 * 3000
+    # TPU-native: split segments whose band bulges past this width at the
+    # bulge's flanking anchors, keeping the bulk on the fixed-width
+    # lane-batched kernel (band_geometry.split_segment_by_width)
+    max_band_width: int = 768
     estimate_params: bool = True       # signalMachine ESTIMATE_PARAMS
     emission_mode: int = bfb.MODE_MEAN_ONLY
     ambig_map: Dict[str, str] = dataclasses.field(

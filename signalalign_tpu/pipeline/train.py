@@ -70,6 +70,7 @@ def em_train(
     checkpoint_dir: Optional[str] = None,
     checkpoint_prefix: str = "template_trained",
     write_expectations: bool = False,
+    cross_host: bool = False,
     verbose: bool = False,
     assert_monotonic: bool = False,
 ) -> EMResult:
@@ -128,6 +129,22 @@ def em_train(
                 kexp += r.emission_expectations
             lik += r.likelihood
             ll += r.total_log_prob
+        if cross_host:
+            # multi-host EM: every process aligned only its host_shard of
+            # the reads; sum the (tiny) expectation tensors across hosts
+            # so the M-step below is identical everywhere (replaces the
+            # reference's expectation-TSV file merge)
+            import jax
+            if jax.process_count() > 1:
+                from jax.experimental import multihost_utils
+                flat = np.concatenate([texp.reshape(-1), kexp.reshape(-1),
+                                       [lik, ll]])
+                import jax.numpy as jnp
+                tot = np.asarray(multihost_utils.process_allgather(
+                    jnp.asarray(flat))).sum(axis=0)
+                texp = tot[:9].reshape(3, 3)
+                kexp = tot[9:-2].reshape(kexp.shape)
+                lik, ll = float(tot[-2]), float(tot[-1])
         mean_exp, sd_exp, posteriors, observed = emission_slots_from_kexp(
             kexp, model.level_mean)
         if write_expectations and checkpoint_dir:

@@ -282,8 +282,10 @@ def test_pallas_v2_interpret_matches_scan(r94_model):
     ref = run_banded_fb_batch(problems, W=128, P=1)
     al = PallasBatchAligner(problems, W=128, T=48, S=4, RB=256,
                             interpret=True)
-    v2 = al.execute(compact_k=1024)
-    for i, (r, p) in enumerate(zip(ref, v2)):
+    # pack16: u16 posterior values for the exactness assertions below
+    v2 = al.execute(compact_k=1024, pack16=True)
+    v8 = al.execute(compact_k=1024)   # default 4 B/pair u8 packing
+    for i, (r, p, p8) in enumerate(zip(ref, v2, v8)):
         assert math.isclose(r["total_f"], p["total_f"], rel_tol=1e-5)
         assert math.isclose(r["total_b"], p["total_b"], rel_tol=1e-5)
         sp = bfb.extract_aligned_pairs(problems[i], r["post"], 0.01)
@@ -294,3 +296,12 @@ def test_pallas_v2_interpret_matches_scan(r94_model):
             assert abs(pv / 1e7 - 0.01) < 2e-3
         for key in set(d1) & set(d2):
             assert abs(d1[key] - d2[key]) <= 2e-3 * 1e7
+        # u8 packing: identical survivor SET (membership is decided on the
+        # f32 logs before quantization), values within 1/255, and the
+        # device cell-sort reproduces the (x+y, x) output order exactly
+        d8 = {(x, y): pr for pr, x, y, k in p8["pairs"]}
+        assert set(d8) == set(d2)
+        for key in d8:
+            assert abs(d8[key] - d2[key]) <= (1e7 / 255) * 0.51 + 1
+        assert [(x, y) for _, x, y, _ in p8["pairs"]] \
+            == [(x, y) for _, x, y, _ in p["pairs"]]

@@ -60,7 +60,10 @@ def test_runner_pallas_interpret_matches_xla(setup):
     shared = set(xp) & set(pp)
     assert len(shared) > 0.99 * max(len(xp), len(pp))
     diffs = [abs(xp[k] - pp[k]) for k in shared]
-    assert np.median(diffs) < 2e-4 * 1e7
+    # production packing quantizes posterior VALUES to u8 (1/255 ~ 4e-3,
+    # an order under the reference's own ~1e-2 chunked-traceback output
+    # approximation); membership is still decided on f32
+    assert np.median(diffs) < 3e-3 * 1e7
 
 
 def test_assignments_output_format(setup, tmp_path):
