@@ -129,7 +129,7 @@ def main():
         K = max(((3 * lYmax + 127) // 128) * 128, 1024)
         ev = sum(p.lY for p in probs)
         if kind == "v2":
-            al = PallasBatchAligner(probs, W=W, T=24, S=128, RB=128)
+            al = PallasBatchAligner(probs, W=W, T=120, S=128, RB=256)
             v2_events += ev
         else:
             al = PallasAligner(probs, W=W, T=240)

@@ -277,6 +277,104 @@ def cmd_scan(args) -> int:
     return 0
 
 
+def cmd_extract(args) -> int:
+    """Pull fastqs (+ index readdb) from fast5 files — the reference's
+    ``extract`` binary (impl/extract.c:23 + eventAligner.c
+    write_fastq_and_readdb_file1: one fastq, one <out>.index.readdb
+    mapping read_id -> fast5 basename)."""
+    import glob
+
+    from signalalign_tpu.io.fast5 import Fast5
+
+    out = args.output
+    if not (out.endswith(".fastq") or out.endswith(".fq")):
+        print(f"output file must have fastq or fq extension: {out}",
+              file=sys.stderr)
+        return 1
+    readdb = out + ".index.readdb"
+    for p in (out, readdb):
+        if os.path.exists(p):
+            print(f"output file already exists: {p}", file=sys.stderr)
+            return 1
+    dirs = [args.fast5dir]
+    if args.recursive:
+        dirs += [d for d in sorted(glob.glob(os.path.join(args.fast5dir,
+                                                          "*")))
+                 if os.path.isdir(d)]
+    n = 0
+    with open(out, "w") as fq, open(readdb, "w") as db:
+        for d in dirs:
+            for f5path in sorted(glob.glob(os.path.join(d, "*.fast5"))):
+                try:
+                    with Fast5(f5path) as f5:
+                        fastq = f5.template_fastq()
+                        read_id = f5.read_id
+                except Exception as exc:
+                    print(f"[extract] skipping {f5path}: {exc}",
+                          file=sys.stderr)
+                    continue
+                if not fastq:
+                    continue
+                if not fastq.endswith("\n"):
+                    fastq += "\n"
+                fq.write(fastq)
+                rid = read_id or fastq.split("\n", 1)[0].lstrip("@").split()[0]
+                db.write(f"{rid}\t{os.path.basename(f5path)}\n")
+                n += 1
+    print(f"[extract] wrote {n} reads to {out} (+ {readdb})")
+    return 0
+
+
+def cmd_compare(args) -> int:
+    from signalalign_tpu.compare import (ModelDistributions,
+                                         compare_model_to_own_hdp,
+                                         compare_models, dump_densities,
+                                         write_comparison_tsv)
+    from signalalign_tpu.models.hdp_model import load_nhdp
+    from signalalign_tpu.models.pore_model import PoreModel
+    from signalalign_tpu.visualization import (plot_kmer_distributions,
+                                               plot_model_comparisons)
+
+    os.makedirs(args.output_dir, exist_ok=True)
+    model1 = PoreModel.from_file(args.model)
+    hdp1 = load_nhdp(args.hdp) if args.hdp else None
+    m1 = ModelDistributions(model1, hdp1,
+                            name=os.path.basename(args.model))
+    if args.model2 or args.hdp2:
+        model2 = PoreModel.from_file(args.model2 or args.model)
+        hdp2 = load_nhdp(args.hdp2) if args.hdp2 else None
+        m2 = ModelDistributions(
+            model2, hdp2,
+            name=os.path.basename(args.model2 or args.hdp2))
+        kmers, kls, hels, deltas = compare_models(m1, m2)
+        label = f"{m1.name} vs {m2.name}"
+        models = [m1, m2]
+    elif hdp1 is not None:
+        # single model: HDP vs its own ONT Gaussians
+        kmers, kls, hels, deltas = compare_model_to_own_hdp(model1, hdp1)
+        label = f"{m1.name} HDP vs ONT"
+        models = [m1]
+    else:
+        print("compare needs --hdp or a second model (--model2/--hdp2)",
+              file=sys.stderr)
+        return 1
+    tsv = os.path.join(args.output_dir, "kl_hellinger_delta_distances.tsv")
+    write_comparison_tsv(tsv, kmers, kls, hels, deltas)
+    png = os.path.join(args.output_dir, "model_comparisons.png")
+    plot_model_comparisons(kls, hels, deltas, png, label=label)
+    print(f"[compare] {len(kmers)} kmers -> {tsv}, {png}")
+    if args.kmers:
+        for kmer in args.kmers.split(","):
+            out = os.path.join(args.output_dir, f"kmer_{kmer}.png")
+            plot_kmer_distributions(models, kmer, out)
+            print(f"[compare] {out}")
+    if args.dump_densities and hdp1 is not None:
+        dd = os.path.join(args.output_dir, "density_dumps")
+        written = dump_densities(hdp1, dd)
+        print(f"[compare] dumped {len(written)} kmer densities to {dd}")
+    return 0
+
+
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser(prog="signalalign_tpu")
     sub = parser.add_subparsers(dest="command", required=True)
@@ -341,6 +439,28 @@ def main(argv=None) -> int:
     scanp.add_argument("--step_size", default=10)
     scanp.add_argument("--max_reads", type=int)
     scanp.set_defaults(func=cmd_scan)
+
+    cmpp = sub.add_parser(
+        "compare", help="per-kmer distribution distances between models "
+                        "(compareDistributions / compare_trained_models)")
+    cmpp.add_argument("--model", required=True)
+    cmpp.add_argument("--hdp")
+    cmpp.add_argument("--model2")
+    cmpp.add_argument("--hdp2")
+    cmpp.add_argument("--output_dir", default="compare_out")
+    cmpp.add_argument("--kmers", help="comma-separated kmers to plot")
+    cmpp.add_argument("--dump_densities", action="store_true",
+                      help="write x_vals.txt + per-kmer _distr.txt density "
+                           "dumps (compareDistributions equivalent)")
+    cmpp.set_defaults(func=cmd_compare)
+
+    extp = sub.add_parser("extract",
+                          help="pull fastqs from fast5 files (extract)")
+    extp.add_argument("-d", "--fast5dir", required=True)
+    extp.add_argument("-o", "--output", required=True)
+    extp.add_argument("-r", "--recursive", action="store_true",
+                      help="search all immediate subdirectories")
+    extp.set_defaults(func=cmd_extract)
 
     args = parser.parse_args(argv)
     return args.func(args)

@@ -136,7 +136,12 @@ class PoreModel:
         if not os.path.exists(path):
             raise FileNotFoundError(path)
         with open(path) as fh:
-            header = fh.readline().split()
+            first = fh.readline()
+            if first.startswith("#") or first.startswith("kmer\t"):
+                # nanopolish-format table (e.g. the shipped
+                # r9.4_450bps.*.template.model files)
+                return cls.from_nanopolish_file(path)
+            header = first.split()
             if len(header) != 4:
                 raise ValueError(f"bad .model header in {path}: {header}")
             state_number, alphabet_size, alphabet, kmer_length = (

@@ -171,41 +171,52 @@ def get_split_points(anchor_pairs: Sequence[Tuple[int, int]], lX: int, lY: int,
 
 def split_segment_by_width(
         anchor_pairs: Sequence[Tuple[int, int]], lX: int, lY: int,
-        expansion: int, cap: int,
+        expansion: int, cap: int, max_diag: int = 0,
         _depth: int = 0) -> List[Tuple[int, int, int, int, List[Tuple[int, int]]]]:
-    """Split a segment whose band exceeds ``cap`` cells in width at the
-    anchors flanking the bulge. Returns (x1, y1, x2, y2, rel_anchors)
-    blocks covering [0,0]..[lX,lY] in order.
+    """Split a segment whose band exceeds ``cap`` cells in width — at the
+    anchors flanking the bulge — or whose diagonal count exceeds
+    ``max_diag`` (0 = no limit) — at the anchor nearest the midpoint.
+    Returns (x1, y1, x2, y2, rel_anchors) blocks covering
+    [0,0]..[lX,lY] in order.
 
-    TPU-native banding policy (no reference counterpart): a localized band
+    TPU-native banding policy (no reference counterpart). A localized band
     bulge — a large inter-anchor gap — would otherwise bucket the WHOLE
     read into a wide-band device shape that exceeds the lane-batched
-    kernel's VMEM budget. Cutting at the bulge's flanking anchors pins the
-    path there (exactly like the reference's getSplitPoints cuts,
-    pairwiseAligner.c:1886-1951) and confines the wide band to a small
-    block, which falls back to the per-read kernel; the bulk of the read
-    keeps the fast fixed-width shape.
+    kernel's VMEM budget; cutting at the bulge's flanking anchors confines
+    the wide band to a small block (which falls back to the per-read
+    kernel) while the bulk keeps the fast fixed-width shape. The diagonal
+    cap bounds the per-lane DP-stack HBM of very long reads and makes
+    device shape buckets homogeneous. Both cuts pin the path at an anchor,
+    exactly like the reference's own getSplitPoints cuts
+    (pairwiseAligner.c:1886-1951).
     """
     anchors = list(anchor_pairs)
     whole = [(0, 0, lX, lY, anchors)]
-    if lX <= 0 or lY <= 0 or _depth > 6:
+    if lX <= 0 or lY <= 0 or _depth > 12:
         return whole
-    xmyL, xmyR = build_band(anchors, lX, lY, expansion)
-    w = band_widths(xmyL, xmyR)
-    if int(w.max()) <= cap:
-        return whole
-    wide = np.nonzero(w > cap)[0]
-    dlo, dhi = int(wide.min()), int(wide.max())
-    # anchor (ax, ay) sits on matrix diagonal ax + ay + 2
-    before = [a for a in anchors if a[0] + a[1] + 2 <= dlo]
-    after = [a for a in anchors if a[0] + a[1] + 2 >= dhi]
-    cut_anchors = []
-    if before:
-        cut_anchors.append(before[-1])
-    if after and (not before or after[0] != before[-1]):
-        cut_anchors.append(after[0])
-    cuts = [(ax + 1, ay + 1) for ax, ay in cut_anchors
-            if 0 < ax + 1 < lX and 0 < ay + 1 < lY]
+    cuts: List[Tuple[int, int]] = []
+    if max_diag and lX + lY > max_diag and anchors:
+        # cut at the anchor nearest the diagonal midpoint
+        mid = (lX + lY) // 2
+        best = min(anchors, key=lambda a: abs(a[0] + a[1] + 2 - mid))
+        cuts = [(best[0] + 1, best[1] + 1)]
+    else:
+        xmyL, xmyR = build_band(anchors, lX, lY, expansion)
+        w = band_widths(xmyL, xmyR)
+        if int(w.max()) <= cap:
+            return whole
+        wide = np.nonzero(w > cap)[0]
+        dlo, dhi = int(wide.min()), int(wide.max())
+        # anchor (ax, ay) sits on matrix diagonal ax + ay + 2
+        before = [a for a in anchors if a[0] + a[1] + 2 <= dlo]
+        after = [a for a in anchors if a[0] + a[1] + 2 >= dhi]
+        cut_anchors = []
+        if before:
+            cut_anchors.append(before[-1])
+        if after and (not before or after[0] != before[-1]):
+            cut_anchors.append(after[0])
+        cuts = [(ax + 1, ay + 1) for ax, ay in cut_anchors]
+    cuts = [(cx, cy) for cx, cy in cuts if 0 < cx < lX and 0 < cy < lY]
     if not cuts:
         return whole
     out: List[Tuple[int, int, int, int, List[Tuple[int, int]]]] = []
@@ -220,7 +231,8 @@ def split_segment_by_width(
             sub.append((ax - px, ay - py))
             j += 1
         for (rx1, ry1, rx2, ry2, ra) in split_segment_by_width(
-                sub, cx - px, cy - py, expansion, cap, _depth + 1):
+                sub, cx - px, cy - py, expansion, cap, max_diag,
+                _depth + 1):
             out.append((px + rx1, py + ry1, px + rx2, py + ry2, ra))
         px, py = cx, cy
     return out

@@ -699,10 +699,10 @@ def choose_lanes(n_diag_max: int, W: int, T: int = 24,
     return 128
 
 
-def stack_bytes(n_diag_max: int, W: int, S: int = 128, T: int = 24) -> int:
+def stack_bytes(n_diag_max: int, W: int, S: int = 128, T: int = 120) -> int:
     """In-flight HBM for one dispatch's two u16 DP stacks (forward match
     rows + fused log-posterior, (Dp1p, WB, S) u16 each)."""
-    WB = W + 8
+    WB = W + T + 128
     Dp1p = ((n_diag_max + T) // T + 1) * T
     return 2 * Dp1p * WB * 2 * S
 

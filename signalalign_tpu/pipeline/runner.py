@@ -124,7 +124,8 @@ def prepare_read(read: NanoporeReadData, guide: GuideAlignment,
         # so the bulk of the read keeps a fast-kernel-sized band
         for (sx1, sy1, sx2, sy2, sub_anchors) in split_segment_by_width(
                 seg_anchors, x2 - x1, y2 - y1,
-                config.diagonal_expansion, config.max_band_width):
+                config.diagonal_expansion, config.max_band_width,
+                config.max_segment_diagonals):
             seg_chars = target[x1 + sx1:x1 + sx2 + k - 1]
             seg_events = window_events[y1 + sy1:y1 + sy2]
             slX = len(seg_chars) - k + 1
@@ -241,8 +242,8 @@ def run_alignment_batch(
                         n_real = len(chunk)
                         while len(chunk) % S:
                             chunk.append(chunk[-1])
-                        aligner = PallasBatchAligner(chunk, W=W, T=24,
-                                                     S=S, RB=128)
+                        aligner = PallasBatchAligner(chunk, W=W, T=120,
+                                                     S=S, RB=256)
                         # pipeline: overlap this stripe's kernels with the
                         # previous stripe's result fetch (bounded in-flight
                         # depth keeps HBM for two stripes of stacks)

@@ -38,8 +38,11 @@ class AlignmentConfig:
     split_bigger_than: int = 3000 * 3000
     # TPU-native: split segments whose band bulges past this width at the
     # bulge's flanking anchors, keeping the bulk on the fixed-width
-    # lane-batched kernel (band_geometry.split_segment_by_width)
+    # lane-batched kernel; cap segment diagonal counts so long reads'
+    # per-lane DP stacks stay within HBM and shape buckets stay
+    # homogeneous (band_geometry.split_segment_by_width)
     max_band_width: int = 768
+    max_segment_diagonals: int = 15500
     estimate_params: bool = True       # signalMachine ESTIMATE_PARAMS
     emission_mode: int = bfb.MODE_MEAN_ONLY
     ambig_map: Dict[str, str] = dataclasses.field(

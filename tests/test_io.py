@@ -173,3 +173,27 @@ def test_target_regions(tmp_path):
     g_out = GuideAlignment("c", True, 300, 600, 0, 300, [(300, "M")])
     assert tr.accepts(g_in)
     assert not tr.accepts(g_out)
+
+
+def test_extract_cli(tmp_path):
+    """extract-binary equivalent: fast5 dir -> fastq + index readdb
+    (impl/extract.c:23)."""
+    from signalalign_tpu.cli import main
+
+    out = tmp_path / "reads.fastq"
+    rc = main(["extract", "-d",
+               "/root/reference/tests/minion_test_reads/1D",
+               "-o", str(out)])
+    assert rc == 0
+    text = out.read_text()
+    recs = [l for l in text.splitlines() if l.startswith("@")]
+    assert len(recs) >= 3
+    db = (tmp_path / "reads.fastq.index.readdb").read_text().splitlines()
+    assert len(db) >= 3
+    for line in db:
+        rid, f5 = line.split("\t")
+        assert f5.endswith(".fast5")
+    # refuses to overwrite (reference st_errAbort behavior)
+    assert main(["extract", "-d",
+                 "/root/reference/tests/minion_test_reads/1D",
+                 "-o", str(out)]) == 1
