@@ -73,6 +73,12 @@ def _dequant_rows(q):
             * jnp.float32(-1.0 / QSCALE))
 
 
+def _quant_prob_rows(p):
+    """u16 log-quantize a (rescaled) probability row; 0 -> QMAX sentinel."""
+    q = jnp.minimum(jnp.round(jnp.maximum(-jnp.log(p), 0.0) * QSCALE), QMAX)
+    return q.astype(jnp.int32).astype(jnp.uint16)
+
+
 def _m_row(slot):
     return slot * 3
 
@@ -86,19 +92,33 @@ def _y_row(slot):
 
 
 def _pack16(problem: bfb.BandedProblem) -> np.ndarray:
-    out = np.zeros(16, dtype=np.float32)
+    # probability-space constants for the kernels (exp of the log params;
+    # impossible transitions become exact 0)
+    out = np.full(16, NEG, dtype=np.float64)
     out[0:9] = problem.log_trans
     out[9:12] = problem.start_logs
     out[12:15] = problem.end_logs
     out[15] = bfb.LOG_GAPX_EMISSION
-    return out
+    with np.errstate(over="ignore"):
+        return np.exp(out).astype(np.float32)
 
 
 def _fwd_kernel(geom_ref, refwin_ref, evinit_ref, evins_ref, pack_ref,
                 hbm_f_ref, out_incr_ref, out_lse_ref,
                 ring, evw, mprev, obuf, osem,
                 *, T: int, WB: int, S: int, RB: int):
-    """Forward sweep tile for one read group.
+    """Forward sweep tile for one read group — PROBABILITY-space DP.
+
+    The per-diagonal max-rescaling keeps the state bounded, so the
+    recurrence runs on rescaled probabilities (multiply-adds on the VPU)
+    instead of log values: transitions/start/end arrive as probabilities
+    in ``pack``, the emission log-constant planes (c_m, c_y) arrive
+    exponentiated, impossible states are exact 0.0, and the per-diagonal
+    offset trace (out_incr) is log(max). Only the two Gaussian emission
+    exps and the u16-log stack quantization remain transcendental per
+    step — the log-space formulation spent ~12 transcendental (WB, S)
+    passes per diagonal on logaddexp chains and was VPU-transcendental
+    bound.
 
     ring: (RING_ROWS, SUBPAD + WB + RB, S); data at [SUBPAD, SUBPAD+WB);
     forward re-base reads at +128k so the extra RB pad sits on the right.
@@ -120,8 +140,8 @@ def _fwd_kernel(geom_ref, refwin_ref, evinit_ref, evins_ref, pack_ref,
 
     @pl.when(t == 0)
     def _init():
-        ring[...] = jnp.full(ring.shape, NEG, dtype=ring.dtype)
-        mprev[...] = jnp.zeros(mprev.shape, mprev.dtype)
+        ring[...] = jnp.zeros(ring.shape, dtype=ring.dtype)
+        mprev[...] = jnp.ones(mprev.shape, mprev.dtype)
 
     @pl.when(t > 0)
     def _do_rebase():
@@ -139,11 +159,11 @@ def _fwd_kernel(geom_ref, refwin_ref, evinit_ref, evins_ref, pack_ref,
 
     m_hat = refwin_ref[0, 0, 0, 0:WB, :]
     inv_m = refwin_ref[0, 0, 1, 0:WB, :]
-    c_m = refwin_ref[0, 0, 2, 0:WB, :]
+    cp_m = refwin_ref[0, 0, 2, 0:WB, :]    # exp(c_m) (aligner pre-exps)
     inv_y = refwin_ref[0, 0, 3, 0:WB, :]
-    c_y = refwin_ref[0, 0, 4, 0:WB, :]
+    cp_y = refwin_ref[0, 0, 4, 0:WB, :]    # exp(c_y)
     kvalid = inv_m > 0.0
-    e_gapx = jnp.where(kvalid, gapx_e, NEG)
+    e_gapx = jnp.where(kvalid, gapx_e, 0.0)
 
     def out_dma(slot, d):
         return pltpu.make_async_copy(obuf.at[slot], hbm_f_ref.at[g, d],
@@ -170,8 +190,8 @@ def _fwd_kernel(geom_ref, refwin_ref, evinit_ref, evins_ref, pack_ref,
         ok = kvalid & ev_ok
         am = (ev_mean - m_hat) * inv_m
         ay = (ev_mean - m_hat) * inv_y
-        e_match = jnp.where(ok, c_m - 0.5 * am * am, NEG)
-        e_stay = jnp.where(ok, c_y - 0.5 * ay * ay, NEG)
+        e_match = jnp.where(ok, cp_m, 0.0) * jnp.exp(-0.5 * am * am)
+        e_stay = jnp.where(ok, cp_y, 0.0) * jnp.exp(-0.5 * ay * ay)
 
         inband = jnp.logical_and(sub >= xoff, sub < xoff + wd)
 
@@ -183,27 +203,29 @@ def _fwd_kernel(geom_ref, refwin_ref, evinit_ref, evins_ref, pack_ref,
         p2_x = ring[_x_row(slot2), base - 1:base - 1 + WB, :]
         p2_y = ring[_y_row(slot2), base - 1:base - 1 + WB, :]
 
-        gx = jnp.logaddexp(p1_m_lo + t_mx, p1_x_lo + t_xx) + e_gapx
-        mm = (jnp.logaddexp(jnp.logaddexp(p2_m + t_mm, p2_x + t_xm),
-                            p2_y + t_ym) - m_prev) + e_match
-        gy = jnp.logaddexp(p1_m_up + t_my, p1_y_up + t_yy) + e_stay
+        # d-2 rows predate the d-1 rescale: compensate by 1/m_prev
+        rinv = 1.0 / m_prev
+        gx = (p1_m_lo * t_mx + p1_x_lo * t_xx) * e_gapx
+        mm = ((p2_m * t_mm + p2_x * t_xm + p2_y * t_ym) * rinv) * e_match
+        gy = (p1_m_up * t_my + p1_y_up * t_yy) * e_stay
 
         is_init = d == 0
         cell0 = sub == 0
-        mm = jnp.where(is_init, jnp.where(cell0, start_m, NEG),
-                       jnp.where(inband, mm, NEG))
-        gx = jnp.where(is_init, jnp.where(cell0, start_x, NEG),
-                       jnp.where(inband, gx, NEG))
-        gy = jnp.where(is_init, jnp.where(cell0, start_y, NEG),
-                       jnp.where(inband, gy, NEG))
+        mm = jnp.where(is_init, jnp.where(cell0, start_m, 0.0),
+                       jnp.where(inband, mm, 0.0))
+        gx = jnp.where(is_init, jnp.where(cell0, start_x, 0.0),
+                       jnp.where(inband, gx, 0.0))
+        gy = jnp.where(is_init, jnp.where(cell0, start_y, 0.0),
+                       jnp.where(inband, gy, 0.0))
 
         mx = jnp.maximum(jnp.max(mm, axis=0, keepdims=True),
                          jnp.maximum(jnp.max(gx, axis=0, keepdims=True),
                                      jnp.max(gy, axis=0, keepdims=True)))
-        m = jnp.where(mx > NEG * 0.5, mx, 0.0)
-        mm = jnp.maximum(mm - m, NEG)
-        gx = jnp.maximum(gx - m, NEG)
-        gy = jnp.maximum(gy - m, NEG)
+        m = jnp.where(mx > 0.0, mx, 1.0)
+        sc = 1.0 / m
+        mm = mm * sc
+        gx = gx * sc
+        gy = gy * sc
 
         ring[_m_row(slot), base:base + WB, :] = mm
         ring[_x_row(slot), base:base + WB, :] = gx
@@ -215,13 +237,13 @@ def _fwd_kernel(geom_ref, refwin_ref, evinit_ref, evins_ref, pack_ref,
         def _wait_reuse():
             out_dma(buf, d - 2).wait()
 
-        obuf[buf] = _quant_rows(mm)
+        obuf[buf] = _quant_prob_rows(mm)
         out_dma(buf, d).start()
 
-        lse = jnp.log(jnp.sum(jnp.exp(mm + end_m), axis=0, keepdims=True)
-                      + jnp.sum(jnp.exp(gx + end_x), axis=0, keepdims=True)
-                      + jnp.sum(jnp.exp(gy + end_y), axis=0, keepdims=True))
-        out_incr_ref[0, pl.ds(i, 1), :] = m
+        lse = jnp.log(jnp.sum(mm * end_m, axis=0, keepdims=True)
+                      + jnp.sum(gx * end_x, axis=0, keepdims=True)
+                      + jnp.sum(gy * end_y, axis=0, keepdims=True))
+        out_incr_ref[0, pl.ds(i, 1), :] = jnp.log(m)
         out_lse_ref[0, pl.ds(i, 1), :] = lse
         return m
 
@@ -277,8 +299,8 @@ def _bwd_kernel(geom_ref, refwin_ref, evinit_ref, evins_ref, pack_ref,
 
     @pl.when(t == 0)
     def _init():
-        ring[...] = jnp.full(ring.shape, NEG, dtype=ring.dtype)
-        mprev[...] = jnp.zeros(mprev.shape, mprev.dtype)
+        ring[...] = jnp.zeros(ring.shape, dtype=ring.dtype)
+        mprev[...] = jnp.ones(mprev.shape, mprev.dtype)
 
     @pl.when(t > 0)
     def _do_rebase():
@@ -296,18 +318,18 @@ def _bwd_kernel(geom_ref, refwin_ref, evinit_ref, evins_ref, pack_ref,
 
     m_hat = refwin_ref[0, 0, 0]
     inv_m = refwin_ref[0, 0, 1]
-    c_m = refwin_ref[0, 0, 2]
+    cp_m = refwin_ref[0, 0, 2]     # exp(c_m) (aligner pre-exps)
     inv_y = refwin_ref[0, 0, 3]
-    c_y = refwin_ref[0, 0, 4]
+    cp_y = refwin_ref[0, 0, 4]     # exp(c_y)
     # x+1 rows: static +1 sublane shift of the (WB+8, S) window
     m_hat1 = m_hat[1:1 + WB, :]
     inv_m1 = inv_m[1:1 + WB, :]
-    c_m1 = c_m[1:1 + WB, :]
+    cp_m1 = cp_m[1:1 + WB, :]
     m_hat0 = m_hat[0:WB, :]
     inv_m0 = inv_m[0:WB, :]
     inv_y0 = inv_y[0:WB, :]
-    c_y0 = c_y[0:WB, :]
-    gapx_ok = jnp.where(inv_m1 > 0.0, gapx_e, NEG)
+    cp_y0 = cp_y[0:WB, :]
+    gapx_ok = jnp.where(inv_m1 > 0.0, gapx_e, 0.0)
 
     def out_dma(slot, d):
         return pltpu.make_async_copy(obuf.at[slot], hbm_post_ref.at[g, d],
@@ -344,42 +366,46 @@ def _bwd_kernel(geom_ref, refwin_ref, evinit_ref, evins_ref, pack_ref,
 
         ok1 = (inv_m1 > 0.0) & ev_ok
         am1 = (ev_mean - m_hat1) * inv_m1
-        e_match_to = jnp.where(ok1, c_m1 - 0.5 * am1 * am1, NEG)
+        e_match_to = jnp.where(ok1, cp_m1, 0.0) * jnp.exp(-0.5 * am1 * am1)
         ok0 = (inv_m0 > 0.0) & ev_ok
         ay0 = (ev_mean - m_hat0) * inv_y0
-        e_stay_same = jnp.where(ok0, c_y0 - 0.5 * ay0 * ay0, NEG)
+        e_stay_same = jnp.where(ok0, cp_y0, 0.0) * jnp.exp(-0.5 * ay0 * ay0)
 
         b1_y = ring[_bwd_y(slot1), base:base + WB, :]
         b1_x = ring[_bwd_x(slot1), base + 1:base + 1 + WB, :]
         b2_m = ring[_bwd_m(slot2), base + 1:base + 1 + WB, :]
 
-        gx_red = b1_x + gapx_ok
-        mm_red = (b2_m - m_prev) + e_match_to
-        gy_term = b1_y + e_stay_same
+        rinv = 1.0 / m_prev
+        gx_red = b1_x * gapx_ok
+        mm_red = (b2_m * rinv) * e_match_to
+        gy_term = b1_y * e_stay_same
 
-        b_match = jnp.logaddexp(jnp.logaddexp(gx_red + t_mx, mm_red + t_mm),
-                                gy_term + t_my)
-        b_gapx = jnp.logaddexp(gx_red + t_xx, mm_red + t_xm)
-        b_gapy = jnp.logaddexp(mm_red + t_ym, gy_term + t_yy)
+        b_match = gx_red * t_mx + mm_red * t_mm + gy_term * t_my
+        b_gapx = gx_red * t_xx + mm_red * t_xm
+        b_gapy = mm_red * t_ym + gy_term * t_yy
 
         inband = jnp.logical_and(sub >= xoff, sub < xoff + wd)
-        bm = jnp.where(inband, jnp.where(is_end, end_m, b_match), NEG)
-        bx = jnp.where(inband, jnp.where(is_end, end_x, b_gapx), NEG)
-        by = jnp.where(inband, jnp.where(is_end, end_y, b_gapy), NEG)
+        bm = jnp.where(inband, jnp.where(is_end, end_m, b_match), 0.0)
+        bx = jnp.where(inband, jnp.where(is_end, end_x, b_gapx), 0.0)
+        by = jnp.where(inband, jnp.where(is_end, end_y, b_gapy), 0.0)
 
         mx = jnp.maximum(jnp.max(bm, axis=0, keepdims=True),
                          jnp.maximum(jnp.max(bx, axis=0, keepdims=True),
                                      jnp.max(by, axis=0, keepdims=True)))
-        m = jnp.where(is_end, 0.0, jnp.where(mx > NEG * 0.5, mx, 0.0))
-        bm = jnp.maximum(bm - m, NEG)
-        bx = jnp.maximum(bx - m, NEG)
-        by = jnp.maximum(by - m, NEG)
+        m = jnp.where(is_end, 1.0, jnp.where(mx > 0.0, mx, 1.0))
+        sc = 1.0 / m
+        bm = bm * sc
+        bx = bx * sc
+        by = by * sc
 
         ring[_bwd_m(slot), base:base + WB, :] = bm
         ring[_bwd_x(slot), base:base + WB, :] = bx
         ring[_bwd_y(slot), base:base + WB, :] = by
 
         buf = i % 2
+        # one log pass covers both the fused-posterior sum (log domain)
+        # and the u16 log quantization
+        lbm = jnp.log(bm)
         if fuse_post:
             # wait for this diagonal's forward row; prefetch the next
             in_dma(buf, d).wait()
@@ -387,9 +413,9 @@ def _bwd_kernel(geom_ref, refwin_ref, evinit_ref, evins_ref, pack_ref,
             @pl.when(d - 1 >= 0)
             def _prefetch_next():
                 in_dma(1 - buf, d - 1).start()
-            fused = bm + _dequant_rows(ibuf[buf])
+            fused = lbm + _dequant_rows(ibuf[buf])
         else:
-            fused = bm
+            fused = lbm
 
         @pl.when(i > 1)
         def _wait_reuse():
@@ -398,10 +424,10 @@ def _bwd_kernel(geom_ref, refwin_ref, evinit_ref, evins_ref, pack_ref,
         obuf[buf] = _quant_rows(fused)
         out_dma(buf, d).start()
 
-        lse = jnp.log(jnp.sum(jnp.exp(bm + start_m), axis=0, keepdims=True)
-                      + jnp.sum(jnp.exp(bx + start_x), axis=0, keepdims=True)
-                      + jnp.sum(jnp.exp(by + start_y), axis=0, keepdims=True))
-        out_incr_ref[0, pl.ds(row, 1), :] = m
+        lse = jnp.log(jnp.sum(bm * start_m, axis=0, keepdims=True)
+                      + jnp.sum(bx * start_x, axis=0, keepdims=True)
+                      + jnp.sum(by * start_y, axis=0, keepdims=True))
+        out_incr_ref[0, pl.ds(row, 1), :] = jnp.log(m)
         out_lse_ref[0, pl.ds(row, 1), :] = lse
         return m
 
@@ -757,7 +783,12 @@ class PallasBatchAligner:
             gi, si = divmod(idx, S)
             gflat = g_.reshape(-1, NGEOM)
             geom[gi, :, :, :, si] = np.transpose(g_, (0, 2, 1))
-            refwin[gi, :, :, :, si] = rw[:, :NREF, :]
+            rwp = rw[:, :NREF, :].copy()
+            # probability-space kernels take the emission log constants
+            # pre-exponentiated (planes 2 = c_m, 4 = c_y)
+            rwp[:, 2, :] = np.exp(rwp[:, 2, :])
+            rwp[:, 4, :] = np.exp(rwp[:, 4, :])
+            refwin[gi, :, :, :, si] = rwp
             evinit_f[gi, :, :, :, si] = ef
             evinit_b[gi, :, :, :, si] = eb
             evins_f[gi, :, :, :, si] = np.transpose(eif, (0, 2, 1))

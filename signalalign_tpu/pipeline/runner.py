@@ -157,8 +157,25 @@ def run_alignment_batch(
     verbose: bool = False,
     strand_template: bool = True,
 ) -> List[ReadAlignment]:
-    """Align many reads: prep -> shape buckets -> batched device runs."""
+    """Align many reads: prep -> shape buckets -> batched device runs.
+
+    Observability: SIGNALALIGN_TPU_TIMING=1 prints a per-stage wall-time
+    breakdown (prep / build+h2d / kernels+fetch / decode-drain /
+    assemble); SIGNALALIGN_TPU_PROFILE=<dir> captures a jax.profiler
+    trace of the device phase for xprof/tensorboard.
+    """
     config = config or AlignmentConfig()
+    timing_on = bool(os.environ.get("SIGNALALIGN_TPU_TIMING"))
+    profile_dir = os.environ.get("SIGNALALIGN_TPU_PROFILE")
+    stage_s: Dict[str, float] = defaultdict(float)
+
+    t_stage = time.perf_counter()
+
+    def mark(stage: str):
+        nonlocal t_stage
+        now = time.perf_counter()
+        stage_s[stage] += now - t_stage
+        t_stage = now
 
     seg_tasks: List[SegmentTask] = []
     prepped: List[Optional[PreparedRead]] = []
@@ -183,6 +200,11 @@ def run_alignment_batch(
                                          W, Dpad, P))
         prepped.append(pr)
 
+    mark("prep")
+    if profile_dir:
+        import jax
+        jax.profiler.start_trace(profile_dir)
+
     # bucket segments by device shape and execute
     buckets: Dict[Tuple[int, int, int], List[int]] = defaultdict(list)
     for i, t in enumerate(seg_tasks):
@@ -192,10 +214,12 @@ def run_alignment_batch(
     pending: List[Tuple[List[int], int, object]] = []  # (idxs, n, finish)
 
     def drain(limit: int):
+        t0 = time.perf_counter()
         while len(pending) > limit:
             p_idxs, n, fin = pending.pop(0)
             for i, r in zip(p_idxs, fin()[:n]):
                 seg_results[i] = r
+        stage_s["fetch+decode"] += time.perf_counter() - t0
 
     for (W, Dpad, P), idxs in buckets.items():
         probs = [seg_tasks[i].problem for i in idxs]
@@ -271,6 +295,11 @@ def run_alignment_batch(
                 r["pairs"] = pairs
                 seg_results[i] = r
     drain(0)
+    stage_s["kernels+dispatch"] += (time.perf_counter() - t_stage
+                                    - stage_s["fetch+decode"])
+    t_stage = time.perf_counter()
+    if profile_dir:
+        jax.profiler.stop_trace()
 
     # assemble per-read results
     out: List[ReadAlignment] = []
@@ -310,6 +339,13 @@ def run_alignment_batch(
             likelihood=lik,
             emission_expectations=kexp if config.compute_expectations
             else None))
+    mark("assemble")
+    if timing_on:
+        total = sum(stage_s.values())
+        parts = " ".join(f"{k}={v:.2f}s" for k, v in stage_s.items())
+        print(f"[runner-timing] total={total:.2f}s {parts} "
+              f"({len(prepped)} reads, {len(seg_tasks)} segments)",
+              file=sys.stderr)
     return out
 
 

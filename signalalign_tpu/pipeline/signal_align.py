@@ -42,7 +42,7 @@ class AlignmentConfig:
     # per-lane DP stacks stay within HBM and shape buckets stay
     # homogeneous (band_geometry.split_segment_by_width)
     max_band_width: int = 768
-    max_segment_diagonals: int = 15500
+    max_segment_diagonals: int = 11800
     estimate_params: bool = True       # signalMachine ESTIMATE_PARAMS
     emission_mode: int = bfb.MODE_MEAN_ONLY
     ambig_map: Dict[str, str] = dataclasses.field(
@@ -97,10 +97,14 @@ def _bucket_w(w: int) -> int:
 
 
 def _bucket_d(d: int) -> int:
-    b = 2048
-    while b < d + 1:
-        b *= 2
-    return b
+    # pow2 up to 8192, then 4096-granular: the diagonal count divides the
+    # kernel wall time directly, so coarse pow2 buckets above 8k waste up
+    # to half the sweep on padding; the segment splitter targets
+    # max_segment_diagonals so long reads pack the 12288 bucket densely
+    for b in (2048, 4096, 8192, 12288, 16384):
+        if d + 1 <= b:
+            return b
+    return ((d + 4096) // 4096) * 4096
 
 
 def align_read(read: NanoporeReadData, guide: GuideAlignment,

@@ -82,3 +82,17 @@ def test_assignments_output_format(setup, tmp_path):
     k, s, d, p = lines[0].split("\t")
     assert s == "t" and len(k) == model.kmer_length
     assert 0.0 <= float(p) <= 1.0
+
+
+def test_runner_stage_timing(setup, capfd, monkeypatch):
+    """SIGNALALIGN_TPU_TIMING=1 prints a per-stage wall-time breakdown
+    (VERDICT r1 item 8 observability)."""
+    reference, model, read, guide = setup
+    monkeypatch.setenv("SIGNALALIGN_TPU_TIMING", "1")
+    run_alignment_batch([(read, guide)], reference, model,
+                        AlignmentConfig(), use_pallas=False)
+    err = capfd.readouterr().err
+    assert "[runner-timing]" in err
+    for stage in ("prep=", "kernels+dispatch=", "fetch+decode=",
+                  "assemble="):
+        assert stage in err
