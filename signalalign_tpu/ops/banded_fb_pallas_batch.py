@@ -61,6 +61,18 @@ RING_ROWS = 9  # 3 rotating diagonal slots x 3 states
 QSCALE = 512.0
 QMAX = 65535
 
+# Probability-space DP scale center: each diagonal's max is rescaled to
+# 2^100 instead of 1.0, so f32's exponent range covers cells down to
+# ~157 nats BELOW the ridge (2^-126 normals) before flush-to-zero —
+# single-scale (max = 1) ran out at 87 nats, which real reads exceed
+# (band cells legitimately dip ~100+ nats under the ridge and later
+# rejoin it). Headroom above the ridge (2^27) absorbs pre-rescale
+# overshoot. All offset traces subtract LOG_SCALE so downstream
+# consumers see the same log-offset contract as the log-space kernels.
+SCALE = float(2.0 ** 100)
+INV_SCALE = float(2.0 ** -100)
+LOG_SCALE = float(100.0 * np.log(2.0))
+
 
 def _quant_rows(v):
     # Mosaic lacks direct f32<->u16 casts; hop through i32
@@ -74,8 +86,10 @@ def _dequant_rows(q):
 
 
 def _quant_prob_rows(p):
-    """u16 log-quantize a (rescaled) probability row; 0 -> QMAX sentinel."""
-    q = jnp.minimum(jnp.round(jnp.maximum(-jnp.log(p), 0.0) * QSCALE), QMAX)
+    """u16 log-quantize a SCALE-centered probability row (true value
+    p*INV_SCALE); 0 -> QMAX sentinel."""
+    q = jnp.minimum(jnp.round(jnp.maximum(
+        (LOG_SCALE - jnp.log(p)), 0.0) * QSCALE), QMAX)
     return q.astype(jnp.int32).astype(jnp.uint16)
 
 
@@ -141,7 +155,7 @@ def _fwd_kernel(geom_ref, refwin_ref, evinit_ref, evins_ref, pack_ref,
     @pl.when(t == 0)
     def _init():
         ring[...] = jnp.zeros(ring.shape, dtype=ring.dtype)
-        mprev[...] = jnp.ones(mprev.shape, mprev.dtype)
+        mprev[...] = jnp.full(mprev.shape, SCALE, mprev.dtype)
 
     @pl.when(t > 0)
     def _do_rebase():
@@ -203,26 +217,26 @@ def _fwd_kernel(geom_ref, refwin_ref, evinit_ref, evins_ref, pack_ref,
         p2_x = ring[_x_row(slot2), base - 1:base - 1 + WB, :]
         p2_y = ring[_y_row(slot2), base - 1:base - 1 + WB, :]
 
-        # d-2 rows predate the d-1 rescale: compensate by 1/m_prev
-        rinv = 1.0 / m_prev
+        # d-2 rows predate the d-1 rescale: compensate by SCALE/m_prev
+        rinv = SCALE / m_prev
         gx = (p1_m_lo * t_mx + p1_x_lo * t_xx) * e_gapx
         mm = ((p2_m * t_mm + p2_x * t_xm + p2_y * t_ym) * rinv) * e_match
         gy = (p1_m_up * t_my + p1_y_up * t_yy) * e_stay
 
         is_init = d == 0
         cell0 = sub == 0
-        mm = jnp.where(is_init, jnp.where(cell0, start_m, 0.0),
+        mm = jnp.where(is_init, jnp.where(cell0, start_m * SCALE, 0.0),
                        jnp.where(inband, mm, 0.0))
-        gx = jnp.where(is_init, jnp.where(cell0, start_x, 0.0),
+        gx = jnp.where(is_init, jnp.where(cell0, start_x * SCALE, 0.0),
                        jnp.where(inband, gx, 0.0))
-        gy = jnp.where(is_init, jnp.where(cell0, start_y, 0.0),
+        gy = jnp.where(is_init, jnp.where(cell0, start_y * SCALE, 0.0),
                        jnp.where(inband, gy, 0.0))
 
         mx = jnp.maximum(jnp.max(mm, axis=0, keepdims=True),
                          jnp.maximum(jnp.max(gx, axis=0, keepdims=True),
                                      jnp.max(gy, axis=0, keepdims=True)))
-        m = jnp.where(mx > 0.0, mx, 1.0)
-        sc = 1.0 / m
+        m = jnp.where(mx > 0.0, mx, SCALE)
+        sc = SCALE / m
         mm = mm * sc
         gx = gx * sc
         gy = gy * sc
@@ -242,8 +256,9 @@ def _fwd_kernel(geom_ref, refwin_ref, evinit_ref, evins_ref, pack_ref,
 
         lse = jnp.log(jnp.sum(mm * end_m, axis=0, keepdims=True)
                       + jnp.sum(gx * end_x, axis=0, keepdims=True)
-                      + jnp.sum(gy * end_y, axis=0, keepdims=True))
-        out_incr_ref[0, pl.ds(i, 1), :] = jnp.log(m)
+                      + jnp.sum(gy * end_y, axis=0, keepdims=True)) \
+            - LOG_SCALE
+        out_incr_ref[0, pl.ds(i, 1), :] = jnp.log(m * INV_SCALE)
         out_lse_ref[0, pl.ds(i, 1), :] = lse
         return m
 
@@ -300,7 +315,7 @@ def _bwd_kernel(geom_ref, refwin_ref, evinit_ref, evins_ref, pack_ref,
     @pl.when(t == 0)
     def _init():
         ring[...] = jnp.zeros(ring.shape, dtype=ring.dtype)
-        mprev[...] = jnp.ones(mprev.shape, mprev.dtype)
+        mprev[...] = jnp.full(mprev.shape, SCALE, mprev.dtype)
 
     @pl.when(t > 0)
     def _do_rebase():
@@ -375,7 +390,7 @@ def _bwd_kernel(geom_ref, refwin_ref, evinit_ref, evins_ref, pack_ref,
         b1_x = ring[_bwd_x(slot1), base + 1:base + 1 + WB, :]
         b2_m = ring[_bwd_m(slot2), base + 1:base + 1 + WB, :]
 
-        rinv = 1.0 / m_prev
+        rinv = SCALE / m_prev
         gx_red = b1_x * gapx_ok
         mm_red = (b2_m * rinv) * e_match_to
         gy_term = b1_y * e_stay_same
@@ -385,15 +400,18 @@ def _bwd_kernel(geom_ref, refwin_ref, evinit_ref, evins_ref, pack_ref,
         b_gapy = mm_red * t_ym + gy_term * t_yy
 
         inband = jnp.logical_and(sub >= xoff, sub < xoff + wd)
-        bm = jnp.where(inband, jnp.where(is_end, end_m, b_match), 0.0)
-        bx = jnp.where(inband, jnp.where(is_end, end_x, b_gapx), 0.0)
-        by = jnp.where(inband, jnp.where(is_end, end_y, b_gapy), 0.0)
+        bm = jnp.where(inband, jnp.where(is_end, end_m * SCALE, b_match),
+                       0.0)
+        bx = jnp.where(inband, jnp.where(is_end, end_x * SCALE, b_gapx),
+                       0.0)
+        by = jnp.where(inband, jnp.where(is_end, end_y * SCALE, b_gapy),
+                       0.0)
 
         mx = jnp.maximum(jnp.max(bm, axis=0, keepdims=True),
                          jnp.maximum(jnp.max(bx, axis=0, keepdims=True),
                                      jnp.max(by, axis=0, keepdims=True)))
-        m = jnp.where(is_end, 1.0, jnp.where(mx > 0.0, mx, 1.0))
-        sc = 1.0 / m
+        m = jnp.where(is_end, SCALE, jnp.where(mx > 0.0, mx, SCALE))
+        sc = SCALE / m
         bm = bm * sc
         bx = bx * sc
         by = by * sc
@@ -405,7 +423,7 @@ def _bwd_kernel(geom_ref, refwin_ref, evinit_ref, evins_ref, pack_ref,
         buf = i % 2
         # one log pass covers both the fused-posterior sum (log domain)
         # and the u16 log quantization
-        lbm = jnp.log(bm)
+        lbm = jnp.log(bm) - LOG_SCALE
         if fuse_post:
             # wait for this diagonal's forward row; prefetch the next
             in_dma(buf, d).wait()
@@ -426,8 +444,9 @@ def _bwd_kernel(geom_ref, refwin_ref, evinit_ref, evins_ref, pack_ref,
 
         lse = jnp.log(jnp.sum(bm * start_m, axis=0, keepdims=True)
                       + jnp.sum(bx * start_x, axis=0, keepdims=True)
-                      + jnp.sum(by * start_y, axis=0, keepdims=True))
-        out_incr_ref[0, pl.ds(row, 1), :] = jnp.log(m)
+                      + jnp.sum(by * start_y, axis=0, keepdims=True)) \
+            - LOG_SCALE
+        out_incr_ref[0, pl.ds(row, 1), :] = jnp.log(m * INV_SCALE)
         out_lse_ref[0, pl.ds(row, 1), :] = lse
         return m
 
