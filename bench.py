@@ -129,7 +129,12 @@ def main():
         K = max(((3 * lYmax + 127) // 128) * 128, 1024)
         ev = sum(p.lY for p in probs)
         if kind == "v2":
-            al = PallasBatchAligner(probs, W=W, T=120, S=128, RB=256)
+            # production gate (mirrors runner.py): exact log-space kernels
+            # unless the experimental prob-space path is opted into
+            prob_ok = (W <= 512 and os.environ.get(
+                "SIGNALALIGN_TPU_PROB_KERNELS") == "1")
+            al = PallasBatchAligner(probs, W=W, T=120, S=128, RB=256,
+                                    log_space=not prob_ok)
             v2_events += ev
         else:
             al = PallasAligner(probs, W=W, T=240)

@@ -105,6 +105,10 @@ class BandedProblem:
     hdp_dens: Optional[np.ndarray] = None
     hdp_slopes: Optional[np.ndarray] = None
     hdp_grid: Optional[np.ndarray] = None
+    # per-event best-case match log-emission (prob-space kernel
+    # normalization; see prepare_problem) + its sum over valid events
+    ev_best: Optional[np.ndarray] = None
+    ev_norm_total: float = 0.0
     # bookkeeping for output decoding
     num_kmers: int = 0             # model alphabet size**k (emission EM)
     seq: str = ""                  # segment nucleotide sequence
@@ -266,6 +270,29 @@ def prepare_problem(
         hdp_dens, hdp_slopes, g0, dx = hdp.density_arrays()
         hdp_grid = np.array([g0, dx], dtype=np.float32)
 
+    # Per-event best-case match log-emission over ALL model kmers: the
+    # probability-space Pallas kernels subtract it inside the emission
+    # exponent so a gross outlier event (which costs EVERY path the same
+    # ~hundreds of nats at once) cannot blow the f32 dynamic range; the
+    # per-event constant cancels exactly in posteriors (gapX consumes no
+    # event) and is added back to the reported totals on host.
+    ev_best = None
+    ev_norm_total = 0.0
+    if mode == MODE_MEAN_ONLY:
+        mu_hat_all = params.scale * mu + params.shift
+        with np.errstate(divide="ignore"):
+            inv_all = 1.0 / (params.var * sd_m)
+            cst_all = _gauss_const(sd_m) - math.log(params.var)
+        best = np.full(lY, -1e30)
+        for k0 in range(0, len(mu_hat_all), 512):
+            z = (means[:, None] - mu_hat_all[None, k0:k0 + 512]) \
+                * inv_all[None, k0:k0 + 512]
+            cand = cst_all[None, k0:k0 + 512] - 0.5 * z * z
+            best = np.maximum(best, cand.max(axis=1))
+        ev_best = np.zeros(LEpad, dtype=DTYPE)
+        ev_best[rev] = best[::-1]
+        ev_norm_total = float(best.sum())
+
     return BandedProblem(
         lX=lX, lY=lY, n_diag=D, mode=mode,
         log_trans=np.where(np.isfinite(model.log_transitions),
@@ -279,6 +306,7 @@ def prepare_problem(
         ref_params=ref_params.astype(DTYPE),
         kmer_ids=kmer_ids, path_valid=path_valid, legal=legal, n_paths=n_paths,
         ev_params=ev_params.astype(DTYPE), ev_front_pad=ev_front_pad,
+        ev_best=ev_best, ev_norm_total=ev_norm_total,
         hdp_dens=hdp_dens, hdp_slopes=hdp_slopes, hdp_grid=hdp_grid,
         num_kmers=model.alphabet.num_kmers,
         seq=seq, kmer_len=k, path_kmers=path_kmers,

@@ -57,7 +57,7 @@ PACK_END = 12
 PACK_GAPX = 15
 NPACK = 16
 NREF = 5   # m_hat, inv_m, c_m, inv_y, c_y
-NEV = 2    # mean, valid
+NEV = 3    # mean, valid, best-case log-emission offset (prob kernels)
 REBASE_MAX = 512          # max ring re-base in lanes (4 tiles of 128)
 RBASE = 8 + REBASE_MAX    # ring data column origin
 EBASE = 8                 # event window data column origin
@@ -91,6 +91,8 @@ def tile_geometry(problem: bfb.BandedProblem, W: int, T: int):
     LX = ref1.shape[-1]
     ev_mean = problem.ev_params[0]
     ev_valid = problem.ev_params[3]
+    ev_cbest = (problem.ev_best if problem.ev_best is not None
+                else np.zeros_like(ev_mean))
     LE = ev_mean.shape[-1]
 
     lanes8 = np.arange(WB + 2)
@@ -112,10 +114,11 @@ def tile_geometry(problem: bfb.BandedProblem, W: int, T: int):
 
     def ev_window(j0_row):
         idx = np.clip(j0_row[:, None] + lanes[None, :], 0, LE - 1)
-        w = np.stack([ev_mean[idx], ev_valid[idx]], axis=1)
+        w = np.stack([ev_mean[idx], ev_valid[idx], ev_cbest[idx]], axis=1)
         inb = (j0_row[:, None] + lanes[None, :] >= 0) & \
               (j0_row[:, None] + lanes[None, :] < LE)
         w[:, 1, :] = np.where(inb, w[:, 1, :], 0.0)
+        w[:, 2, :] = np.where(inb, w[:, 2, :], 0.0)
         return w.astype(np.float32)
 
     evinit_f = ev_window(j0[::T])                    # (NT, NEV, WB)
@@ -143,14 +146,15 @@ def tile_geometry(problem: bfb.BandedProblem, W: int, T: int):
     def ev_at(j):
         inb = (j >= 0) & (j < LE)
         jc = np.clip(j, 0, LE - 1)
-        return np.stack([ev_mean[jc], np.where(inb, ev_valid[jc], 0.0)],
+        return np.stack([ev_mean[jc], np.where(inb, ev_valid[jc], 0.0),
+                         np.where(inb, ev_cbest[jc], 0.0)],
                         axis=-1).astype(np.float32)
 
-    evins_f = ev_at(j0).reshape(NT, T, 2)
+    evins_f = ev_at(j0).reshape(NT, T, NEV)
     d_of = (Dp1p - 1 - (np.arange(NT)[:, None] * T + np.arange(T)[None, :]))
-    evins_b = ev_at(j0b[d_of] + 0).reshape(NT, T, 2)
+    evins_b = ev_at(j0b[d_of] + 0).reshape(NT, T, NEV)
     # backward inserts the value entering lane WB-1: index j0b(d) + WB - 1
-    evins_b = ev_at((j0b[d_of] + WB - 1)).reshape(NT, T, 2)
+    evins_b = ev_at((j0b[d_of] + WB - 1)).reshape(NT, T, NEV)
     return (geom_t, refwin.astype(np.float32), evinit_f, evinit_b,
             evins_f, evins_b, base, WB)
 

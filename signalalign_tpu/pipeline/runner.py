@@ -266,8 +266,20 @@ def run_alignment_batch(
                         n_real = len(chunk)
                         while len(chunk) % S:
                             chunk.append(chunk[-1])
+                        # log-space kernels are the production default:
+                        # exact (unbounded within-band dynamic range —
+                        # real reads need up to ~4700 nats) at ~0.7x the
+                        # probability-space sweep speed. The prob-space
+                        # kernels (SIGNALALIGN_TPU_PROB_KERNELS=1,
+                        # narrow buckets only) are pair-exact only when
+                        # the within-band range fits f32 (~157 nats);
+                        # the tf/tb residual check below catches the
+                        # rest and re-runs them exactly.
+                        prob_ok = (W <= 512 and os.environ.get(
+                            "SIGNALALIGN_TPU_PROB_KERNELS") == "1")
                         aligner = PallasBatchAligner(chunk, W=W, T=120,
-                                                     S=S, RB=256)
+                                                     S=S, RB=256,
+                                                     log_space=not prob_ok)
                         # pipeline: overlap this stripe's kernels with the
                         # previous stripe's result fetch (bounded in-flight
                         # depth keeps HBM for two stripes of stacks)
@@ -295,8 +307,28 @@ def run_alignment_batch(
                 r["pairs"] = pairs
                 seg_results[i] = r
     drain(0)
+
+    # residual check: the lane-batched probability-space kernels flag
+    # lanes whose forward/backward totals disagree (deep within-band
+    # dynamic range truncated, e.g. wide bulge bands); re-run those
+    # segments on the exact XLA kernels
+    suspects = [i for i, r in enumerate(seg_results)
+                if r is not None and r.get("numerics_suspect")]
+    if suspects:
+        if verbose:
+            print(f"[runner] re-running {len(suspects)} segments on the "
+                  f"XLA path (numerics residual check)", file=sys.stderr)
+        for i in suspects:
+            t = seg_tasks[i]
+            r = bfb.run_banded_fb(t.problem, W=t.W, P=t.P)
+            r["pairs"] = bfb.extract_aligned_pairs(t.problem, r["post"],
+                                                   config.threshold)
+            seg_results[i] = r
+        stage_s["xla-fallback"] = time.perf_counter() - t_stage
+
     stage_s["kernels+dispatch"] += (time.perf_counter() - t_stage
-                                    - stage_s["fetch+decode"])
+                                    - stage_s["fetch+decode"]
+                                    - stage_s.get("xla-fallback", 0.0))
     t_stage = time.perf_counter()
     if profile_dir:
         jax.profiler.stop_trace()

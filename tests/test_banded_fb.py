@@ -262,7 +262,8 @@ def test_hdp_mode_matches_oracle():
         assert (x, y, k) in dk and abs(dk[(x, y, k)] - p) < 3e-3 * 1e7
 
 
-def test_pallas_v2_interpret_matches_scan(r94_model):
+@pytest.mark.parametrize("log_space", [False, True])
+def test_pallas_v2_interpret_matches_scan(r94_model, log_space):
     from signalalign_tpu.ops.banded_fb_pallas_batch import PallasBatchAligner
     from signalalign_tpu.ops.batch import run_banded_fb_batch
     model = r94_model
@@ -281,7 +282,7 @@ def test_pallas_v2_interpret_matches_scan(r94_model):
             mode=bfb.MODE_MEAN_ONLY, anchor_pairs=anchors, expansion=8))
     ref = run_banded_fb_batch(problems, W=128, P=1)
     al = PallasBatchAligner(problems, W=128, T=48, S=4, RB=256,
-                            interpret=True)
+                            interpret=True, log_space=log_space)
     # pack16: u16 posterior values for the exactness assertions below
     v2 = al.execute(compact_k=1024, pack16=True)
     v8 = al.execute(compact_k=1024)   # default 4 B/pair u8 packing
