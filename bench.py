@@ -145,26 +145,42 @@ def main():
           f" events/rep={total_events}", file=sys.stderr)
 
     # ---- end-to-end (production result path, pipelined) ----
+    from signalalign_tpu.ops.banded_fb_pallas_batch import stack_bytes
+    HBM_PIPE = 12e9  # leave headroom under the ~13GB budget
+
+    def al_bytes(al, kind):
+        if kind != "v2":
+            return 0
+        return stack_bytes(max(p.n_diag for p in al.problems), al.W,
+                           al.S, al.T)
+
     def run_e2e(n_reps):
-        pending = []
+        pending = []  # (finish, stack bytes)
         fetched_pairs = 0
+        inflight = 0
 
         def finish_one():
-            nonlocal fetched_pairs
-            res = pending.pop(0)()
+            nonlocal fetched_pairs, inflight
+            fin, nb = pending.pop(0)
+            res = fin()
+            inflight -= nb
             assert np.isfinite(res[0]["total_f"])
             fetched_pairs += sum(len(r["pairs_arrays"][0]) for r in res)
 
         for _ in range(n_reps):
             for al, K, kind in aligners:
+                nb = al_bytes(al, kind)
+                # pipeline depth bounded by in-flight DP-stack HBM
+                while pending and (len(pending) > 1
+                                   or inflight + nb > HBM_PIPE):
+                    finish_one()
                 if kind == "v2":
-                    pending.append(al.execute_async(compact_k=K,
-                                                    as_arrays=True))
+                    pending.append((al.execute_async(compact_k=K,
+                                                     as_arrays=True), nb))
                 else:
                     res = al.execute(compact_k=K, as_arrays=True)
-                    pending.append(lambda r=res: r)
-                while len(pending) > 1:
-                    finish_one()
+                    pending.append((lambda r=res: r, 0))
+                inflight += nb
         while pending:
             finish_one()
         return fetched_pairs
@@ -179,17 +195,27 @@ def main():
     # ---- device-compute-only (totals/counts fetch only; v2 buckets) ----
     def run_compute(n_reps):
         pending = []
+        inflight = 0
+
+        def finish_one():
+            nonlocal inflight
+            fin, nb = pending.pop(0)
+            inflight -= nb
+            tf, _ = fin()
+            assert np.isfinite(tf).all()
+
         for _ in range(n_reps):
             for al, K, kind in aligners:
                 if kind != "v2":
                     continue
-                pending.append(al.execute_device_only(compact_k=K))
-                while len(pending) > 1:
-                    tf, _ = pending.pop(0)()
-                    assert np.isfinite(tf).all()
+                nb = al_bytes(al, kind)
+                while pending and (len(pending) > 1
+                                   or inflight + nb > HBM_PIPE):
+                    finish_one()
+                pending.append((al.execute_device_only(compact_k=K), nb))
+                inflight += nb
         while pending:
-            tf, _ = pending.pop(0)()
-            assert np.isfinite(tf).all()
+            finish_one()
 
     run_compute(1)  # compile
     t0 = time.perf_counter()

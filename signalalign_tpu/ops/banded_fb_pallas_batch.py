@@ -288,7 +288,7 @@ def _fwd_kernel(geom_ref, refwin_ref, evinit_ref, evins_ref, pack_ref,
         def _wait_reuse():
             out_dma(buf, d - 2).wait()
 
-        obuf[buf] = _quant_prob_rows(mm)
+        obuf[buf] = jnp.log(mm) - LOG_SCALE   # f32 log-rel row
         out_dma(buf, d).start()
 
         lse = jnp.log(jnp.sum(mm * end_m, axis=0, keepdims=True)
@@ -332,7 +332,7 @@ def _bwd_y(slot):
 
 def _bwd_kernel(geom_ref, refwin_ref, evinit_ref, evins_ref, pack_ref,
                 hbm_fin_ref, hbm_post_ref, out_incr_ref, out_lse_ref,
-                ring, evw, mprev, obuf, osem, ibuf, isem,
+                out_fmax_ref, ring, evw, mprev, obuf, osem, ibuf, isem,
                 *, T: int, WB: int, S: int, RB: int, Dpad: int,
                 fuse_post: bool):
     """Backward sweep tile (descending diagonals); optionally fuses the
@@ -476,8 +476,6 @@ def _bwd_kernel(geom_ref, refwin_ref, evinit_ref, evins_ref, pack_ref,
         ring[_bwd_y(slot), base:base + WB, :] = by
 
         buf = i % 2
-        # one log pass covers both the fused-posterior sum (log domain)
-        # and the u16 log quantization
         lbm = jnp.log(bm) - LOG_SCALE
         if fuse_post:
             # wait for this diagonal's forward row; prefetch the next
@@ -486,16 +484,23 @@ def _bwd_kernel(geom_ref, refwin_ref, evinit_ref, evins_ref, pack_ref,
             @pl.when(d - 1 >= 0)
             def _prefetch_next():
                 in_dma(1 - buf, d - 1).start()
-            fused = lbm + _dequant_rows(ibuf[buf])
+            fused = lbm + ibuf[buf]
         else:
             fused = lbm
+        # re-center the u16 quantization on the fused-row max so the
+        # window always covers the survivors (>= threshold cells sit
+        # within ~5 nats of it); the max is emitted for the compaction
+        # normalizer
+        m2raw = jnp.max(fused, axis=0, keepdims=True)
+        m2 = jnp.where(m2raw > NEG * 0.5, m2raw, 0.0)
 
         @pl.when(i > 1)
         def _wait_reuse():
             out_dma(buf, d + 2).wait()
 
-        obuf[buf] = _quant_rows(fused)
+        obuf[buf] = _quant_rows(fused - m2)
         out_dma(buf, d).start()
+        out_fmax_ref[0, pl.ds(row, 1), :] = m2
 
         lse = jnp.log(jnp.sum(bm * start_m, axis=0, keepdims=True)
                       + jnp.sum(bx * start_x, axis=0, keepdims=True)
@@ -646,7 +651,7 @@ def _fwd_kernel_log(geom_ref, refwin_ref, evinit_ref, evins_ref, pack_ref,
         def _wait_reuse():
             out_dma(buf, d - 2).wait()
 
-        obuf[buf] = _quant_rows(mm)
+        obuf[buf] = mm                         # f32 log-rel row
         out_dma(buf, d).start()
 
         lse = jnp.log(jnp.sum(jnp.exp(mm + end_m), axis=0, keepdims=True)
@@ -669,9 +674,10 @@ def _fwd_kernel_log(geom_ref, refwin_ref, evinit_ref, evins_ref, pack_ref,
     out_dma(1, t * T + T - 1).wait()
 
 
-def _bwd_kernel_log(geom_ref, refwin_ref, evinit_ref, evins_ref, pack_ref,
-                hbm_fin_ref, hbm_post_ref, out_incr_ref, out_lse_ref,
-                ring, evw, mprev, obuf, osem, ibuf, isem,
+def _bwd_kernel_log(geom_ref, refwin_ref, evinit_ref, evins_ref,
+                pack_ref, hbm_fin_ref, hbm_post_ref, out_incr_ref,
+                out_lse_ref, out_fmax_ref, ring, evw, mprev, obuf, osem,
+                ibuf, isem,
                 *, T: int, WB: int, S: int, RB: int, Dpad: int,
                 fuse_post: bool):
     """Backward sweep tile (descending diagonals); optionally fuses the
@@ -806,16 +812,21 @@ def _bwd_kernel_log(geom_ref, refwin_ref, evinit_ref, evins_ref, pack_ref,
             @pl.when(d - 1 >= 0)
             def _prefetch_next():
                 in_dma(1 - buf, d - 1).start()
-            fused = bm + _dequant_rows(ibuf[buf])
+            fused = bm + ibuf[buf]
         else:
             fused = bm
+        # re-center the u16 quantization on the fused-row max (see the
+        # probability-space kernel)
+        m2raw = jnp.max(fused, axis=0, keepdims=True)
+        m2 = jnp.where(m2raw > NEG * 0.5, m2raw, 0.0)
 
         @pl.when(i > 1)
         def _wait_reuse():
             out_dma(buf, d + 2).wait()
 
-        obuf[buf] = _quant_rows(fused)
+        obuf[buf] = _quant_rows(fused - m2)
         out_dma(buf, d).start()
+        out_fmax_ref[0, pl.ds(row, 1), :] = m2
 
         lse = jnp.log(jnp.sum(jnp.exp(bm + start_m), axis=0, keepdims=True)
                       + jnp.sum(jnp.exp(bx + start_x), axis=0, keepdims=True)
@@ -876,7 +887,11 @@ def pallas_forward_b(geom, refwin, evinit, evins, pack, *, WB: int, T: int,
     in_specs, out_small = _specs(NT, T, WB, S, fwd=True)
     ring_h = SUBPAD + WB + RB + SUBPAD
     out_shapes = (
-        jax.ShapeDtypeStruct((G, Dp1p, WB, S), jnp.uint16),
+        # forward stack stays f32: real reads' posterior-relevant cells
+        # dip up to ~800 nats below the diagonal ridge, far beyond any
+        # fixed-point window (u16@1/512 clamped at -128 and silently
+        # dropped ~12% of aligned pairs on bundled reads)
+        jax.ShapeDtypeStruct((G, Dp1p, WB, S), jnp.float32),
         jax.ShapeDtypeStruct((G, Dp1p, S), jnp.float32),
         jax.ShapeDtypeStruct((G, Dp1p, S), jnp.float32),
     )
@@ -890,7 +905,7 @@ def pallas_forward_b(geom, refwin, evinit, evins, pack, *, WB: int, T: int,
         scratch_shapes=[pltpu.VMEM((RING_ROWS, ring_h, S), jnp.float32),
                         pltpu.VMEM((NEV, SUBPAD + WB + 2, S), jnp.float32),
                         pltpu.VMEM((8, S), jnp.float32),
-                        pltpu.VMEM((2, WB, S), jnp.uint16),
+                        pltpu.VMEM((2, WB, S), jnp.float32),
                         pltpu.SemaphoreType.DMA((2,))],
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
@@ -912,29 +927,36 @@ def pallas_backward_b(geom, refwin, evinit, evins, pack, fstack, *,
     in_specs = in_specs + [pl.BlockSpec(memory_space=pl.ANY)]
     ring_h = SUBPAD + WB + RB + SUBPAD
     out_shapes = (
+        # fused log-posterior rows re-centered per diagonal (see fmax):
+        # survivors live within ~5 nats of the fused max, so u16@1/512
+        # is exact for every >=threshold cell
         jax.ShapeDtypeStruct((G, Dp1p, WB, S), jnp.uint16),
         jax.ShapeDtypeStruct((G, Dp1p, S), jnp.float32),
         jax.ShapeDtypeStruct((G, Dp1p, S), jnp.float32),
+        # per-diagonal fused-row max: the quantization re-centering,
+        # added back by the compaction normalizer
+        jax.ShapeDtypeStruct((G, Dp1p, S), jnp.float32),
     )
     kern = _bwd_kernel_log if log_space else _bwd_kernel
-    post, incr, lse = pl.pallas_call(
+    post, incr, lse, fmax = pl.pallas_call(
         functools.partial(kern, T=T, WB=WB, S=S, RB=RB, Dpad=Dpad,
                           fuse_post=fuse_post),
         grid=(G, NT),
         in_specs=in_specs,
-        out_specs=(pl.BlockSpec(memory_space=pl.ANY),) + tuple(out_small),
+        out_specs=(pl.BlockSpec(memory_space=pl.ANY),)
+        + tuple(out_small) + (out_small[0],),
         out_shape=out_shapes,
         scratch_shapes=[pltpu.VMEM((7, ring_h, S), jnp.float32),
                         pltpu.VMEM((NEV, SUBPAD + WB + 2, S), jnp.float32),
                         pltpu.VMEM((8, S), jnp.float32),
                         pltpu.VMEM((2, WB, S), jnp.uint16),
                         pltpu.SemaphoreType.DMA((2,)),
-                        pltpu.VMEM((2, WB, S), jnp.uint16),
+                        pltpu.VMEM((2, WB, S), jnp.float32),
                         pltpu.SemaphoreType.DMA((2,))],
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
     )(geom, refwin, evinit, evins, pack, fstack)
-    return post, incr, lse
+    return post, incr, lse, fmax
 
 
 K_LANE = 16
@@ -957,9 +979,97 @@ def _reduce_offsets(f_incr, b_incr, f_lse, b_lse, n_diag, *, T: int):
             b_intra[:, 0, :])
 
 
-@functools.partial(jax.jit, static_argnames=("K", "C", "pack16"))
 def _compact_chunked(postlog, cvec, xoffs, widths, n_diag, log_thr, *,
                      K: int, C: int, pack16: bool = False):
+    """Survivor compaction dispatcher: rank-select path (fast, u8
+    packing) when the cell id fits 24 bits and the band offset fits 11,
+    top-k path otherwise (pack16 / very wide bands).
+
+    Returns (packed bytes (G, S, K, 4|5|6), counts (G, S),
+    overflow (G, S) bool — True when a diagonal held more than R
+    survivors (rank path only): the prefix is then incomplete and the
+    caller must re-run that lane on an exact path).
+    """
+    G, Dp1p, WB, S = postlog.shape
+    if not pack16 and Dp1p * WB <= (1 << 24) and WB < 2048:
+        return _compact_rank(postlog, cvec, xoffs, widths, n_diag,
+                             log_thr, K=K, C=C)
+    buf, counts = _compact_topk(postlog, cvec, xoffs, widths, n_diag,
+                                log_thr, K=K, C=C, pack16=pack16)
+    return buf, counts, jnp.zeros(counts.shape, dtype=jnp.bool_)
+
+
+@functools.partial(jax.jit, static_argnames=("K", "C", "R"))
+def _compact_rank(postlog, cvec, xoffs, widths, n_diag, log_thr, *,
+                  K: int, C: int, R: int = 8):
+    """Rank-select survivor compaction — no top-k, no transpose.
+
+    XLA's top_k lowers to a full bitonic sort per (diagonal, lane) row
+    regardless of k (measured 230ms of a 270ms level-1 on a real-read
+    W=512 stripe); survivor selection doesn't need value order at all.
+    Instead: validity mask -> cumsum rank along the band axis -> one
+    masked max-reduce per rank slot r extracts the r-th survivor's
+    packed (band offset << 12 | quantized -log p) word. Survivors come
+    out in (diagonal, band offset) = cell order by construction, so the
+    global step is a single ascending one-operand u32 sort of
+    key = cell << 8 | p_u8 — whose little-endian bytes ARE the 4 B/pair
+    [p_u8, cell_lo, cell_mid, cell_hi] fetch layout (host decode
+    unchanged). Set membership is decided on the same f32 log values as
+    the top-k path (bit-identical); p_u8 is re-derived from the 1/512
+    nat quantized log (<=1 ulp difference vs the f32 exp).
+
+    A diagonal with more than R survivors overflows the rank slots:
+    reported via the overflow flag, caller re-runs that lane exactly
+    (bundled reads peak well under R=8 per diagonal per lane).
+    """
+    G, Dp1p, WB, S = postlog.shape
+    NC = Dp1p // C
+
+    def chunk(ci):
+        c0 = ci * C
+        pq = jax.lax.dynamic_slice_in_dim(postlog, c0, C, axis=1)
+        pl_ = _dequant_rows(pq)
+        cv = jax.lax.dynamic_slice_in_dim(cvec, c0, C, axis=1)
+        xo = jax.lax.dynamic_slice_in_dim(xoffs, c0, C, axis=1)
+        wd = jax.lax.dynamic_slice_in_dim(widths, c0, C, axis=1)
+        d_idx = (c0 + jnp.arange(C, dtype=jnp.int32))[None, :, None]
+        sub = jnp.arange(WB, dtype=jnp.int32)[None, None, :, None]
+        v = pl_ + cv[:, :, None, :]
+        valid = ((sub >= xo[:, :, None, :]) &
+                 (sub < (xo + wd)[:, :, None, :]) &
+                 (d_idx[..., None] <= n_diag[:, None, None, :]) &
+                 (pq < QMAX) & (v >= log_thr))
+        qe = jnp.minimum(jnp.round(jnp.maximum(-v, 0.0) * QSCALE),
+                         4095.0).astype(jnp.int32)
+        word = (sub << 12) | qe
+        rank = jnp.cumsum(valid.astype(jnp.int32), axis=2)
+        cnt = rank[:, :, WB - 1, :]                       # (G, C, S)
+        slots = [jnp.max(jnp.where(valid & (rank == r + 1), word, -1),
+                         axis=2) for r in range(R)]
+        return jnp.stack(slots, axis=-1), cnt    # (G,C,S,R), (G,C,S)
+
+    ws, cnts = jax.lax.map(chunk, jnp.arange(NC))
+    w = jnp.transpose(ws, (1, 3, 0, 2, 4)).reshape(G, S, Dp1p * R)
+    d = (jnp.arange(Dp1p * R, dtype=jnp.uint32)
+         // jnp.uint32(R))[None, None, :]
+    pos = (w >> 12).astype(jnp.uint32)
+    qe = (w & 4095).astype(jnp.float32)
+    p8 = jnp.round(jnp.exp(qe * jnp.float32(-1.0 / QSCALE))
+                   * 255.0).astype(jnp.uint32)
+    cell = d * jnp.uint32(WB) + pos
+    key = jnp.where(w >= 0, (cell << jnp.uint32(8)) | p8,
+                    jnp.uint32(0xFFFFFFFF))
+    key = jax.lax.sort(key, dimension=2)
+    buf = jax.lax.bitcast_convert_type(key[:, :, :K], jnp.uint8)
+    counts = jnp.minimum(jnp.sum(jnp.minimum(cnts, R), axis=(0, 2)),
+                         K).astype(jnp.int32)              # (G, S)
+    overflow = jnp.any(cnts > R, axis=(0, 2))
+    return buf, counts, overflow
+
+
+@functools.partial(jax.jit, static_argnames=("K", "C", "pack16"))
+def _compact_topk(postlog, cvec, xoffs, widths, n_diag, log_thr, *,
+                  K: int, C: int, pack16: bool = False):
     """Masked two-level top-k over log-posteriors, chunked along diagonals
     so the (S, WB) transpose intermediates stay small.
 
@@ -1124,11 +1234,12 @@ def choose_lanes(n_diag_max: int, W: int, T: int = 24,
 
 
 def stack_bytes(n_diag_max: int, W: int, S: int = 128, T: int = 120) -> int:
-    """In-flight HBM for one dispatch's two u16 DP stacks (forward match
-    rows + fused log-posterior, (Dp1p, WB, S) u16 each)."""
+    """In-flight HBM for one dispatch's DP stacks: f32 forward match
+    rows (full dynamic range) + u16 fused log-posterior (re-centered per
+    diagonal), (Dp1p, WB, S) each."""
     WB = W + T + 128
     Dp1p = ((n_diag_max + T) // T + 1) * T
-    return 2 * Dp1p * WB * 2 * S
+    return Dp1p * WB * (4 + 2) * S
 
 
 
@@ -1249,26 +1360,30 @@ class PallasBatchAligner:
             self.geom, self.refwin, self.evinit_f, self.evins_f, self.pack,
             WB=WB, T=T, S=S, RB=RB, interpret=self.interpret,
             log_space=self.log_space)
-        postlog, b_incr, b_lse = pallas_backward_b(
+        postlog, b_incr, b_lse, fmax = pallas_backward_b(
             self.geom, self.refwin, self.evinit_b, self.evins_b, self.pack,
             fstack, WB=WB, T=T, S=S, RB=RB, fuse_post=True,
             interpret=self.interpret, log_space=self.log_space)
 
         # normalization offsets + totals stay on device (compensated f32
         # prefix at ~double precision); nothing but the packed prefix and
-        # the (G, S) totals/counts cross the host link
+        # the (G, S) totals/counts cross the host link. The per-diagonal
+        # fused-row max folds into the normalizer (the stack rows are
+        # quantized relative to it).
         cvec, tf_hi, tf_lo, tb_hi, tb_lo = _totals_cvec_df(
             f_incr, b_incr, f_lse, b_lse, self.n_diag, T=T)
+        cvec = cvec + fmax
         del fstack  # free the forward stack before compaction peaks
         C = max(T, 1)
         log_thr = jnp.float32(np.log(max(threshold, 1e-300)))
-        buf, counts = _compact_chunked(postlog, cvec, self.xoffs,
-                                       self.widths, self.n_diag, log_thr,
-                                       K=compact_k, C=C, pack16=pack16)
-        # one small fetch: totals + counts together (counts < 2^24 are
-        # exact in f32)
+        buf, counts, overflow = _compact_chunked(
+            postlog, cvec, self.xoffs, self.widths, self.n_diag, log_thr,
+            K=compact_k, C=C, pack16=pack16)
+        # one small fetch: totals + counts + overflow together (counts
+        # < 2^24 are exact in f32)
         totals = jnp.stack([tf_hi, tf_lo, tb_hi, tb_lo,
-                            counts.astype(jnp.float32)])
+                            counts.astype(jnp.float32),
+                            overflow.astype(jnp.float32)])
 
         def finish():
             th = np.asarray(totals, dtype=np.float64)
@@ -1277,6 +1392,7 @@ class PallasBatchAligner:
             total_f = th[0] + th[1] + self.ev_off
             total_b = th[2] + th[3] + self.ev_off
             counts_h = th[4].astype(np.int64)
+            overflow_h = th[5] > 0.5
             # fetch only the (128-granular) K-prefix that holds survivors:
             # the compaction sorted them to the front. This is the single
             # biggest transfer of the pipeline and typically shrinks ~1.5x
@@ -1298,7 +1414,8 @@ class PallasBatchAligner:
             else:
                 cell_h = cb[..., 0:4].copy().view(np.uint32)[..., 0]
             return self._decode_packed(p_h, cell_h, counts_h,
-                                       total_f, total_b, as_arrays)
+                                       total_f, total_b, as_arrays,
+                                       overflow_h)
         return finish
 
     def execute_device_only(self, compact_k: int = 4096,
@@ -1313,17 +1430,18 @@ class PallasBatchAligner:
             self.geom, self.refwin, self.evinit_f, self.evins_f, self.pack,
             WB=WB, T=T, S=S, RB=RB, interpret=self.interpret,
             log_space=self.log_space)
-        postlog, b_incr, b_lse = pallas_backward_b(
+        postlog, b_incr, b_lse, fmax = pallas_backward_b(
             self.geom, self.refwin, self.evinit_b, self.evins_b, self.pack,
             fstack, WB=WB, T=T, S=S, RB=RB, fuse_post=True,
             interpret=self.interpret, log_space=self.log_space)
         cvec, tf_hi, tf_lo, tb_hi, tb_lo = _totals_cvec_df(
             f_incr, b_incr, f_lse, b_lse, self.n_diag, T=T)
+        cvec = cvec + fmax
         del fstack
         log_thr = jnp.float32(np.log(max(threshold, 1e-300)))
-        _, counts = _compact_chunked(postlog, cvec, self.xoffs,
-                                     self.widths, self.n_diag, log_thr,
-                                     K=compact_k, C=max(T, 1))
+        _, counts, _ = _compact_chunked(postlog, cvec, self.xoffs,
+                                        self.widths, self.n_diag, log_thr,
+                                        K=compact_k, C=max(T, 1))
         totals = jnp.stack([tf_hi, tf_lo])
 
         def finish():
@@ -1332,7 +1450,7 @@ class PallasBatchAligner:
         return finish
 
     def _decode_packed(self, p_h, cell_h, counts_h, total_f, total_b,
-                       as_arrays):
+                       as_arrays, overflow_h=None):
         # survivors arrive pre-filtered (device f32 threshold), pre-sorted
         # by (diagonal, band offset) == the (x+y, x) output order, and
         # prefix-packed: decode is pure slicing, no host sort/filter
@@ -1354,11 +1472,15 @@ class PallasBatchAligner:
                      "total_b": float(total_b[gi, si]),
                      # forward/backward totals must agree; a gap means the
                      # probability-space DP truncated this lane (deep
-                     # within-band dynamic range, e.g. wide bulge bands) —
-                     # callers re-run such segments on the exact XLA path
-                     "numerics_suspect": not (
+                     # within-band dynamic range, e.g. wide bulge bands).
+                     # A rank-compaction overflow (>R survivors on one
+                     # diagonal) likewise leaves the prefix incomplete.
+                     # Callers re-run such segments on an exact path.
+                     "numerics_suspect": (not (
                          abs(float(total_f[gi, si])
-                             - float(total_b[gi, si])) < 1.0)}
+                             - float(total_b[gi, si])) < 1.0))
+                     or bool(overflow_h is not None
+                             and overflow_h[gi, si])}
             if as_arrays:
                 entry["pairs_arrays"] = arrs
             else:

@@ -281,12 +281,16 @@ def run_alignment_batch(
                                                      S=S, RB=256,
                                                      log_space=not prob_ok)
                         # pipeline: overlap this stripe's kernels with the
-                        # previous stripe's result fetch (bounded in-flight
-                        # depth keeps HBM for two stripes of stacks)
+                        # previous stripe's result fetch — only when two
+                        # stripes' DP stacks fit the HBM budget together
+                        from signalalign_tpu.ops.banded_fb_pallas_batch \
+                            import stack_bytes
+                        sb = stack_bytes(max(p.n_diag for p in chunk),
+                                         W, S, 120)
                         fin = aligner.execute_async(
                             compact_k=K, threshold=config.threshold)
                         pending.append((cidx, n_real, fin))
-                        drain(1)
+                        drain(1 if 2 * sb < 12e9 else 0)
                 continue
             except Exception as exc:
                 # geometry constraints raise ValueError; device compile

@@ -298,11 +298,12 @@ def test_pallas_v2_interpret_matches_scan(r94_model, log_space):
         for key in set(d1) & set(d2):
             assert abs(d1[key] - d2[key]) <= 2e-3 * 1e7
         # u8 packing: identical survivor SET (membership is decided on the
-        # f32 logs before quantization), values within 1/255, and the
+        # f32 logs before quantization), values within 1/255 plus the
+        # rank-compaction's 1/1024-nat log requantization, and the
         # device cell-sort reproduces the (x+y, x) output order exactly
         d8 = {(x, y): pr for pr, x, y, k in p8["pairs"]}
         assert set(d8) == set(d2)
         for key in d8:
-            assert abs(d8[key] - d2[key]) <= (1e7 / 255) * 0.51 + 1
+            assert abs(d8[key] - d2[key]) <= (1e7 / 255) * 0.51 + 1e7 / 1024 + 1
         assert [(x, y) for _, x, y, _ in p8["pairs"]] \
             == [(x, y) for _, x, y, _ in p["pairs"]]
