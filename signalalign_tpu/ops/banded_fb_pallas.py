@@ -63,8 +63,13 @@ RBASE = 8 + REBASE_MAX    # ring data column origin
 EBASE = 8                 # event window data column origin
 
 
-def tile_geometry(problem: bfb.BandedProblem, W: int, T: int):
-    """Host-side per-tile/per-diagonal geometry for the x-frame kernels."""
+def tile_geometry(problem: bfb.BandedProblem, W: int, T: int,
+                  path: int = 0):
+    """Host-side per-tile/per-diagonal geometry for the x-frame kernels.
+
+    ``path`` selects the k-mer parameter row for one expansion path of a
+    P>1 (degenerate-base) problem; invalid path slots carry zeroed
+    parameters (inv_m == 0) and self-mask in the kernels."""
     Dp1 = problem.x0.shape[0]
     Dp1p = ((Dp1 + T - 1) // T) * T
     NT = Dp1p // T
@@ -87,7 +92,10 @@ def tile_geometry(problem: bfb.BandedProblem, W: int, T: int):
         raise ValueError("x-frame tile feasibility violated (band moved "
                          "faster than one cell per diagonal?)")
 
-    ref1 = problem.ref_params[:NREF, 0, :]   # (NREF, LXpad)
+    pslot = min(path, problem.ref_params.shape[1] - 1)
+    ref1 = problem.ref_params[:NREF, pslot, :]   # (NREF, LXpad)
+    if path >= problem.ref_params.shape[1]:
+        ref1 = np.zeros_like(ref1)               # padding lane: all-invalid
     LX = ref1.shape[-1]
     ev_mean = problem.ev_params[0]
     ev_valid = problem.ev_params[3]
@@ -770,3 +778,52 @@ def _decode_xframe(problem, vals, idx, base, WB, threshold):
         out.append((int(min(float(v), 1.0) * 10000000), x - 1, y - 1, kmer))
     out.sort(key=lambda r: (r[1] + r[2], r[1]))
     return out
+
+
+def tile_leg_windows(problem: bfb.BandedProblem, W: int, T: int,
+                     path: int, PP: int):
+    """Per-tile additive legality mask planes for the paths-in-lanes P>1
+    kernels (lane = read * PP + path).
+
+    legal[p_to, q_from, x] (prepare_problem, path_checkLegal semantics)
+    is pre-gathered into the tile x-frame: plane j encodes the path
+    offset delta = j - (PP - 1), i.e. source path q = p - delta for the
+    forward reduce over sources into target path ``path`` at x = tb + u,
+    and target path p = q + delta for the backward reduce over targets
+    from source path ``path`` at x = tb + u + 1. 0.0 = legal,
+    NEG = illegal (additive in the log-domain logsumexp).
+    """
+    Dp1 = problem.x0.shape[0]
+    Dp1p = ((Dp1 + T - 1) // T) * T
+    NT = Dp1p // T
+    WB = W + T + 128
+    NLEG = 2 * PP - 1
+    legal = problem.legal                       # (P, P, LXpad) bool
+    Pav = legal.shape[0]
+    LX = legal.shape[2]
+
+    x0 = np.zeros(Dp1p, dtype=np.int64)
+    x0[:Dp1] = problem.x0
+    x0[Dp1:] = x0[Dp1 - 1]
+    tb = (x0[np.arange(NT) * T] // 128) * 128   # (NT,)
+    u = np.arange(WB)
+    xs = tb[:, None] + u[None, :]               # (NT, WB) target x (fwd)
+    xs1 = xs + 1                                # target x for backward
+    inb = (xs >= 0) & (xs < LX)
+    inb1 = (xs1 >= 0) & (xs1 < LX)
+    xc = np.clip(xs, 0, LX - 1)
+    xc1 = np.clip(xs1, 0, LX - 1)
+
+    legf = np.full((NLEG, NT, WB), bfb.NEG, dtype=np.float32)
+    legb = np.full((NLEG, NT, WB), bfb.NEG, dtype=np.float32)
+    for j in range(NLEG):
+        delta = j - (PP - 1)
+        q = path - delta                        # fwd source path
+        if 0 <= path < Pav and 0 <= q < Pav:
+            ok = legal[path, q][xc] & inb
+            legf[j][ok] = 0.0
+        p_to = path + delta                     # bwd target path
+        if 0 <= path < Pav and 0 <= p_to < Pav:
+            ok = legal[p_to, path][xc1] & inb1
+            legb[j][ok] = 0.0
+    return legf, legb

@@ -105,6 +105,45 @@ def _y_row(slot):
     return slot * 3 + 2
 
 
+def _block_max(m, PP: int):
+    """Max of a (1, S) per-lane scalar over each read's PP-lane block.
+
+    P>1 path-lanes of one read must share the per-diagonal rescale
+    offset, or cross-path legality reduces would mix frames."""
+    if PP == 1:
+        return m
+    lane = jax.lax.broadcasted_iota(jnp.int32, m.shape, 1) % PP
+    acc = m
+    for delta in range(1, PP):
+        up = jnp.where(lane >= delta,
+                       pltpu.roll(m, shift=delta, axis=1), NEG)
+        dn = jnp.where(lane < PP - delta,
+                       pltpu.roll(m, shift=(-delta) % m.shape[1], axis=1),
+                       NEG)
+        acc = jnp.maximum(acc, jnp.maximum(up, dn))
+    return acc
+
+
+def _leg_reduce(src, legref, PP: int, WB: int, bwd: bool):
+    """Cross-path logsumexp for the paths-in-lanes P>1 layout.
+
+    Lane l = read * PP + path; the source (fwd: q = p - delta) / target
+    (bwd: p = q + delta) path values sit delta lanes away, so each
+    legality plane contributes one masked static lane-roll. Rolls that
+    wrap into a neighboring read's lane block always correspond to a
+    path index outside [0, P) and arrive NEG-masked by construction
+    (tile_leg_windows)."""
+    acc = None
+    for j in range(2 * PP - 1):
+        delta = j - (PP - 1)
+        m = legref[0, 0, j, 0:WB, :]
+        shift = (-delta if bwd else delta) % src.shape[1]
+        cand = src if shift == 0 else pltpu.roll(src, shift=shift, axis=1)
+        cand = cand + m
+        acc = cand if acc is None else jnp.logaddexp(acc, cand)
+    return acc
+
+
 def _pack16_log(problem: bfb.BandedProblem) -> np.ndarray:
     out = np.zeros(16, dtype=np.float32)
     out[0:9] = problem.log_trans
@@ -127,7 +166,7 @@ def _pack16(problem: bfb.BandedProblem) -> np.ndarray:
 
 
 def _fwd_kernel(geom_ref, refwin_ref, evinit_ref, evins_ref, pack_ref,
-                hbm_f_ref, out_incr_ref, out_lse_ref,
+                lseflag_ref, hbm_f_ref, out_incr_ref, out_lse_ref,
                 ring, evw, mprev, obuf, osem,
                 *, T: int, WB: int, S: int, RB: int):
     """Forward sweep tile for one read group — PROBABILITY-space DP.
@@ -188,6 +227,8 @@ def _fwd_kernel(geom_ref, refwin_ref, evinit_ref, evins_ref, pack_ref,
     cp_y = refwin_ref[0, 0, 4, 0:WB, :]    # exp(c_y)
     kvalid = inv_m > 0.0
     e_gapx = jnp.where(kvalid, gapx_e, 0.0)
+
+    lse_on = lseflag_ref[0, 0] == 1
 
     def out_dma(slot, d):
         return pltpu.make_async_copy(obuf.at[slot], hbm_f_ref.at[g, d],
@@ -291,10 +332,15 @@ def _fwd_kernel(geom_ref, refwin_ref, evinit_ref, evins_ref, pack_ref,
         obuf[buf] = jnp.log(mm) - LOG_SCALE   # f32 log-rel row
         out_dma(buf, d).start()
 
-        lse = jnp.log(jnp.sum(mm * end_m, axis=0, keepdims=True)
-                      + jnp.sum(gx * end_x, axis=0, keepdims=True)
-                      + jnp.sum(gy * end_y, axis=0, keepdims=True)) \
-            - LOG_SCALE
+        # the end-weighted logsumexp is consumed only at each lane's
+        # final diagonal; skip whole tiles that contain none
+        @pl.when(lse_on)
+        def _lse():
+            lse = jnp.log(jnp.sum(mm * end_m, axis=0, keepdims=True)
+                          + jnp.sum(gx * end_x, axis=0, keepdims=True)
+                          + jnp.sum(gy * end_y, axis=0, keepdims=True)) \
+                - LOG_SCALE
+            out_lse_ref[0, pl.ds(i, 1), :] = lse
         # FRAME(d) = B * m/SCALE  =>  lr(d) = log(FRAME(d)/FRAME(d-1))
         #   = log(B/FRAME(d-1)) + log m - log SCALE, and log(B/F(d-1))
         #   = max(0, -lr); the incr trace stays the per-diagonal frame
@@ -302,7 +348,6 @@ def _fwd_kernel(geom_ref, refwin_ref, evinit_ref, evins_ref, pack_ref,
         #   log-space kernels.
         lr_new = jnp.maximum(-lr, 0.0) + (jnp.log(m) - LOG_SCALE)
         out_incr_ref[0, pl.ds(i, 1), :] = lr_new
-        out_lse_ref[0, pl.ds(i, 1), :] = lse
         return lr_new
 
     def step3(j, m_prev):
@@ -502,13 +547,16 @@ def _bwd_kernel(geom_ref, refwin_ref, evinit_ref, evins_ref, pack_ref,
         out_dma(buf, d).start()
         out_fmax_ref[0, pl.ds(row, 1), :] = m2
 
-        lse = jnp.log(jnp.sum(bm * start_m, axis=0, keepdims=True)
-                      + jnp.sum(bx * start_x, axis=0, keepdims=True)
-                      + jnp.sum(by * start_y, axis=0, keepdims=True)) \
-            - LOG_SCALE
+        # the start-weighted logsumexp is consumed only at diagonal 0
+        @pl.when(d == 0)
+        def _lse():
+            lse = jnp.log(jnp.sum(bm * start_m, axis=0, keepdims=True)
+                          + jnp.sum(bx * start_x, axis=0, keepdims=True)
+                          + jnp.sum(by * start_y, axis=0, keepdims=True)) \
+                - LOG_SCALE
+            out_lse_ref[0, pl.ds(row, 1), :] = lse
         lr_new = jnp.maximum(-lr, 0.0) + (jnp.log(m) - LOG_SCALE)
         out_incr_ref[0, pl.ds(row, 1), :] = lr_new
-        out_lse_ref[0, pl.ds(row, 1), :] = lse
         return lr_new
 
     # d = d_start - i, d_start % 3 == 2 (Dp1p % 3 == 0): static slots
@@ -525,22 +573,34 @@ def _bwd_kernel(geom_ref, refwin_ref, evinit_ref, evins_ref, pack_ref,
     out_dma(1, d_start - T + 1).wait()
 
 
-def _fwd_kernel_log(geom_ref, refwin_ref, evinit_ref, evins_ref, pack_ref,
-                hbm_f_ref, out_incr_ref, out_lse_ref,
-                ring, evw, mprev, obuf, osem,
-                *, T: int, WB: int, S: int, RB: int):
+def _fwd_kernel_log(geom_ref, refwin_ref, evinit_ref, evins_ref,
+                pack_ref, lseflag_ref, *rest,
+                T: int, WB: int, S: int, RB: int, PP: int = 1,
+                estream: bool = False):
     """Forward sweep tile — LOG-space DP (unbounded dynamic range).
 
-    Selected for wide-band buckets whose in-band cells legitimately
-    span hundreds of nats (measured up to ~800 on bundled reads);
-    ~4x more VPU-transcendental work per diagonal than the
-    probability-space kernel (logaddexp chains).
+    Selected as the production default: exact for unbounded within-band
+    dynamic range at ~1.4x the probability-space sweep time (the DP is
+    latency/pass bound, not transcendental bound). PP > 1 selects the
+    paths-in-lanes degenerate-base expansion (lane = read * PP + path)
+    with masked lane-roll legality reduces and block-shared rescales.
 
     ring: (RING_ROWS, SUBPAD + WB + RB, S); data at [SUBPAD, SUBPAD+WB);
     forward re-base reads at +128k so the extra RB pad sits on the right.
     evw: (NEV, SUBPAD + WB, S); data at [SUBPAD, SUBPAD+WB).
     obuf: (2, WB, S) DMA staging; osem: 2 DMA semaphores.
     """
+    if PP > 1:
+        legf_ref = rest[0]
+        rest = rest[1:]
+    if estream:
+        hbm_e_ref = rest[0]
+        rest = rest[1:]
+        (hbm_f_ref, out_incr_ref, out_lse_ref,
+         ring, evw, mprev, obuf, osem, ebuf, esem) = rest
+    else:
+        (hbm_f_ref, out_incr_ref, out_lse_ref,
+         ring, evw, mprev, obuf, osem) = rest
     g = pl.program_id(0)
     t = pl.program_id(1)
     base = SUBPAD
@@ -581,9 +641,18 @@ def _fwd_kernel_log(geom_ref, refwin_ref, evinit_ref, evins_ref, pack_ref,
     kvalid = inv_m > 0.0
     e_gapx = jnp.where(kvalid, gapx_e, NEG)
 
+    lse_on = lseflag_ref[0, 0] == 1
+
     def out_dma(slot, d):
         return pltpu.make_async_copy(obuf.at[slot], hbm_f_ref.at[g, d],
                                      osem.at[slot])
+
+    if estream:
+        def e_dma(slot, d):
+            return pltpu.make_async_copy(hbm_e_ref.at[g, d], ebuf.at[slot],
+                                         esem.at[slot])
+
+        e_dma(0, t * T).start()
 
     def body(i, m_prev, slot, slot1, slot2):
         d = t * T + i
@@ -591,23 +660,34 @@ def _fwd_kernel_log(geom_ref, refwin_ref, evinit_ref, evins_ref, pack_ref,
         xoff = geom_ref[0, 0, G_XOFF, pl.ds(i, 1), :]
         wd = geom_ref[0, 0, G_WIDTH, pl.ds(i, 1), :]
 
-        @pl.when(i > 0)
-        def _advance():
-            mean_s = evins_ref[0, 0, 0, pl.ds(i, 1), :]
-            val_s = evins_ref[0, 0, 1, pl.ds(i, 1), :]
-            sh_mean = evw[0, base - 1:base - 1 + WB, :]
-            sh_val = evw[1, base - 1:base - 1 + WB, :]
-            is0 = sub == 0
-            evw[0, base:base + WB, :] = jnp.where(is0, mean_s, sh_mean)
-            evw[1, base:base + WB, :] = jnp.where(is0, val_s, sh_val)
+        if estream:
+            # precomputed emission row for this diagonal (HDP spline &
+            # friends: stay emission == match emission); double-buffered
+            # DMA, validity/event masking baked in upstream
+            @pl.when(i + 1 < T)
+            def _e_prefetch():
+                e_dma((i + 1) % 2, d + 1).start()
+            e_dma(i % 2, d).wait()
+            e_match = ebuf[i % 2, 0:WB, :]
+            e_stay = e_match
+        else:
+            @pl.when(i > 0)
+            def _advance():
+                mean_s = evins_ref[0, 0, 0, pl.ds(i, 1), :]
+                val_s = evins_ref[0, 0, 1, pl.ds(i, 1), :]
+                sh_mean = evw[0, base - 1:base - 1 + WB, :]
+                sh_val = evw[1, base - 1:base - 1 + WB, :]
+                is0 = sub == 0
+                evw[0, base:base + WB, :] = jnp.where(is0, mean_s, sh_mean)
+                evw[1, base:base + WB, :] = jnp.where(is0, val_s, sh_val)
 
-        ev_mean = evw[0, base:base + WB, :]
-        ev_ok = evw[1, base:base + WB, :] > 0.5
-        ok = kvalid & ev_ok
-        am = (ev_mean - m_hat) * inv_m
-        ay = (ev_mean - m_hat) * inv_y
-        e_match = jnp.where(ok, c_m - 0.5 * am * am, NEG)
-        e_stay = jnp.where(ok, c_y - 0.5 * ay * ay, NEG)
+            ev_mean = evw[0, base:base + WB, :]
+            ev_ok = evw[1, base:base + WB, :] > 0.5
+            ok = kvalid & ev_ok
+            am = (ev_mean - m_hat) * inv_m
+            ay = (ev_mean - m_hat) * inv_y
+            e_match = jnp.where(ok, c_m - 0.5 * am * am, NEG)
+            e_stay = jnp.where(ok, c_y - 0.5 * ay * ay, NEG)
 
         inband = jnp.logical_and(sub >= xoff, sub < xoff + wd)
 
@@ -619,9 +699,16 @@ def _fwd_kernel_log(geom_ref, refwin_ref, evinit_ref, evins_ref, pack_ref,
         p2_x = ring[_x_row(slot2), base - 1:base - 1 + WB, :]
         p2_y = ring[_y_row(slot2), base - 1:base - 1 + WB, :]
 
-        gx = jnp.logaddexp(p1_m_lo + t_mx, p1_x_lo + t_xx) + e_gapx
-        mm = (jnp.logaddexp(jnp.logaddexp(p2_m + t_mm, p2_x + t_xm),
-                            p2_y + t_ym) - m_prev) + e_match
+        src_x = jnp.logaddexp(p1_m_lo + t_mx, p1_x_lo + t_xx)
+        src_m = jnp.logaddexp(jnp.logaddexp(p2_m + t_mm, p2_x + t_xm),
+                              p2_y + t_ym)
+        if PP > 1:
+            # gapX / match gather across source paths with legality;
+            # gapY stays on the same path
+            src_x = _leg_reduce(src_x, legf_ref, PP, WB, bwd=False)
+            src_m = _leg_reduce(src_m, legf_ref, PP, WB, bwd=False)
+        gx = src_x + e_gapx
+        mm = (src_m - m_prev) + e_match
         gy = jnp.logaddexp(p1_m_up + t_my, p1_y_up + t_yy) + e_stay
 
         is_init = d == 0
@@ -636,6 +723,7 @@ def _fwd_kernel_log(geom_ref, refwin_ref, evinit_ref, evins_ref, pack_ref,
         mx = jnp.maximum(jnp.max(mm, axis=0, keepdims=True),
                          jnp.maximum(jnp.max(gx, axis=0, keepdims=True),
                                      jnp.max(gy, axis=0, keepdims=True)))
+        mx = _block_max(mx, PP)   # shared frame across a read's path-lanes
         m = jnp.where(mx > NEG * 0.5, mx, 0.0)
         mm = jnp.maximum(mm - m, NEG)
         gx = jnp.maximum(gx - m, NEG)
@@ -654,11 +742,16 @@ def _fwd_kernel_log(geom_ref, refwin_ref, evinit_ref, evins_ref, pack_ref,
         obuf[buf] = mm                         # f32 log-rel row
         out_dma(buf, d).start()
 
-        lse = jnp.log(jnp.sum(jnp.exp(mm + end_m), axis=0, keepdims=True)
-                      + jnp.sum(jnp.exp(gx + end_x), axis=0, keepdims=True)
-                      + jnp.sum(jnp.exp(gy + end_y), axis=0, keepdims=True))
+        # end-weighted logsumexp: consumed only at each lane's final
+        # diagonal -> skipped for tiles containing none (3 exp passes)
+        @pl.when(lse_on)
+        def _lse():
+            lse = jnp.log(
+                jnp.sum(jnp.exp(mm + end_m), axis=0, keepdims=True)
+                + jnp.sum(jnp.exp(gx + end_x), axis=0, keepdims=True)
+                + jnp.sum(jnp.exp(gy + end_y), axis=0, keepdims=True))
+            out_lse_ref[0, pl.ds(i, 1), :] = lse
         out_incr_ref[0, pl.ds(i, 1), :] = m
-        out_lse_ref[0, pl.ds(i, 1), :] = lse
         return m
 
     def step3(j, m_prev):
@@ -675,17 +768,27 @@ def _fwd_kernel_log(geom_ref, refwin_ref, evinit_ref, evins_ref, pack_ref,
 
 
 def _bwd_kernel_log(geom_ref, refwin_ref, evinit_ref, evins_ref,
-                pack_ref, hbm_fin_ref, hbm_post_ref, out_incr_ref,
-                out_lse_ref, out_fmax_ref, ring, evw, mprev, obuf, osem,
-                ibuf, isem,
-                *, T: int, WB: int, S: int, RB: int, Dpad: int,
-                fuse_post: bool):
+                pack_ref, *rest,
+                T: int, WB: int, S: int, RB: int, Dpad: int,
+                fuse_post: bool, PP: int = 1, estream: bool = False):
     """Backward sweep tile (descending diagonals); optionally fuses the
     forward match rows (DMA-prefetched from hbm_fin_ref) into an
     unnormalized log-posterior output.
 
     ring data sits at [SUBPAD + RB, ...): backward re-base reads at -128k.
+    PP > 1: paths-in-lanes legality reduces (see the forward kernel).
     """
+    if PP > 1:
+        legb_ref = rest[0]
+        rest = rest[1:]
+    if estream:
+        ebnd_ref, hbm_fin_ref, hbm_e_ref = rest[0], rest[1], rest[2]
+        (hbm_post_ref, out_incr_ref, out_lse_ref, out_fmax_ref,
+         ring, evw, mprev, obuf, osem, ibuf, isem,
+         ering, esem3) = rest[3:]
+    else:
+        (hbm_fin_ref, hbm_post_ref, out_incr_ref, out_lse_ref,
+         out_fmax_ref, ring, evw, mprev, obuf, osem, ibuf, isem) = rest
     g = pl.program_id(0)
     t = pl.program_id(1)
     base = SUBPAD + RB
@@ -742,6 +845,16 @@ def _bwd_kernel_log(geom_ref, refwin_ref, evinit_ref, evins_ref,
         return pltpu.make_async_copy(hbm_fin_ref.at[g, d], ibuf.at[slot],
                                      isem.at[slot])
 
+    if estream:
+        def e_dma(slot, d):
+            return pltpu.make_async_copy(hbm_e_ref.at[g, d],
+                                         ering.at[slot], esem3.at[slot])
+
+        # the first two consumed rows (d_start+1, d_start+2) belong to
+        # the neighboring tile's x-frame; they arrive pre-re-based
+        ering[(d_start + 1) % 3] = ebnd_ref[0, 0, 0]
+        ering[(d_start + 2) % 3] = ebnd_ref[0, 0, 1]
+
     if fuse_post:
         @pl.when(t == 0)
         def _prefetch0():
@@ -754,25 +867,41 @@ def _bwd_kernel_log(geom_ref, refwin_ref, evinit_ref, evins_ref,
         wd = geom_ref[0, 0, G_WIDTH, pl.ds(row, 1), :]
         is_end = geom_ref[0, 0, G_ISEND, pl.ds(row, 1), :] == 1
 
-        @pl.when(i > 0)
-        def _advance():
-            mean_s = evins_ref[0, 0, 0, pl.ds(i, 1), :]
-            val_s = evins_ref[0, 0, 1, pl.ds(i, 1), :]
-            sh_mean = evw[0, SUBPAD + 1:SUBPAD + 1 + WB, :]
-            sh_val = evw[1, SUBPAD + 1:SUBPAD + 1 + WB, :]
-            isR = sub == WB - 1
-            evw[0, SUBPAD:SUBPAD + WB, :] = jnp.where(isR, mean_s, sh_mean)
-            evw[1, SUBPAD:SUBPAD + WB, :] = jnp.where(isR, val_s, sh_val)
+        if estream:
+            # slots hold rows d+1 (stay into (x, y+1)) and d+2 (match
+            # into (x+1, y+1), +1 sublane shift); DMA row d now (its
+            # slot freed last step), first used next step
+            @pl.when(i < T - 1)
+            def _e_start():
+                e_dma(d % 3, d).start()
 
-        ev_mean = evw[0, SUBPAD:SUBPAD + WB, :]
-        ev_ok = evw[1, SUBPAD:SUBPAD + WB, :] > 0.5
+            @pl.when(i > 0)
+            def _e_wait():
+                e_dma((d + 1) % 3, d + 1).wait()
+            e_match_to = ering[(d + 2) % 3][1:1 + WB, :]
+            e_stay_same = ering[(d + 1) % 3][0:WB, :]
+        else:
+            @pl.when(i > 0)
+            def _advance():
+                mean_s = evins_ref[0, 0, 0, pl.ds(i, 1), :]
+                val_s = evins_ref[0, 0, 1, pl.ds(i, 1), :]
+                sh_mean = evw[0, SUBPAD + 1:SUBPAD + 1 + WB, :]
+                sh_val = evw[1, SUBPAD + 1:SUBPAD + 1 + WB, :]
+                isR = sub == WB - 1
+                evw[0, SUBPAD:SUBPAD + WB, :] = jnp.where(isR, mean_s,
+                                                          sh_mean)
+                evw[1, SUBPAD:SUBPAD + WB, :] = jnp.where(isR, val_s,
+                                                          sh_val)
 
-        ok1 = (inv_m1 > 0.0) & ev_ok
-        am1 = (ev_mean - m_hat1) * inv_m1
-        e_match_to = jnp.where(ok1, c_m1 - 0.5 * am1 * am1, NEG)
-        ok0 = (inv_m0 > 0.0) & ev_ok
-        ay0 = (ev_mean - m_hat0) * inv_y0
-        e_stay_same = jnp.where(ok0, c_y0 - 0.5 * ay0 * ay0, NEG)
+            ev_mean = evw[0, SUBPAD:SUBPAD + WB, :]
+            ev_ok = evw[1, SUBPAD:SUBPAD + WB, :] > 0.5
+
+            ok1 = (inv_m1 > 0.0) & ev_ok
+            am1 = (ev_mean - m_hat1) * inv_m1
+            e_match_to = jnp.where(ok1, c_m1 - 0.5 * am1 * am1, NEG)
+            ok0 = (inv_m0 > 0.0) & ev_ok
+            ay0 = (ev_mean - m_hat0) * inv_y0
+            e_stay_same = jnp.where(ok0, c_y0 - 0.5 * ay0 * ay0, NEG)
 
         b1_y = ring[_bwd_y(slot1), base:base + WB, :]
         b1_x = ring[_bwd_x(slot1), base + 1:base + 1 + WB, :]
@@ -781,6 +910,11 @@ def _bwd_kernel_log(geom_ref, refwin_ref, evinit_ref, evins_ref,
         gx_red = b1_x + gapx_ok
         mm_red = (b2_m - m_prev) + e_match_to
         gy_term = b1_y + e_stay_same
+        if PP > 1:
+            # the to-cell (x+1) terms carry per-target-path emissions;
+            # reduce them onto source-path lanes with x+1 legality
+            gx_red = _leg_reduce(gx_red, legb_ref, PP, WB, bwd=True)
+            mm_red = _leg_reduce(mm_red, legb_ref, PP, WB, bwd=True)
 
         b_match = jnp.logaddexp(jnp.logaddexp(gx_red + t_mx, mm_red + t_mm),
                                 gy_term + t_my)
@@ -795,6 +929,7 @@ def _bwd_kernel_log(geom_ref, refwin_ref, evinit_ref, evins_ref,
         mx = jnp.maximum(jnp.max(bm, axis=0, keepdims=True),
                          jnp.maximum(jnp.max(bx, axis=0, keepdims=True),
                                      jnp.max(by, axis=0, keepdims=True)))
+        mx = _block_max(mx, PP)   # shared frame across a read's path-lanes
         m = jnp.where(is_end, 0.0, jnp.where(mx > NEG * 0.5, mx, 0.0))
         bm = jnp.maximum(bm - m, NEG)
         bx = jnp.maximum(bx - m, NEG)
@@ -828,11 +963,15 @@ def _bwd_kernel_log(geom_ref, refwin_ref, evinit_ref, evins_ref,
         out_dma(buf, d).start()
         out_fmax_ref[0, pl.ds(row, 1), :] = m2
 
-        lse = jnp.log(jnp.sum(jnp.exp(bm + start_m), axis=0, keepdims=True)
-                      + jnp.sum(jnp.exp(bx + start_x), axis=0, keepdims=True)
-                      + jnp.sum(jnp.exp(by + start_y), axis=0, keepdims=True))
+        # the start-weighted logsumexp is consumed only at diagonal 0
+        @pl.when(d == 0)
+        def _lse():
+            lse = jnp.log(
+                jnp.sum(jnp.exp(bm + start_m), axis=0, keepdims=True)
+                + jnp.sum(jnp.exp(bx + start_x), axis=0, keepdims=True)
+                + jnp.sum(jnp.exp(by + start_y), axis=0, keepdims=True))
+            out_lse_ref[0, pl.ds(row, 1), :] = lse
         out_incr_ref[0, pl.ds(row, 1), :] = m
-        out_lse_ref[0, pl.ds(row, 1), :] = lse
         return m
 
     # d = d_start - i, d_start % 3 == 2 (Dp1p % 3 == 0): static slots
@@ -878,13 +1017,29 @@ def _specs(NT, T, WB, S, fwd: bool):
 
 @functools.partial(jax.jit,
                    static_argnames=("WB", "T", "S", "RB", "interpret",
-                                    "log_space"))
-def pallas_forward_b(geom, refwin, evinit, evins, pack, *, WB: int, T: int,
+                                    "log_space", "PP", "estream"))
+def pallas_forward_b(geom, refwin, evinit, evins, pack, lseflag, legf=None,
+                     estack=None,
+                     *, WB: int, T: int,
                      S: int, RB: int, interpret: bool = False,
-                     log_space: bool = False):
+                     log_space: bool = False, PP: int = 1,
+                     estream: bool = False):
     G, NT, _, T_, S_ = geom.shape
     Dp1p = NT * T
     in_specs, out_small = _specs(NT, T, WB, S, fwd=True)
+    # per-tile flag: 1 if any lane's final diagonal falls in this tile
+    in_specs = in_specs + [pl.BlockSpec((1, 1), lambda g, t: (g, t),
+                                        memory_space=pltpu.VMEM)]
+    args = (geom, refwin, evinit, evins, pack, lseflag)
+    if PP > 1:
+        NLEG = 2 * PP - 1
+        in_specs = in_specs + [
+            pl.BlockSpec((1, 1, NLEG, WB, S), lambda g, t: (g, t, 0, 0, 0),
+                         memory_space=pltpu.VMEM)]
+        args = args + (legf,)
+    if estream:
+        in_specs = in_specs + [pl.BlockSpec(memory_space=pl.ANY)]
+        args = args + (estack,)
     ring_h = SUBPAD + WB + RB + SUBPAD
     out_shapes = (
         # forward stack stays f32: real reads' posterior-relevant cells
@@ -895,36 +1050,65 @@ def pallas_forward_b(geom, refwin, evinit, evins, pack, *, WB: int, T: int,
         jax.ShapeDtypeStruct((G, Dp1p, S), jnp.float32),
         jax.ShapeDtypeStruct((G, Dp1p, S), jnp.float32),
     )
+    assert (PP == 1 and not estream) or log_space, \
+        "P>1 / emission streams require the log-space kernels"
     kern = _fwd_kernel_log if log_space else _fwd_kernel
+    kw = {"PP": PP, "estream": estream} if log_space else {}
+    scratch = [pltpu.VMEM((RING_ROWS, ring_h, S), jnp.float32),
+               pltpu.VMEM((NEV, SUBPAD + WB + 2, S), jnp.float32),
+               pltpu.VMEM((8, S), jnp.float32),
+               pltpu.VMEM((2, WB, S), jnp.float32),
+               pltpu.SemaphoreType.DMA((2,))]
+    if estream:
+        scratch += [pltpu.VMEM((2, WB + 8, S), jnp.float32),
+                    pltpu.SemaphoreType.DMA((2,))]
     fstack, incr, lse = pl.pallas_call(
-        functools.partial(kern, T=T, WB=WB, S=S, RB=RB),
+        functools.partial(kern, T=T, WB=WB, S=S, RB=RB, **kw),
         grid=(G, NT),
         in_specs=in_specs,
         out_specs=(pl.BlockSpec(memory_space=pl.ANY),) + tuple(out_small),
         out_shape=out_shapes,
-        scratch_shapes=[pltpu.VMEM((RING_ROWS, ring_h, S), jnp.float32),
-                        pltpu.VMEM((NEV, SUBPAD + WB + 2, S), jnp.float32),
-                        pltpu.VMEM((8, S), jnp.float32),
-                        pltpu.VMEM((2, WB, S), jnp.float32),
-                        pltpu.SemaphoreType.DMA((2,))],
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
-    )(geom, refwin, evinit, evins, pack)
+    )(*args)
     return fstack, incr, lse
 
 
 @functools.partial(jax.jit,
                    static_argnames=("WB", "T", "S", "RB", "fuse_post",
-                                    "interpret", "log_space"))
-def pallas_backward_b(geom, refwin, evinit, evins, pack, fstack, *,
-                      WB: int, T: int, S: int, RB: int,
+                                    "interpret", "log_space", "PP",
+                                    "estream"))
+def pallas_backward_b(geom, refwin, evinit, evins, pack, fstack, legb=None,
+                      estack=None, ebnd=None,
+                      *, WB: int, T: int, S: int, RB: int,
                       fuse_post: bool = True, interpret: bool = False,
-                      log_space: bool = False):
+                      log_space: bool = False, PP: int = 1,
+                      estream: bool = False):
     G, NT, _, T_, S_ = geom.shape
     Dp1p = NT * T
     Dpad = Dp1p - 1
     in_specs, out_small = _specs(NT, T, WB, S, fwd=False)
+    args = (geom, refwin, evinit, evins, pack)
+    if PP > 1:
+        NLEG = 2 * PP - 1
+        in_specs = in_specs + [
+            pl.BlockSpec((1, 1, NLEG, WB, S),
+                         lambda g, t: (g, NT - 1 - t, 0, 0, 0),
+                         memory_space=pltpu.VMEM)]
+        args = args + (legb,)
+    if estream:
+        # boundary emission rows are indexed by the BACKWARD program id
+        in_specs = in_specs + [
+            pl.BlockSpec((1, 1, 2, WB + 8, S),
+                         lambda g, t: (g, t, 0, 0, 0),
+                         memory_space=pltpu.VMEM)]
+        args = args + (ebnd,)
     in_specs = in_specs + [pl.BlockSpec(memory_space=pl.ANY)]
+    args = args + (fstack,)
+    if estream:
+        in_specs = in_specs + [pl.BlockSpec(memory_space=pl.ANY)]
+        args = args + (estack,)
     ring_h = SUBPAD + WB + RB + SUBPAD
     out_shapes = (
         # fused log-posterior rows re-centered per diagonal (see fmax):
@@ -937,25 +1121,32 @@ def pallas_backward_b(geom, refwin, evinit, evins, pack, fstack, *,
         # added back by the compaction normalizer
         jax.ShapeDtypeStruct((G, Dp1p, S), jnp.float32),
     )
+    assert (PP == 1 and not estream) or log_space, \
+        "P>1 / emission streams require the log-space kernels"
     kern = _bwd_kernel_log if log_space else _bwd_kernel
+    kw = {"PP": PP, "estream": estream} if log_space else {}
+    scratch = [pltpu.VMEM((7, ring_h, S), jnp.float32),
+               pltpu.VMEM((NEV, SUBPAD + WB + 2, S), jnp.float32),
+               pltpu.VMEM((8, S), jnp.float32),
+               pltpu.VMEM((2, WB, S), jnp.uint16),
+               pltpu.SemaphoreType.DMA((2,)),
+               pltpu.VMEM((2, WB, S), jnp.float32),
+               pltpu.SemaphoreType.DMA((2,))]
+    if estream:
+        scratch += [pltpu.VMEM((3, WB + 8, S), jnp.float32),
+                    pltpu.SemaphoreType.DMA((3,))]
     post, incr, lse, fmax = pl.pallas_call(
         functools.partial(kern, T=T, WB=WB, S=S, RB=RB, Dpad=Dpad,
-                          fuse_post=fuse_post),
+                          fuse_post=fuse_post, **kw),
         grid=(G, NT),
         in_specs=in_specs,
         out_specs=(pl.BlockSpec(memory_space=pl.ANY),)
         + tuple(out_small) + (out_small[0],),
         out_shape=out_shapes,
-        scratch_shapes=[pltpu.VMEM((7, ring_h, S), jnp.float32),
-                        pltpu.VMEM((NEV, SUBPAD + WB + 2, S), jnp.float32),
-                        pltpu.VMEM((8, S), jnp.float32),
-                        pltpu.VMEM((2, WB, S), jnp.uint16),
-                        pltpu.SemaphoreType.DMA((2,)),
-                        pltpu.VMEM((2, WB, S), jnp.float32),
-                        pltpu.SemaphoreType.DMA((2,))],
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
-    )(geom, refwin, evinit, evins, pack, fstack)
+    )(*args)
     return post, incr, lse, fmax
 
 
@@ -1144,8 +1335,9 @@ def _compact_topk(postlog, cvec, xoffs, widths, n_diag, log_thr, *,
     return jnp.concatenate(parts, axis=-1), counts
 
 
-@functools.partial(jax.jit, static_argnames=("T",))
-def _totals_cvec_df(f_incr, b_incr, f_lse, b_lse, n_diag, *, T: int):
+@functools.partial(jax.jit, static_argnames=("T", "PP"))
+def _totals_cvec_df(f_incr, b_incr, f_lse, b_lse, n_diag, *, T: int,
+                    PP: int = 1):
     """Per-diagonal normalization vector + totals, entirely on device.
 
     The inter-tile prefix sums of the rescaling offsets need ~double
@@ -1204,11 +1396,28 @@ def _totals_cvec_df(f_incr, b_incr, f_lse, b_lse, n_diag, *, T: int):
     tb_hi, e2 = two_sum(h1, b_intra[:, 0, :])
     tb_lo = e1 + e2
 
+    if PP > 1:
+        # paths-in-lanes: the posterior normalizer must be the JOINT
+        # total over each read's PP path-lanes (per-path-lane forward
+        # totals condition on the ending path and can be -inf/NaN for
+        # paths with no end mass)
+        v = tf_hi + tf_lo
+        v = jnp.where(jnp.isfinite(v), v, -jnp.inf)
+        r = v.reshape(G, S // PP, PP)
+        m = jnp.max(r, axis=2, keepdims=True)
+        mok = jnp.where(jnp.isfinite(m), m, 0.0)
+        jv = mok[..., 0] + jnp.log(
+            jnp.maximum(jnp.sum(jnp.exp(r - mok), axis=2), 1e-37))
+        jv = jnp.repeat(jv, PP, axis=1)
+        tfn_hi, tfn_lo = jv, jnp.zeros_like(jv)
+    else:
+        tfn_hi, tfn_lo = tf_hi, tf_lo
+
     # c_tile = fbase + bbase - total_f, with the large cancellation carried
     # through compensated terms
     h1, e1 = two_sum(fb_hi, bb_hi)
-    h2, e2 = two_sum(h1, -tf_hi[:, None, :])
-    c_tile = h2 + (e1 + e2 + fb_lo + bb_lo - tf_lo[:, None, :])
+    h2, e2 = two_sum(h1, -tfn_hi[:, None, :])
+    c_tile = h2 + (e1 + e2 + fb_lo + bb_lo - tfn_lo[:, None, :])
     cvec = (f_intra.reshape(G, NT, T, S)
             + b_intra.reshape(G, NT, T, S)
             + c_tile[:, :, None, :]).reshape(G, Dp1p, S)
@@ -1249,7 +1458,8 @@ class PallasBatchAligner:
 
     def __init__(self, problems: Sequence[bfb.BandedProblem], W: int,
                  T: int = 240, S: int = 32, RB: int = 256,
-                 interpret: bool = False, log_space: bool = False):
+                 interpret: bool = False, log_space: bool = False,
+                 P: int = 1):
         """``log_space=True`` selects the log-domain kernel bodies:
         exact for unbounded within-band dynamic range (real bundled
         reads need up to ~4700 nats below the diagonal ridge) at ~0.7x
@@ -1262,11 +1472,31 @@ class PallasBatchAligner:
         are pair-exact when the range fits — callers must gate on the
         tf/tb residual (``numerics_suspect``) and re-run flagged lanes
         on an exact path."""
-        assert all(p.mode == bfb.MODE_MEAN_ONLY for p in problems)
+        modes = {p.mode for p in problems}
+        assert len(modes) == 1 and modes <= {bfb.MODE_MEAN_ONLY,
+                                             bfb.MODE_HDP}
+        # MODE_HDP emissions arrive as a device-precomputed stream
+        # (ops/emission_stream.py); the DP kernels DMA one row per
+        # diagonal instead of evaluating Gaussians inline
+        self.estream = problems[0].mode == bfb.MODE_HDP
+        assert not self.estream or log_space, \
+            "HDP emission streams require log_space=True"
+        # P > 1 (degenerate-base expansion) runs paths-in-lanes: each
+        # problem occupies PP consecutive lanes (PP = P padded to a
+        # divisor of the 128-lane tile), cross-path transitions are
+        # masked lane-rolls, and per-diagonal rescales are shared per
+        # read block. Requires the log-space kernels.
+        assert 1 <= P <= 4, "paths-in-lanes supports P <= 4"
+        PP = {1: 1, 2: 2, 3: 4, 4: 4}[P]
+        assert PP == 1 or log_space, "P>1 requires log_space=True"
+        self.P, self.PP = P, PP
         self.log_space = log_space
         budget = float(os.environ.get("SIGNALALIGN_TPU_HBM_BUDGET", 13e9))
         nd_max = max(p.n_diag for p in problems)
-        if stack_bytes(nd_max, W, S, T) > budget:
+        sb = stack_bytes(nd_max, W, S, T)
+        if self.estream:
+            sb += sb * 4 // 6   # + f32 emission stream (WBe ~ WB)
+        if sb > budget:
             raise ValueError(
                 f"DP stacks for n_diag={nd_max} W={W} S={S} exceed the "
                 f"HBM budget ({budget:.2e}B)")
@@ -1274,10 +1504,12 @@ class PallasBatchAligner:
         self.W, self.T, self.S, self.RB = W, T, S, RB
         self.interpret = interpret
         B = len(problems)
-        G = (B + S - 1) // S
+        G = (B * PP + S - 1) // S
         self.G = G
+        lane_list = [(pi, pp_) for pi in range(B) for pp_ in range(PP)]
 
-        per = [tile_geometry(p, W, T) for p in problems]
+        per = [tile_geometry(problems[pi], W, T, path=pp_)
+               for (pi, pp_) in lane_list]
         WB = per[0][-1]
         self.WB = WB
         NT = per[0][0].shape[0]      # geom_t is (NT, T, NGEOM)
@@ -1301,9 +1533,21 @@ class PallasBatchAligner:
         bases = np.zeros((G, Dp1p, S), dtype=np.int64)
         n_diag = np.zeros((G, S), dtype=np.int32)
 
-        for idx, (p, (g_, rw, ef, eb, eif, eib, base, _)) in enumerate(
-                zip(problems, per)):
+        NLEG = 2 * PP - 1
+        if PP > 1:
+            from signalalign_tpu.ops.banded_fb_pallas import \
+                tile_leg_windows
+            legf = np.full((G, NT, NLEG, WB, S), bfb.NEG, dtype=np.float32)
+            legb = np.full((G, NT, NLEG, WB, S), bfb.NEG, dtype=np.float32)
+
+        for idx, ((pi, pp_), (g_, rw, ef, eb, eif, eib, base, _)) in \
+                enumerate(zip(lane_list, per)):
+            p = problems[pi]
             gi, si = divmod(idx, S)
+            if PP > 1:
+                lf, lb = tile_leg_windows(p, W, T, pp_, PP)
+                legf[gi, :, :, :, si] = np.transpose(lf, (1, 0, 2))
+                legb[gi, :, :, :, si] = np.transpose(lb, (1, 0, 2))
             gflat = g_.reshape(-1, NGEOM)
             geom[gi, :, :, :, si] = np.transpose(g_, (0, 2, 1))
             rwp = rw[:, :NREF, :].copy()
@@ -1317,8 +1561,13 @@ class PallasBatchAligner:
             evinit_b[gi, :, :, :, si] = eb
             evins_f[gi, :, :, :, si] = np.transpose(eif, (0, 2, 1))
             evins_b[gi, :, :, :, si] = np.transpose(eib, (0, 2, 1))
-            pack[gi, :, si] = (_pack16_log(p) if log_space
-                               else _pack16(p))
+            pk16 = _pack16_log(p) if log_space else _pack16(p)
+            if pp_ > 0:
+                # only path 0 of cell (0, 0) carries start mass
+                # (banded_fb f0[:, 0, 0]); non-zero path lanes start dead
+                pk16 = pk16.copy()
+                pk16[9:12] = bfb.NEG
+            pack[gi, :, si] = pk16
             ev_off[gi, si] = 0.0 if log_space else p.ev_norm_total
             xoffs[gi, :, si] = gflat[:, G_XOFF]
             widths[gi, :, si] = gflat[:, G_WIDTH]
@@ -1342,6 +1591,55 @@ class PallasBatchAligner:
         self.ev_off = ev_off
         self.n_diag = jnp.asarray(n_diag)
         self.n_diag_h = n_diag
+        # per-tile lse flags: tile t of group g computes the forward
+        # end-logsumexp only if some lane's final diagonal lies in it
+        lsef = np.zeros((G, NT), dtype=np.int32)
+        for gi in range(G):
+            for ti in np.unique(np.asarray(n_diag[gi]) // T):
+                lsef[gi, min(int(ti), NT - 1)] = 1
+        self.lseflag = jnp.asarray(lsef)
+        if self.estream:
+            from signalalign_tpu.ops.emission_stream import \
+                host_stream_inputs
+            WBe = WB + 8
+            LEmax = max(p.ev_params.shape[1] for p in problems)
+            kmerw = np.full((G, NT, WBe, S), -1, dtype=np.int32)
+            muw = np.zeros((G, NT, WBe, S), dtype=np.float32)
+            mhatw = np.zeros((G, NT, WBe, S), dtype=np.float32)
+            evm = np.zeros((G, LEmax, S), dtype=np.float32)
+            evv = np.zeros((G, LEmax, S), dtype=np.float32)
+            j0d = np.zeros((G, Dp1p, S), dtype=np.int32)
+            j0bnd = np.zeros((G, NT, 2, S), dtype=np.int32)
+            kwb = np.full((G, NT, 2, WBe, S), -1, dtype=np.int32)
+            mwb = np.zeros((G, NT, 2, WBe, S), dtype=np.float32)
+            hwb = np.zeros((G, NT, 2, WBe, S), dtype=np.float32)
+            varr = np.ones((G, S), dtype=np.float32)
+            for idx, (pi, pp_) in enumerate(lane_list):
+                p = problems[pi]
+                gi, si = divmod(idx, S)
+                (kw, mw, hw, em, ev_, j0, j0b, kb, mb, hb, vv) = \
+                    host_stream_inputs(p, W, T, pp_, WBe, LEmax)
+                kmerw[gi, :, :, si] = kw
+                muw[gi, :, :, si] = mw
+                mhatw[gi, :, :, si] = hw
+                evm[gi, :, si] = em
+                evv[gi, :, si] = ev_
+                j0d[gi, :, si] = j0
+                j0bnd[gi, :, :, si] = j0b
+                kwb[gi, :, :, :, si] = kb
+                mwb[gi, :, :, :, si] = mb
+                hwb[gi, :, :, :, si] = hb
+                varr[gi, si] = vv
+            self.stream_in = tuple(jnp.asarray(a) for a in (
+                kmerw, muw, mhatw, evm, evv, j0d, j0bnd, kwb, mwb, hwb,
+                varr))
+            p0 = problems[0]
+            self.hdp_dens = jnp.asarray(p0.hdp_dens)
+            self.hdp_slopes = jnp.asarray(p0.hdp_slopes)
+            self.hdp_grid = jnp.asarray(p0.hdp_grid)
+            self.WBe = WBe
+        self.legf = jnp.asarray(legf) if PP > 1 else None
+        self.legb = jnp.asarray(legb) if PP > 1 else None
         self.NT = NT
 
     def execute(self, compact_k: int = 4096, threshold: float = 0.01,
@@ -1356,14 +1654,24 @@ class PallasBatchAligner:
         batch BEFORE finishing the previous one overlaps the (dominant)
         device->host result transfer with the next batch's kernels."""
         T, WB, S, RB = self.T, self.WB, self.S, self.RB
+        estack = ebnd = None
+        if self.estream:
+            from signalalign_tpu.ops.emission_stream import \
+                hdp_emission_stacks
+            estack, ebnd = hdp_emission_stacks(
+                *self.stream_in, self.hdp_dens, self.hdp_slopes,
+                self.hdp_grid, T=T, WBe=self.WBe)
         fstack, f_incr, f_lse = pallas_forward_b(
             self.geom, self.refwin, self.evinit_f, self.evins_f, self.pack,
-            WB=WB, T=T, S=S, RB=RB, interpret=self.interpret,
-            log_space=self.log_space)
+            self.lseflag, self.legf, estack, WB=WB, T=T, S=S, RB=RB,
+            interpret=self.interpret,
+            log_space=self.log_space, PP=self.PP, estream=self.estream)
         postlog, b_incr, b_lse, fmax = pallas_backward_b(
             self.geom, self.refwin, self.evinit_b, self.evins_b, self.pack,
-            fstack, WB=WB, T=T, S=S, RB=RB, fuse_post=True,
-            interpret=self.interpret, log_space=self.log_space)
+            fstack, self.legb, estack, ebnd, WB=WB, T=T, S=S, RB=RB,
+            fuse_post=True,
+            interpret=self.interpret, log_space=self.log_space,
+            PP=self.PP, estream=self.estream)
 
         # normalization offsets + totals stay on device (compensated f32
         # prefix at ~double precision); nothing but the packed prefix and
@@ -1371,7 +1679,7 @@ class PallasBatchAligner:
         # fused-row max folds into the normalizer (the stack rows are
         # quantized relative to it).
         cvec, tf_hi, tf_lo, tb_hi, tb_lo = _totals_cvec_df(
-            f_incr, b_incr, f_lse, b_lse, self.n_diag, T=T)
+            f_incr, b_incr, f_lse, b_lse, self.n_diag, T=T, PP=self.PP)
         cvec = cvec + fmax
         del fstack  # free the forward stack before compaction peaks
         C = max(T, 1)
@@ -1426,16 +1734,26 @@ class PallasBatchAligner:
         attached-host projection, where the PCIe link replaces the tunnel).
         Returns a zero-arg closure yielding (total_f (G,S), counts (G,S))."""
         T, WB, S, RB = self.T, self.WB, self.S, self.RB
+        estack = ebnd = None
+        if self.estream:
+            from signalalign_tpu.ops.emission_stream import \
+                hdp_emission_stacks
+            estack, ebnd = hdp_emission_stacks(
+                *self.stream_in, self.hdp_dens, self.hdp_slopes,
+                self.hdp_grid, T=T, WBe=self.WBe)
         fstack, f_incr, f_lse = pallas_forward_b(
             self.geom, self.refwin, self.evinit_f, self.evins_f, self.pack,
-            WB=WB, T=T, S=S, RB=RB, interpret=self.interpret,
-            log_space=self.log_space)
+            self.lseflag, self.legf, estack, WB=WB, T=T, S=S, RB=RB,
+            interpret=self.interpret,
+            log_space=self.log_space, PP=self.PP, estream=self.estream)
         postlog, b_incr, b_lse, fmax = pallas_backward_b(
             self.geom, self.refwin, self.evinit_b, self.evins_b, self.pack,
-            fstack, WB=WB, T=T, S=S, RB=RB, fuse_post=True,
-            interpret=self.interpret, log_space=self.log_space)
+            fstack, self.legb, estack, ebnd, WB=WB, T=T, S=S, RB=RB,
+            fuse_post=True,
+            interpret=self.interpret, log_space=self.log_space,
+            PP=self.PP, estream=self.estream)
         cvec, tf_hi, tf_lo, tb_hi, tb_lo = _totals_cvec_df(
-            f_incr, b_incr, f_lse, b_lse, self.n_diag, T=T)
+            f_incr, b_incr, f_lse, b_lse, self.n_diag, T=T, PP=self.PP)
         cvec = cvec + fmax
         del fstack
         log_thr = jnp.float32(np.log(max(threshold, 1e-300)))
@@ -1454,10 +1772,9 @@ class PallasBatchAligner:
         # survivors arrive pre-filtered (device f32 threshold), pre-sorted
         # by (diagonal, band offset) == the (x+y, x) output order, and
         # prefix-packed: decode is pure slicing, no host sort/filter
-        S, WB = self.S, self.WB
-        results = []
-        for idx, p in enumerate(self.problems):
-            gi, si = divmod(idx, S)
+        S, WB, PP = self.S, self.WB, self.PP
+
+        def lane_arrays(p, gi, si):
             n = min(int(counts_h[gi, si]), p_h.shape[2])
             pk = p_h[gi, si, :n]
             c = cell_h[gi, si, :n]
@@ -1466,8 +1783,52 @@ class PallasBatchAligner:
             x = self.bases_h[gi, d, si] + wb
             y = d - x
             ok = (x > 0) & (y > 0) & (x <= p.lX) & (y <= p.lY)
-            arrs = ((pk[ok] * 10000000).astype(np.int64),
+            return ((pk[ok] * 10000000).astype(np.int64),
                     x[ok] - 1, y[ok] - 1)
+
+        results = []
+        if PP > 1:
+            # merge each problem's PP path-lanes: joint totals are the
+            # logsumexp over paths (the DP is joint; per-path-lane
+            # forward/backward totals condition on different endpoints
+            # and only agree after the path reduce). Dead padding lanes
+            # can carry -inf/NaN totals - drop them.
+            def _lse_h(vals):
+                v = np.asarray(vals, dtype=np.float64)
+                v = v[np.isfinite(v)]
+                if v.size == 0:
+                    return float("-inf")
+                m = v.max()
+                return float(m + np.log(np.exp(v - m).sum()))
+
+            for pi, p in enumerate(self.problems):
+                gis = [divmod(pi * PP + j, S) for j in range(PP)]
+                tf = _lse_h([total_f[gi, si] for gi, si in gis])
+                tb = _lse_h([total_b[gi, si] for gi, si in gis])
+                over = any(bool(overflow_h[gi, si]) for gi, si in gis) \
+                    if overflow_h is not None else False
+                pairs = []
+                for j, (gi, si) in enumerate(gis):
+                    pk, xs, ys = lane_arrays(p, gi, si)
+                    for pr, xi, yi in zip(pk, xs, ys):
+                        kmer = p.path_kmer_at(int(xi) + 1, j)
+                        if kmer is None:
+                            continue
+                        pairs.append((int(pr), int(xi), int(yi), kmer))
+                pairs.sort(key=lambda r: (r[1] + r[2], r[1]))
+                entry = {"total_f": float(tf), "total_b": float(tb),
+                         "numerics_suspect":
+                             (not abs(float(tf) - float(tb)) < 1.0)
+                             or over,
+                         "pairs": pairs}
+                if as_arrays:
+                    raise ValueError("as_arrays unsupported for P > 1")
+                results.append(entry)
+            return results
+
+        for idx, p in enumerate(self.problems):
+            gi, si = divmod(idx, S)
+            arrs = lane_arrays(p, gi, si)
             entry = {"total_f": float(total_f[gi, si]),
                      "total_b": float(total_b[gi, si]),
                      # forward/backward totals must agree; a gap means the

@@ -1,0 +1,214 @@
+"""Device-side emission streams for the lane-batched Pallas DP kernels.
+
+The lane kernels compute Gaussian (MODE_MEAN_ONLY) emissions inline; any
+other emission model is fed as a *stream*: an XLA precompute evaluates
+the per-cell log-emissions into an HBM stack (G, Dp1p, WBe, S) that the
+DP kernels DMA one diagonal row at a time — the same pattern the
+backward kernel already uses for the forward match rows. This keeps the
+hot kernels emission-model agnostic and puts the gather-heavy spline
+evaluation (unsupported inside Mosaic) in XLA, where it runs once per
+sweep pair off the critical path.
+
+First (and flagship) producer: the HDP spline density used for
+methylation calling — log((1/var) * hdp_spline(descaled mean)), stay
+emission == match emission (reference: stateMachine.c:527
+emissions_signal_getHdpKmerDensity, stateMachine3HDP_cellCalculate;
+re-stated in banded_fb._emissions_at MODE_HDP).
+
+Layout notes (mirrors banded_fb_pallas.tile_geometry's x-frame):
+  * sublane u of tile tt covers absolute kmer index x = base(tt) + u,
+    constant within the tile;
+  * the event consumed at diagonal d, sublane u is j(d, u) = lY - d +
+    fp + base(tt(d)) + u (forward orientation);
+  * rows carry WBe = WB + 8 sublanes so the backward kernel can read
+    the x+1-shifted row without a separate stream;
+  * the backward kernel's first two steps of each tile consume rows
+    belonging to the neighboring tile's frame; those are materialized
+    separately (``ebnd``), re-based, so the kernel needs no boundary
+    special-casing.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from signalalign_tpu.ops import banded_fb as bfb
+
+NEG = bfb.NEG
+
+
+def _hdp_logdensity(x, kmer, dens, slopes, g0, dx, valid):
+    """Vectorized monotone-cubic spline log-density (banded_fb MODE_HDP
+    semantics: hdp.c:2588-2612 grid evaluation + linear extrapolation),
+    divided by var upstream. x: descaled event mean; kmer: table row."""
+    Gg = dens.shape[1]
+    il = jnp.clip(((x - g0) // dx).astype(jnp.int32), 0, Gg - 2)
+    kk = jnp.maximum(kmer, 0)
+    flat_l = kk * Gg + il
+    df = dens.reshape(-1)
+    sf = slopes.reshape(-1)
+    yl = jnp.take(df, flat_l)
+    yr = jnp.take(df, flat_l + 1)
+    sl = jnp.take(sf, flat_l)
+    sr = jnp.take(sf, flat_l + 1)
+    dy = yr - yl
+    a = sl * dx - dy
+    b = dy - sr * dx
+    tl = (x - (g0 + il * dx)) / dx
+    tr = 1.0 - tl
+    mid = tr * yl + tl * yr + tl * tr * (a * tr + b * tl)
+    gN = g0 + (Gg - 1) * dx
+    below = jnp.take(dens[:, 0], kk) - jnp.take(slopes[:, 0], kk) * (g0 - x)
+    above = jnp.take(dens[:, Gg - 1], kk) \
+        + jnp.take(slopes[:, Gg - 1], kk) * (x - gN)
+    v = jnp.where(x <= g0, below, jnp.where(x >= gN, above, mid))
+    v = jnp.maximum(v, 0.0)
+    return jnp.where(valid & (v > 0),
+                     jnp.log(jnp.maximum(v, 1e-37)), NEG)
+
+
+@functools.partial(jax.jit, static_argnames=("T", "WBe"))
+def hdp_emission_stacks(kmerw, muw, mhatw, evm, evv, j0d, j0bnd, kmerw_bnd,
+                        muw_bnd, mhatw_bnd, var, dens, slopes, grid,
+                        *, T: int, WBe: int):
+    """HDP log-emission stream + backward tile-boundary rows.
+
+    kmerw/muw/mhatw: (G, NT, WBe, S) per-tile kmer table rows and
+        Gaussian location params (mu, scale*mu+shift) for x = base + u;
+        kmer < 0 marks invalid cells.
+    evm/evv:  (G, LE, S) per-lane padded event means / validity.
+    j0d:      (G, Dp1p, S) i32 — event index entering sublane 0 of each
+        diagonal (lY - d + fp + base), unclipped.
+    j0bnd:    (G, NT, 2, S) i32 — same, for the two re-based boundary
+        rows of each *backward-order* tile block.
+    kmerw_bnd/muw_bnd/mhatw_bnd: (G, NT, 2, WBe, S) boundary-row params
+        in the CONSUMING tile's frame.
+    var:      (G, S) per-lane read variance.
+    Returns (estack (G, Dp1p, WBe, S) f32, ebnd (G, NT, 2, WBe, S) f32).
+    """
+    G, NT, WBe_, S = kmerw.shape
+    Dp1p = NT * T
+    g0 = grid[0]
+    dx = grid[1]
+    LE = evm.shape[1]
+    u = jnp.arange(WBe, dtype=jnp.int32)[None, :, None]
+
+    def row(kw, mu_, mh, j0):
+        # kw/mu_/mh: (G, WBe, S); j0: (G, S)
+        j = j0[:, None, :] + u                      # (G, WBe, S)
+        inb = (j >= 0) & (j < LE)
+        jc = jnp.clip(j, 0, LE - 1)
+        ev = jnp.take_along_axis(evm, jc.reshape(G, -1, S),
+                                 axis=1).reshape(G, WBe, S)
+        ok = jnp.take_along_axis(evv, jc.reshape(G, -1, S),
+                                 axis=1).reshape(G, WBe, S) > 0.5
+        ok = ok & inb & (kw >= 0)
+        x = mu_ + (ev - mh) / var[:, None, :]
+        ld = _hdp_logdensity(x, kw, dens, slopes, g0, dx, ok)
+        return ld - jnp.log(var)[:, None, :]
+
+    def tile(tt):
+        kw = kmerw[:, tt]
+        mu_ = muw[:, tt]
+        mh = mhatw[:, tt]
+
+        def diag(i):
+            return row(kw, mu_, mh, j0d[:, tt * T + i])
+        return jax.vmap(diag, out_axes=1)(jnp.arange(T))  # (G, T, WBe, S)
+
+    est = jax.lax.map(tile, jnp.arange(NT))                # (NT, G, T, ...)
+    estack = jnp.moveaxis(est, 0, 1).reshape(G, Dp1p, WBe, S)
+
+    def bnd(tt):
+        outs = []
+        for r in range(2):
+            outs.append(row(kmerw_bnd[:, tt, r], muw_bnd[:, tt, r],
+                            mhatw_bnd[:, tt, r], j0bnd[:, tt, r]))
+        return jnp.stack(outs, axis=1)                     # (G, 2, WBe, S)
+
+    eb = jax.lax.map(bnd, jnp.arange(NT))
+    ebnd = jnp.moveaxis(eb, 0, 1)                          # (G, NT, 2, ...)
+    return estack, ebnd
+
+
+def host_stream_inputs(problem: bfb.BandedProblem, W: int, T: int,
+                       path: int, WBe: int, LEmax: int):
+    """Per-lane host arrays for ``hdp_emission_stacks``.
+
+    Returns (kmerw (NT, WBe), muw, mhatw, evm (LEmax,), evv (LEmax,),
+    j0d (Dp1p,), j0bnd (NT, 2), kmerw_bnd (NT, 2, WBe), muw_bnd,
+    mhatw_bnd, var).
+
+    Reference geometry: banded_fb_pallas.tile_geometry (x-frame).
+    """
+    Dp1 = problem.x0.shape[0]
+    Dp1p = ((Dp1 + T - 1) // T) * T
+    NT = Dp1p // T
+    lY = problem.lY
+    fp = problem.ev_front_pad
+
+    x0 = np.zeros(Dp1p, dtype=np.int64)
+    x0[:Dp1] = problem.x0
+    x0[Dp1:] = x0[Dp1 - 1]
+    tb = (x0[np.arange(NT) * T] // 128) * 128            # (NT,)
+
+    kmer_ids = problem.kmer_ids
+    pslot = min(path, kmer_ids.shape[0] - 1)
+    kids = kmer_ids[pslot].astype(np.int64)              # (LXpad,)
+    if path >= kmer_ids.shape[0]:
+        kids = np.full_like(kids, -1)
+    LX = kids.shape[0]
+    mu = problem.ref_params[7, min(path, problem.ref_params.shape[1] - 1)]
+    m_hat = problem.ref_params[0,
+                               min(path, problem.ref_params.shape[1] - 1)]
+    # invalid path slots carry zeroed params; mark via inv_m == 0
+    inv_m = problem.ref_params[1,
+                               min(path, problem.ref_params.shape[1] - 1)]
+
+    u = np.arange(WBe)
+
+    def window(frame_base):
+        xs = frame_base[:, None] + u[None, :]
+        oob = (xs < 0) | (xs >= LX)
+        xc = np.clip(xs, 0, LX - 1)
+        kw = kids[xc].copy()
+        kw[oob] = -1
+        kw[inv_m[xc] <= 0.0] = -1
+        if path >= kmer_ids.shape[0]:
+            kw[:] = -1
+        return (kw.astype(np.int32), mu[xc].astype(np.float32),
+                m_hat[xc].astype(np.float32))
+
+    kmerw, muw, mhatw = window(tb)
+
+    d = np.arange(Dp1p)
+    base_d = tb[d // T]
+    j0d = (lY - d + fp + base_d).astype(np.int32)
+
+    # backward-order tile blocks: program t consumes d_start = Dp1p-1-t*T
+    # and needs rows d_start+1, d_start+2 in tile(d_start)'s frame
+    j0bnd = np.zeros((NT, 2), dtype=np.int32)
+    frames = np.zeros(NT, dtype=np.int64)
+    for t in range(NT):
+        d_start = Dp1p - 1 - t * T
+        fb = tb[d_start // T]
+        frames[t] = fb
+        for r in range(2):
+            dd = min(d_start + 1 + r, Dp1p - 1)  # clipped rows are unused
+            j0bnd[t, r] = lY - dd + fp + fb
+    kb, mb, hb = window(frames)
+    kmerw_bnd = np.stack([kb, kb], axis=1)
+    muw_bnd = np.stack([mb, mb], axis=1)
+    mhatw_bnd = np.stack([hb, hb], axis=1)
+
+    evm = np.zeros(LEmax, dtype=np.float32)
+    evv = np.zeros(LEmax, dtype=np.float32)
+    LE = problem.ev_params.shape[1]
+    evm[:LE] = problem.ev_params[0]
+    evv[:LE] = problem.ev_params[3]
+    return (kmerw, muw, mhatw, evm, evv, j0d, j0bnd, kmerw_bnd, muw_bnd,
+            mhatw_bnd, float(problem.var))

@@ -223,8 +223,13 @@ def run_alignment_batch(
 
     for (W, Dpad, P), idxs in buckets.items():
         probs = [seg_tasks[i].problem for i in idxs]
-        pallas_ok = (use_pallas and P == 1
-                     and config.emission_mode == bfb.MODE_MEAN_ONLY
+        # P > 1 (degenerate-base variant/methylation expansion) runs
+        # paths-in-lanes on the lane-batched log kernels (P padded to a
+        # divisor of the 128-lane tile)
+        PP = {1: 1, 2: 2, 3: 4, 4: 4}.get(P, 0)
+        pallas_ok = (use_pallas and 1 <= P <= 4
+                     and config.emission_mode in (bfb.MODE_MEAN_ONLY,
+                                                  bfb.MODE_HDP)
                      and not config.compute_expectations)
         if pallas_ok:
             try:
@@ -236,7 +241,15 @@ def run_alignment_batch(
                 # reuse across similar buckets
                 K = max(((3 * lYmax + 127) // 128) * 128, 1024)
                 S_lanes = _choose_lanes(max(p.n_diag for p in probs), W)
-                if pallas_interpret or W > 1024 or len(probs) < 32:
+                hdp_mode = config.emission_mode == bfb.MODE_HDP
+                if (P > 1 or hdp_mode) and (W > 1024
+                                            or len(probs) * PP < 16):
+                    raise ValueError(
+                        "P>1/HDP bucket too small/wide for the lane "
+                        "kernels")
+                if P == 1 and not hdp_mode and (pallas_interpret
+                                                or W > 1024
+                                                or len(probs) < 32):
                     # per-read-row kernel: far cheaper under the
                     # interpreter; the fallback for shapes whose
                     # lane-batched scratch exceeds VMEM; and the right
@@ -260,11 +273,12 @@ def run_alignment_batch(
                     # fill the last stripe (extra lanes decoded but
                     # discarded)
                     S = S_lanes
-                    for c0 in range(0, len(probs), S):
-                        chunk = probs[c0:c0 + S]
-                        cidx = idxs[c0:c0 + S]
+                    S_eff = S // PP         # problems per stripe
+                    for c0 in range(0, len(probs), S_eff):
+                        chunk = probs[c0:c0 + S_eff]
+                        cidx = idxs[c0:c0 + S_eff]
                         n_real = len(chunk)
-                        while len(chunk) % S:
+                        while len(chunk) % S_eff:
                             chunk.append(chunk[-1])
                         # log-space kernels are the production default:
                         # exact (unbounded within-band dynamic range —
@@ -275,11 +289,14 @@ def run_alignment_batch(
                         # the within-band range fits f32 (~157 nats);
                         # the tf/tb residual check below catches the
                         # rest and re-runs them exactly.
-                        prob_ok = (W <= 512 and os.environ.get(
-                            "SIGNALALIGN_TPU_PROB_KERNELS") == "1")
+                        prob_ok = (P == 1 and W <= 512 and not hdp_mode
+                                   and os.environ.get(
+                                       "SIGNALALIGN_TPU_PROB_KERNELS")
+                                   == "1")
                         aligner = PallasBatchAligner(chunk, W=W, T=120,
                                                      S=S, RB=256,
-                                                     log_space=not prob_ok)
+                                                     log_space=not prob_ok,
+                                                     P=P)
                         # pipeline: overlap this stripe's kernels with the
                         # previous stripe's result fetch — only when two
                         # stripes' DP stacks fit the HBM budget together

@@ -307,3 +307,89 @@ def test_pallas_v2_interpret_matches_scan(r94_model, log_space):
             assert abs(d8[key] - d2[key]) <= (1e7 / 255) * 0.51 + 1e7 / 1024 + 1
         assert [(x, y) for _, x, y, _ in p8["pairs"]] \
             == [(x, y) for _, x, y, _ in p["pairs"]]
+
+
+@pytest.mark.parametrize("P,amb", [(2, "Y"), (3, "B")])
+def test_pallas_v2_paths_in_lanes_matches_scan(r94_model, P, amb):
+    """P>1 degenerate-base expansion on the lane-batched log kernels:
+    paths-in-lanes with masked lane-roll legality reduces must reproduce
+    the XLA kernels' joint totals and aligned-pair sets exactly."""
+    from signalalign_tpu.ops.banded_fb_pallas_batch import PallasBatchAligner
+    from signalalign_tpu.ops.batch import run_banded_fb_batch
+    model = r94_model
+    rng = np.random.default_rng(7)
+    problems = []
+    for i in range(2):
+        seq = list("".join(rng.choice(list("ACGT"), size=120)))
+        for pos in (30, 60, 90):
+            seq[pos] = amb
+        seq = "".join(seq)
+        ids = model.alphabet.seq_to_kmer_ids(seq.replace(amb, "A"))
+        ev = np.stack([model.level_mean[ids] + rng.normal(0, 1.5, len(ids)),
+                       np.ones(len(ids)), np.full(len(ids), .005),
+                       np.arange(len(ids)) * .005], 1)
+        anchors = [(j, j) for j in range(10, len(ids) - 10, 15)]
+        problems.append(bfb.prepare_problem(
+            seq, ev, model, ScalingParams(shift=1.0 + 0.2 * i),
+            DEFAULT_AMBIG_BASES, W=128, Dpad=280, P=P,
+            mode=bfb.MODE_MEAN_ONLY, anchor_pairs=anchors, expansion=8))
+    ref = run_banded_fb_batch(problems, W=128, P=P)
+    al = PallasBatchAligner(problems, W=128, T=48, S=8, RB=256,
+                            interpret=True, log_space=True, P=P)
+    v2 = al.execute(compact_k=1024)
+    for i, (r, q) in enumerate(zip(ref, v2)):
+        assert math.isclose(r["total_f"], q["total_f"], rel_tol=1e-5)
+        assert math.isclose(r["total_b"], q["total_b"], rel_tol=1e-5)
+        assert not q["numerics_suspect"]
+        sp = bfb.extract_aligned_pairs(problems[i], r["post"], 0.01)
+        d1 = {(x, y, k): pr for pr, x, y, k in sp}
+        d2 = {(x, y, k): pr for pr, x, y, k in q["pairs"]}
+        assert set(d1) == set(d2)
+        for key in d1:
+            assert abs(d1[key] - d2[key]) <= 3e-3 * 1e7
+
+
+@pytest.mark.parametrize("P,amb", [(1, None), (3, "L")])
+def test_pallas_v2_hdp_stream_matches_scan(P, amb):
+    """MODE_HDP on the lane kernels: the device-precomputed emission
+    stream (ops/emission_stream.py spline evaluation, DMA'd per
+    diagonal) must reproduce the XLA kernels' totals and pair sets,
+    including combined with P>1 paths-in-lanes."""
+    from signalalign_tpu.models.hdp_model import load_nhdp
+    from signalalign_tpu.ops.banded_fb_pallas_batch import PallasBatchAligner
+    from signalalign_tpu.ops.batch import run_banded_fb_batch
+    hdp = load_nhdp("/root/reference/models/templateSingleLevelFixed.nhdp")
+    model = PoreModel.from_file(
+        os.path.join(MODELS, "testModelR73_acegot_template.model"))
+    rng = np.random.default_rng(3)
+    probs = []
+    for i in range(2):
+        seq = list("".join(rng.choice(list("ACGT"), size=100)))
+        if amb:
+            for pos in (30, 60):
+                seq[pos] = amb
+        seq = "".join(seq)
+        ids = model.alphabet.seq_to_kmer_ids(
+            seq.replace(amb, "C") if amb else seq)
+        ev = np.stack([model.level_mean[ids] + rng.normal(0, 1.5, len(ids)),
+                       np.ones(len(ids)), np.full(len(ids), .005),
+                       np.arange(len(ids)) * .005], 1)
+        anchors = [(j, j) for j in range(10, len(ids) - 10, 15)]
+        probs.append(bfb.prepare_problem(
+            seq, ev, model, ScalingParams(shift=1.0 + 0.1 * i, var=1.05),
+            DEFAULT_AMBIG_BASES, W=128, Dpad=240, P=P,
+            mode=bfb.MODE_HDP, anchor_pairs=anchors, expansion=8, hdp=hdp))
+    ref = run_banded_fb_batch(probs, W=128, P=P)
+    al = PallasBatchAligner(probs, W=128, T=48, S=8, RB=256,
+                            interpret=True, log_space=True, P=P)
+    v2 = al.execute(compact_k=1024)
+    for i, (r, q) in enumerate(zip(ref, v2)):
+        assert math.isclose(r["total_f"], q["total_f"], rel_tol=1e-5)
+        assert math.isclose(r["total_b"], q["total_b"], rel_tol=1e-5)
+        assert not q["numerics_suspect"]
+        sp = bfb.extract_aligned_pairs(probs[i], r["post"], 0.01)
+        d1 = {(x, y, k): pr for pr, x, y, k in sp}
+        d2 = {(x, y, k): pr for pr, x, y, k in q["pairs"]}
+        assert set(d1) == set(d2)
+        for key in d1:
+            assert abs(d1[key] - d2[key]) <= 3e-3 * 1e7
