@@ -139,22 +139,30 @@ def cmd_train(args) -> int:
                                                 write_hdp_training_file)
 
     cfg = _load_config(args.config)
-    sample = _sample_from_config(cfg)
+    # multi-sample training: expectations pool over every sample block
+    # (trainModels.py samples[] semantics); CLI args override/define a
+    # single sample when no config list is given
+    samples = cfg.get("samples") or [_sample_from_config(cfg)]
     training = cfg.get("training", {})
 
-    alignment_file = args.alignment_file or sample.get("alignment_file")
-    readdb = args.readdb or sample.get("readdb")
-    fast5_dirs = args.fast5_dir or sample.get("fast5_dirs") or []
-    if isinstance(fast5_dirs, str):
-        fast5_dirs = [fast5_dirs]
-    ref = args.ref or cfg.get("reference") or sample.get("bwa_reference")
+    ref = args.ref or cfg.get("reference") \
+        or samples[0].get("bwa_reference")
     model_path = args.model or cfg.get("template_hmm_model")
     output_dir = args.output_dir or cfg.get("output_dir") or "training_out"
     iterations = int(args.iterations or training.get("em_iterations", 3))
 
     model = PoreModel.from_file(model_path)
     reference = ProcessedReference(ref)
-    pairs = filter_reads(alignment_file, readdb, fast5_dirs)
+    pairs = []
+    for sample in samples:
+        alignment_file = args.alignment_file or sample.get("alignment_file")
+        readdb = args.readdb or sample.get("readdb")
+        fast5_dirs = args.fast5_dir or sample.get("fast5_dirs") or []
+        if isinstance(fast5_dirs, str):
+            fast5_dirs = [fast5_dirs]
+        pairs.extend(filter_reads(alignment_file, readdb, fast5_dirs))
+        if args.alignment_file:
+            break       # CLI args define exactly one sample
     if args.max_reads:
         pairs = pairs[:args.max_reads]
     distributed = bool(getattr(args, "distributed", False))
@@ -238,6 +246,55 @@ def cmd_train(args) -> int:
             thinning=int(training.get(
                 "thinning", hdp_args.get("thinning", 100))))
         print(f"[train] wrote {nhdp_out}")
+
+    # complement-strand training (2D chemistry): the reference trains
+    # both strand HMMs (trainModels twoD path); complement reads come
+    # from the 2D fast5s with SW-generated guides (run2 semantics)
+    cmodel_path = (getattr(args, "complement_model", None)
+                   or cfg.get("complement_hmm_model"))
+    if cmodel_path and (getattr(args, "twod", False)
+                        or training.get("complement", True)):
+        import glob as _glob
+
+        from signalalign_tpu.io.minialign import generate_guide_alignment
+        from signalalign_tpu.io.read import NanoporeRead2DData
+        cmodel = PoreModel.from_file(cmodel_path)
+        c_rgs = []
+        for sample in samples:
+            dirs = args.fast5_dir or sample.get("fast5_dirs") or []
+            if isinstance(dirs, str):
+                dirs = [dirs]
+            for d in dirs:
+                for f5 in sorted(_glob.glob(os.path.join(d, "*.fast5"))):
+                    try:
+                        read2d = NanoporeRead2DData.from_fast5(f5)
+                        guide = generate_guide_alignment(
+                            read2d.twod_sequence, reference)
+                        if guide and guide.validate(
+                                len(read2d.twod_sequence)):
+                            c_rgs.append((read2d.complement, guide))
+                    except Exception as exc:
+                        print(f"[train] skipping complement {f5}: {exc}",
+                              file=sys.stderr)
+            if args.fast5_dir:
+                break
+        if args.max_reads:
+            c_rgs = c_rgs[:args.max_reads]
+        if c_rgs:
+            cres = em_train(
+                c_rgs, reference, cmodel, iterations=iterations,
+                verbose=True, update_transitions=True,
+                update_emissions=bool(training.get("em_emissions", False)),
+                checkpoint_dir=output_dir if proc0 else None,
+                checkpoint_prefix="complement_trained",
+                write_expectations=proc0, cross_host=distributed,
+                strand_template=False)
+            cfinal = os.path.join(output_dir, "complement_trained.model")
+            cres.model.likelihood = cres.model.likelihood or 0.0
+            cres.model.write(cfinal)
+            print(f"[train] complement log-likelihoods: "
+                  f"{cres.log_likelihoods}")
+            print(f"[train] wrote {cfinal}")
 
     final = os.path.join(output_dir, "template_trained.model")
     model.likelihood = model.likelihood or 0.0
@@ -421,6 +478,10 @@ def main(argv=None) -> int:
     trainp.add_argument("--output_dir")
     trainp.add_argument("--iterations", type=int)
     trainp.add_argument("--max_reads", type=int)
+    trainp.add_argument("--complement_model",
+                        help="train a complement-strand model too "
+                             "(2D chemistry; reads from the 2D fast5s)")
+    trainp.add_argument("--2d", dest="twod", action="store_true")
     trainp.add_argument("--distributed", action="store_true",
                         help="multi-host EM (jax.distributed; set "
                              "SIGNALALIGN_COORD/NPROC/PROC per host, or "

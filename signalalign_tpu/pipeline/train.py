@@ -73,6 +73,7 @@ def em_train(
     cross_host: bool = False,
     verbose: bool = False,
     assert_monotonic: bool = False,
+    strand_template: bool = True,
 ) -> EMResult:
     """Unified per-iteration Baum-Welch EM over a read batch.
 
@@ -86,7 +87,10 @@ def em_train(
 
     ``training_bases`` caps the E-step to a random read subset totalling
     that many read bases per iteration (filter_reads trim semantics,
-    trainModels.py:1144 / filter_reads.py:155-170). ``checkpoint_dir``
+    trainModels.py:1144 / filter_reads.py:155-170).
+    ``strand_template=False`` trains a complement-strand model on 2D
+    complement reads (trainModels trains both strand HMMs for twoD
+    chemistry). ``checkpoint_dir``
     writes a model file per iteration (trainModels.py:938-949) and, with
     ``write_expectations``, a reference-format expectations file summing
     the batch (continuousHmm_writeToFile layout).
@@ -118,7 +122,8 @@ def em_train(
                 n_bases += rg[0].read_length
             batch = subset
         results = run_alignment_batch(batch, reference, model,
-                                      config, use_pallas=False)
+                                      config, use_pallas=False,
+                                      strand_template=strand_template)
         texp = np.zeros((3, 3))
         kexp = np.zeros((3, model.alphabet.num_kmers))
         lik = 0.0

@@ -216,3 +216,68 @@ def test_build_alignment_from_tsvs(tmp_path):
     # per-kmer rows are prob-descending (heap nlargest order)
     for k, ps in probs.items():
         assert ps == sorted(ps, reverse=True)
+
+
+def test_complement_strand_em_train():
+    """2D complement-strand EM (trainModels twoD path): complement reads
+    from the pUC 2D fast5s train the complement model with
+    strand_template=False plumbed through the runner."""
+    from signalalign_tpu.io.minialign import generate_guide_alignment
+    from signalalign_tpu.io.read import NanoporeRead2DData
+    from signalalign_tpu.pipeline.train import em_train
+    cmodel = PoreModel.from_file(
+        "/root/reference/models/testModelR9_5mer_acegot_complement.model")
+    reference = ProcessedReference(
+        "/root/reference/tests/test_sequences/pUC19_SspI.fa")
+    import glob
+    paths = sorted(glob.glob(
+        "/root/reference/tests/minion_test_reads/pUC/*.fast5"))[:1]
+    c_rgs = []
+    for f5 in paths:
+        read2d = NanoporeRead2DData.from_fast5(f5)
+        guide = generate_guide_alignment(read2d.twod_sequence, reference)
+        assert guide and guide.validate(len(read2d.twod_sequence))
+        c_rgs.append((read2d.complement, guide))
+    res = em_train(c_rgs, reference, cmodel, iterations=1,
+                   strand_template=False)
+    assert np.isfinite(res.log_likelihoods[0])
+    tr = res.transitions_history[0]
+    assert tr.shape == (3, 3)
+    np.testing.assert_allclose(tr.sum(axis=1), 1.0, atol=1e-6)
+
+
+def test_cli_train_multi_sample(tmp_path):
+    """samples[] config blocks pool their reads into one EM batch."""
+    import json
+    import sys as _sys
+    from signalalign_tpu import cli
+    oned = "/root/reference/tests/minion_test_reads/1D"
+    # reconstruct the genome window fasta (conftest ecoli pattern)
+    from signalalign_tpu.io.sam import read_bam, reconstruct_reference_window
+    _, records = read_bam(os.path.join(oned, "1D.bam"))
+    genome = np.full(4641652, ord("A"), dtype=np.uint8)
+    for rec in records:
+        w = reconstruct_reference_window(rec)
+        genome[rec.pos:rec.pos + len(w)] = np.frombuffer(
+            w.encode("latin-1"), dtype=np.uint8)
+    fa = tmp_path / "ecoli.fa"
+    with open(fa, "w") as fh:
+        fh.write(">gi_ecoli\n" + genome.tobytes().decode("latin-1") + "\n")
+    sample = {"alignment_file": os.path.join(oned, "1D.bam"),
+              "readdb": os.path.join(oned, "1D.fastq.index.readdb"),
+              "fast5_dirs": [oned]}
+    cfg = {"samples": [sample, dict(sample)],
+           "reference": str(fa),
+           "template_hmm_model": MODEL,
+           "training": {"transitions": True, "em_iterations": 1},
+           "output_dir": str(tmp_path / "out")}
+    cfgp = tmp_path / "cfg.json"
+    cfgp.write_text(json.dumps(cfg))
+    argv = ["cli", "train", "--config", str(cfgp), "--max_reads", "4"]
+    old_argv = _sys.argv
+    _sys.argv = argv
+    try:
+        assert cli.main() == 0
+    finally:
+        _sys.argv = old_argv
+    assert os.path.exists(tmp_path / "out" / "template_trained.model")
