@@ -296,7 +296,9 @@ def run_alignment_batch(
                         aligner = PallasBatchAligner(chunk, W=W, T=120,
                                                      S=S, RB=256,
                                                      log_space=not prob_ok,
-                                                     P=P)
+                                                     P=P,
+                                                     interpret=
+                                                     pallas_interpret)
                         # pipeline: overlap this stripe's kernels with the
                         # previous stripe's result fetch — only when two
                         # stripes' DP stacks fit the HBM budget together
