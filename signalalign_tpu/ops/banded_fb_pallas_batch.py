@@ -630,8 +630,9 @@ def _fwd_kernel_log(geom_ref, refwin_ref, evinit_ref, evins_ref,
                                               base + 128 * k + WB, :], out)
             ring[r, base:base + WB, :] = out
 
-    evw[0, base:base + WB, :] = evinit_ref[0, 0, 0]
-    evw[1, base:base + WB, :] = evinit_ref[0, 0, 1]
+    if not estream:
+        evw[0, base:base + WB, :] = evinit_ref[0, 0, 0]
+        evw[1, base:base + WB, :] = evinit_ref[0, 0, 1]
 
     m_hat = refwin_ref[0, 0, 0, 0:WB, :]
     inv_m = refwin_ref[0, 0, 1, 0:WB, :]
@@ -819,8 +820,9 @@ def _bwd_kernel_log(geom_ref, refwin_ref, evinit_ref, evins_ref,
                                               base - 128 * k + WB, :], out)
             ring[r, base:base + WB, :] = out
 
-    evw[0, SUBPAD:SUBPAD + WB, :] = evinit_ref[0, 0, 0]
-    evw[1, SUBPAD:SUBPAD + WB, :] = evinit_ref[0, 0, 1]
+    if not estream:
+        evw[0, SUBPAD:SUBPAD + WB, :] = evinit_ref[0, 0, 0]
+        evw[1, SUBPAD:SUBPAD + WB, :] = evinit_ref[0, 0, 1]
 
     m_hat = refwin_ref[0, 0, 0]
     inv_m = refwin_ref[0, 0, 1]
@@ -1153,23 +1155,6 @@ def pallas_backward_b(geom, refwin, evinit, evins, pack, fstack, legb=None,
 K_LANE = 16
 
 
-@functools.partial(jax.jit, static_argnames=("T",))
-def _reduce_offsets(f_incr, b_incr, f_lse, b_lse, n_diag, *, T: int):
-    G, Dp1p, S = f_incr.shape
-    NT = Dp1p // T
-    ft = f_incr.reshape(G, NT, T, S)
-    bt = b_incr.reshape(G, NT, T, S)
-    fsum = jnp.sum(ft, axis=2)
-    bsum = jnp.sum(bt, axis=2)
-    f_intra = jnp.cumsum(ft, axis=2).reshape(G, Dp1p, S)
-    b_intra = jnp.cumsum(bt[:, :, ::-1], axis=2)[:, :, ::-1].reshape(G, Dp1p, S)
-    nd = n_diag[:, None, :]  # (G, 1, S)
-    f_lse_nd = jnp.take_along_axis(f_lse, nd, axis=1)[:, 0]
-    f_intra_nd = jnp.take_along_axis(f_intra, nd, axis=1)[:, 0]
-    return (fsum, bsum, f_lse_nd, b_lse[:, 0, :], f_intra_nd,
-            b_intra[:, 0, :])
-
-
 def _compact_chunked(postlog, cvec, xoffs, widths, n_diag, log_thr, *,
                      K: int, C: int, pack16: bool = False):
     """Survivor compaction dispatcher: rank-select path (fast, u8
@@ -1422,15 +1407,6 @@ def _totals_cvec_df(f_incr, b_incr, f_lse, b_lse, n_diag, *, T: int,
             + b_intra.reshape(G, NT, T, S)
             + c_tile[:, :, None, :]).reshape(G, Dp1p, S)
     return cvec, tf_hi, tf_lo, tb_hi, tb_lo
-
-
-@functools.partial(jax.jit, static_argnames=("T",))
-def _cvec_device(f_incr, b_incr, c_tile, *, T: int):
-    G, Dp1p, S = f_incr.shape
-    fin = jnp.cumsum(f_incr.reshape(G, Dp1p // T, T, S), axis=2)
-    bin_ = jnp.cumsum(b_incr.reshape(G, Dp1p // T, T, S)[:, :, ::-1],
-                      axis=2)[:, :, ::-1]
-    return (fin + bin_ + c_tile[:, :, None, :]).reshape(G, Dp1p, S)
 
 
 def choose_lanes(n_diag_max: int, W: int, T: int = 24,
