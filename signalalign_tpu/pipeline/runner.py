@@ -272,7 +272,10 @@ def run_alignment_batch(
                     # in-flight stack memory bounded; repeat problems to
                     # fill the last stripe (extra lanes decoded but
                     # discarded)
-                    S = S_lanes
+                    # interpret mode (CPU tests) runs the same dispatch
+                    # with small stripes: Mosaic's 128-lane tile rule
+                    # only binds on real hardware
+                    S = (8 * PP) if pallas_interpret else S_lanes
                     S_eff = S // PP         # problems per stripe
                     for c0 in range(0, len(probs), S_eff):
                         chunk = probs[c0:c0 + S_eff]

@@ -96,3 +96,66 @@ def test_runner_stage_timing(setup, capfd, monkeypatch):
     for stage in ("prep=", "kernels+dispatch=", "fetch+decode=",
                   "assemble="):
         assert stage in err
+
+
+def test_runner_p2_pallas_interpret_matches_xla(tmp_path, capfd):
+    """P=2 ambiguity expansion THROUGH the runner dispatch (gating,
+    S//PP chunking, paths-in-lanes aligner, decode merge) must
+    reproduce the XLA path on synthetic reads over a CpG-ambiguous
+    reference."""
+    from signalalign_tpu.io.guide import GuideAlignment
+    from signalalign_tpu.models.pore_model import ScalingParams
+
+    model = PoreModel.from_file(MODEL)
+    rng = np.random.default_rng(9)
+    core = "".join(rng.choice(list("ACGT"), size=598))
+    genome = ("ACGT" * 40 + core + "ACGT" * 40).replace("CG", "CGCG")
+    fasta = tmp_path / "ref.fa"
+    with open(fasta, "w") as fh:
+        fh.write(">chr\n" + genome + "\n")
+    # Y -> C/T ambiguity at every CG cytosine
+    reference = ProcessedReference(str(fasta), motifs=[("CG", "YG")])
+
+    k = model.kmer_length
+    rgs = []
+    for ri in range(8):
+        start = 40 + 17 * ri
+        seq_len = 220
+        read_seq = genome[start:start + seq_len]
+        ids = model.alphabet.seq_to_kmer_ids(read_seq)
+        events, event_map = [], []
+        for kid in ids:
+            event_map.append(len(events))
+            events.append([rng.normal(model.level_mean[kid],
+                                      model.level_sd[kid]),
+                           1.0, .002, len(events) * .002])
+        event_map.extend([event_map[-1]] * (k - 1))
+        read = NanoporeReadData(
+            read_label=f"p2r{ri}", template_read=read_seq,
+            events=np.array(events), event_map=np.array(event_map),
+            model_states=None, p_model_state=None, kmer_length=k,
+            params=ScalingParams(), rna=False)
+        guide = GuideAlignment(
+            contig="chr", forward=True, window_start=start,
+            window_end=start + seq_len, query_start=0, query_end=seq_len,
+            ops=[(seq_len, "M")])
+        rgs.append((read, guide))
+
+    cfg = AlignmentConfig(ambig_map={"Y": "CT"})
+    xla = run_alignment_batch(rgs, reference, model, cfg, use_pallas=False)
+    capfd.readouterr()
+    pal = run_alignment_batch(rgs, reference, model, cfg, use_pallas=True,
+                              pallas_interpret=True, verbose=True)
+    err = capfd.readouterr().err
+    assert "pallas fallback" not in err, err   # the lane path MUST run
+    n_checked = 0
+    for rx, rp in zip(xla, pal):
+        assert rx is not None and rp is not None
+        assert abs(rx.total_log_prob - rp.total_log_prob) < 0.05
+        dx = {(x, y, km): p for p, x, y, km in rx.aligned_pairs}
+        dp = {(x, y, km): p for p, x, y, km in rp.aligned_pairs}
+        assert set(dx) == set(dp)
+        for key in dx:
+            assert abs(dx[key] - dp[key]) <= 4e-3 * 1e7
+        n_checked += 1
+    assert n_checked == 8
