@@ -1206,14 +1206,13 @@ def _compact_rank(postlog, cvec, xoffs, widths, n_diag, log_thr, *,
         pq = jax.lax.dynamic_slice_in_dim(postlog, c0, C, axis=1)
         pl_ = _dequant_rows(pq)
         cv = jax.lax.dynamic_slice_in_dim(cvec, c0, C, axis=1)
-        xo = jax.lax.dynamic_slice_in_dim(xoffs, c0, C, axis=1)
-        wd = jax.lax.dynamic_slice_in_dim(widths, c0, C, axis=1)
         d_idx = (c0 + jnp.arange(C, dtype=jnp.int32))[None, :, None]
         sub = jnp.arange(WB, dtype=jnp.int32)[None, None, :, None]
         v = pl_ + cv[:, :, None, :]
-        valid = ((sub >= xo[:, :, None, :]) &
-                 (sub < (xo + wd)[:, :, None, :]) &
-                 (d_idx[..., None] <= n_diag[:, None, None, :]) &
+        # out-of-band cells arrive as the QMAX sentinel (the backward
+        # kernel writes NEG there before quantization), so the band
+        # geometry mask is redundant here
+        valid = ((d_idx[..., None] <= n_diag[:, None, None, :]) &
                  (pq < QMAX) & (v >= log_thr))
         qe = jnp.minimum(jnp.round(jnp.maximum(-v, 0.0) * QSCALE),
                          4095.0).astype(jnp.int32)
@@ -1349,21 +1348,25 @@ def _totals_cvec_df(f_incr, b_incr, f_lse, b_lse, n_diag, *, T: int,
         return srt, e
 
     def df_exclusive_scan(x, reverse):
-        xs = jnp.moveaxis(x, 1, 0)          # (NT, G, S)
-        if reverse:
-            xs = xs[::-1]
+        # log-depth compensated prefix: a sequential lax.scan over NT
+        # tiles is dispatch-bound (~70 tiny steps); an associative scan
+        # with double-float (TwoSum-compensated) addition keeps the
+        # same effective precision in ~log2(NT) fused levels
+        def dd_add(a, b):
+            s, e = two_sum(a[0], b[0])
+            return s, e + a[1] + b[1]
 
-        def step(carry, xi):
-            hi, lo = carry
-            out = (hi, lo)
-            s2, e = two_sum(hi, xi)
-            return (s2, lo + e), out
-
-        init = (jnp.zeros_like(xs[0]), jnp.zeros_like(xs[0]))
-        _, (his, los) = jax.lax.scan(step, init, xs)
+        xs = x[:, ::-1, :] if reverse else x
+        his, los = jax.lax.associative_scan(
+            dd_add, (xs, jnp.zeros_like(xs)), axis=1)
+        # inclusive -> exclusive
+        his = jnp.concatenate([jnp.zeros_like(his[:, :1]), his[:, :-1]],
+                              axis=1)
+        los = jnp.concatenate([jnp.zeros_like(los[:, :1]), los[:, :-1]],
+                              axis=1)
         if reverse:
-            his, los = his[::-1], los[::-1]
-        return jnp.moveaxis(his, 0, 1), jnp.moveaxis(los, 0, 1)
+            his, los = his[:, ::-1], los[:, ::-1]
+        return his, los
 
     fb_hi, fb_lo = df_exclusive_scan(fsum, False)   # fbase[t] = sum fsum[:t]
     bb_hi, bb_lo = df_exclusive_scan(bsum, True)    # bbase[t] = sum bsum[t+1:]
