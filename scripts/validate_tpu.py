@@ -53,7 +53,7 @@ def drive_pairs():
         # distinct problems only (buckets replicate to fill stripes)
         seen = set()
         for j, p in enumerate(probs):
-            key = (p.lY, p.n_diag)
+            key = id(p)       # buckets pad by REPEATING problem objects
             if key in seen:
                 continue
             seen.add(key)

@@ -143,6 +143,10 @@ def cmd_train(args) -> int:
     # (trainModels.py samples[] semantics); CLI args override/define a
     # single sample when no config list is given
     samples = cfg.get("samples") or [_sample_from_config(cfg)]
+    if args.alignment_file or args.readdb or args.fast5_dir:
+        # CLI read-source args define exactly one sample; mixing them
+        # into config sample blocks would mispair BAMs and readdbs
+        samples = [samples[0]]
     training = cfg.get("training", {})
 
     ref = args.ref or cfg.get("reference") \
@@ -161,8 +165,6 @@ def cmd_train(args) -> int:
         if isinstance(fast5_dirs, str):
             fast5_dirs = [fast5_dirs]
         pairs.extend(filter_reads(alignment_file, readdb, fast5_dirs))
-        if args.alignment_file:
-            break       # CLI args define exactly one sample
     if args.max_reads:
         pairs = pairs[:args.max_reads]
     distributed = bool(getattr(args, "distributed", False))
@@ -253,7 +255,7 @@ def cmd_train(args) -> int:
     cmodel_path = (getattr(args, "complement_model", None)
                    or cfg.get("complement_hmm_model"))
     if cmodel_path and (getattr(args, "twod", False)
-                        or training.get("complement", True)):
+                        or training.get("complement", False)):
         import glob as _glob
 
         from signalalign_tpu.io.minialign import generate_guide_alignment

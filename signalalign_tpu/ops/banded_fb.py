@@ -342,6 +342,39 @@ def _slice_cols(arr, start, W):
     return jax.lax.dynamic_slice_in_dim(arr, start, W, axis=-1)
 
 
+def hdp_spline_density(x, kmer_w, dens, slopes, g0, dx):
+    """Monotone-cubic spline density evaluation on the HDP grid with
+    linear extrapolation outside it (hdp.c:2588-2612 grid evaluation;
+    shared by the XLA emissions and the lane kernels' emission-stream
+    precompute so the two paths cannot drift apart).
+
+    x: descaled event means; kmer_w: density-table row indices (same
+    shape as x); dens/slopes: (K, G) tables; returns density >= 0.
+    """
+    G = dens.shape[1]
+    il = jnp.clip(((x - g0) // dx).astype(jnp.int32), 0, G - 2)
+    flat_l = kmer_w * G + il
+    df = dens.reshape(-1)
+    sf = slopes.reshape(-1)
+    yl = jnp.take(df, flat_l)
+    yr = jnp.take(df, flat_l + 1)
+    sl = jnp.take(sf, flat_l)
+    sr = jnp.take(sf, flat_l + 1)
+    dy = yr - yl
+    a = sl * dx - dy
+    b = dy - sr * dx
+    tl = (x - (g0 + il * dx)) / dx
+    tr = 1.0 - tl
+    mid = tr * yl + tl * yr + tl * tr * (a * tr + b * tl)
+    gN = g0 + (G - 1) * dx
+    below = jnp.take(dens[:, 0], kmer_w) \
+        - jnp.take(slopes[:, 0], kmer_w) * (g0 - x)
+    above = jnp.take(dens[:, G - 1], kmer_w) \
+        + jnp.take(slopes[:, G - 1], kmer_w) * (x - gN)
+    v = jnp.where(x <= g0, below, jnp.where(x >= gN, above, mid))
+    return jnp.maximum(v, 0.0)
+
+
 def _emissions_at(refw, evw, mode, var, hdp=None, kmer_w=None):
     """Match / stay / gapX log emissions for one diagonal.
 
@@ -368,30 +401,9 @@ def _emissions_at(refw, evw, mode, var, hdp=None, kmer_w=None):
         # density (emissions_signal_getHdpKmerDensity, stateMachine.c:527;
         # stateMachine3HDP_cellCalculate upper branch)
         dens, slopes, grid2 = hdp
-        G = dens.shape[1]
-        g0 = grid2[0]
-        dx = grid2[1]
         x = mu + (ev_mean - m_hat) / var
-        il = jnp.clip(((x - g0) // dx).astype(jnp.int32), 0, G - 2)
-        flat_l = kmer_w * G + il
-        flat_r = flat_l + 1
-        df = dens.reshape(-1)
-        sf = slopes.reshape(-1)
-        yl = jnp.take(df, flat_l)
-        yr = jnp.take(df, flat_r)
-        sl = jnp.take(sf, flat_l)
-        sr = jnp.take(sf, flat_r)
-        dy = yr - yl
-        a = sl * dx - dy
-        b = dy - sr * dx
-        tl = (x - (g0 + il * dx)) / dx
-        tr = 1.0 - tl
-        mid = tr * yl + tl * yr + tl * tr * (a * tr + b * tl)
-        gN = g0 + (G - 1) * dx
-        below = dens[:, 0][kmer_w] - slopes[:, 0][kmer_w] * (g0 - x)
-        above = dens[:, G - 1][kmer_w] + slopes[:, G - 1][kmer_w] * (x - gN)
-        v = jnp.where(x <= g0, below, jnp.where(x >= gN, above, mid))
-        v = jnp.maximum(v, 0.0) / var
+        v = hdp_spline_density(x, kmer_w, dens, slopes,
+                               grid2[0], grid2[1]) / var
         e_match = jnp.where(v > 0, jnp.log(jnp.maximum(v, 1e-37)), NEG)
         e_stay = e_match
     else:

@@ -1388,16 +1388,19 @@ def _totals_cvec_df(f_incr, b_incr, f_lse, b_lse, n_diag, *, T: int,
         # paths-in-lanes: the posterior normalizer must be the JOINT
         # total over each read's PP path-lanes (per-path-lane forward
         # totals condition on the ending path and can be -inf/NaN for
-        # paths with no end mass)
-        v = tf_hi + tf_lo
-        v = jnp.where(jnp.isfinite(v), v, -jnp.inf)
-        r = v.reshape(G, S // PP, PP)
-        m = jnp.max(r, axis=2, keepdims=True)
+        # paths with no end mass). Keep the compensated (hi, lo) pair
+        # through the logsumexp: hi - max is exact for nearby operands
+        # and lo is O(ulp), so rel carries full double-float precision
+        # while the block max preserves the large magnitude.
+        fin = jnp.isfinite(tf_hi + tf_lo)
+        hi = jnp.where(fin, tf_hi, -jnp.inf).reshape(G, S // PP, PP)
+        lo = jnp.where(fin, tf_lo, 0.0).reshape(G, S // PP, PP)
+        m = jnp.max(hi, axis=2, keepdims=True)
         mok = jnp.where(jnp.isfinite(m), m, 0.0)
-        jv = mok[..., 0] + jnp.log(
-            jnp.maximum(jnp.sum(jnp.exp(r - mok), axis=2), 1e-37))
-        jv = jnp.repeat(jv, PP, axis=1)
-        tfn_hi, tfn_lo = jv, jnp.zeros_like(jv)
+        rel = (hi - mok) + lo
+        jv = jnp.log(jnp.maximum(jnp.sum(jnp.exp(rel), axis=2), 1e-37))
+        tfn_hi = jnp.repeat(mok[..., 0], PP, axis=1)
+        tfn_lo = jnp.repeat(jv, PP, axis=1)
     else:
         tfn_hi, tfn_lo = tf_hi, tf_lo
 
@@ -1475,6 +1478,16 @@ class PallasBatchAligner:
         sb = stack_bytes(nd_max, W, S, T)
         if self.estream:
             sb += sb * 4 // 6   # + f32 emission stream (WBe ~ WB)
+        WBq = W + T + 128
+        Dq = ((nd_max + T) // T + 1) * T
+        NTq = Dq // T
+        if PP > 1:
+            # persistent legality planes: legf + legb
+            sb += 2 * NTq * (2 * PP - 1) * WBq * S * 4
+        if self.estream:
+            # stream precompute inputs (kmer/mu/mhat windows + boundary
+            # copies + per-diagonal event indices)
+            sb += 3 * NTq * (WBq + 8) * S * 4 * 2 + Dq * S * 4
         if sb > budget:
             raise ValueError(
                 f"DP stacks for n_diag={nd_max} W={W} S={S} exceed the "
@@ -1559,10 +1572,19 @@ class PallasBatchAligner:
         import jax.numpy as jnp
         self.geom = jnp.asarray(geom)
         self.refwin = jnp.asarray(refwin)
-        self.evinit_f = jnp.asarray(evinit_f)
-        self.evinit_b = jnp.asarray(evinit_b)
-        self.evins_f = jnp.asarray(evins_f)
-        self.evins_b = jnp.asarray(evins_b)
+        if self.estream:
+            # the stream branch never reads the Gaussian event windows:
+            # allocate zeros device-side instead of shipping ~100MB of
+            # host arrays per stripe over the host link
+            self.evinit_f = jnp.zeros(evinit_f.shape, jnp.float32)
+            self.evinit_b = self.evinit_f
+            self.evins_f = jnp.zeros(evins_f.shape, jnp.float32)
+            self.evins_b = self.evins_f
+        else:
+            self.evinit_f = jnp.asarray(evinit_f)
+            self.evinit_b = jnp.asarray(evinit_b)
+            self.evins_f = jnp.asarray(evins_f)
+            self.evins_b = jnp.asarray(evins_b)
         self.pack = jnp.asarray(pack)
         self.xoffs = jnp.asarray(xoffs)
         self.widths = jnp.asarray(widths)

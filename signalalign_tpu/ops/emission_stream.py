@@ -42,31 +42,11 @@ NEG = bfb.NEG
 
 
 def _hdp_logdensity(x, kmer, dens, slopes, g0, dx, valid):
-    """Vectorized monotone-cubic spline log-density (banded_fb MODE_HDP
-    semantics: hdp.c:2588-2612 grid evaluation + linear extrapolation),
-    divided by var upstream. x: descaled event mean; kmer: table row."""
-    Gg = dens.shape[1]
-    il = jnp.clip(((x - g0) // dx).astype(jnp.int32), 0, Gg - 2)
-    kk = jnp.maximum(kmer, 0)
-    flat_l = kk * Gg + il
-    df = dens.reshape(-1)
-    sf = slopes.reshape(-1)
-    yl = jnp.take(df, flat_l)
-    yr = jnp.take(df, flat_l + 1)
-    sl = jnp.take(sf, flat_l)
-    sr = jnp.take(sf, flat_l + 1)
-    dy = yr - yl
-    a = sl * dx - dy
-    b = dy - sr * dx
-    tl = (x - (g0 + il * dx)) / dx
-    tr = 1.0 - tl
-    mid = tr * yl + tl * yr + tl * tr * (a * tr + b * tl)
-    gN = g0 + (Gg - 1) * dx
-    below = jnp.take(dens[:, 0], kk) - jnp.take(slopes[:, 0], kk) * (g0 - x)
-    above = jnp.take(dens[:, Gg - 1], kk) \
-        + jnp.take(slopes[:, Gg - 1], kk) * (x - gN)
-    v = jnp.where(x <= g0, below, jnp.where(x >= gN, above, mid))
-    v = jnp.maximum(v, 0.0)
+    """Log of the shared spline density (banded_fb.hdp_spline_density —
+    one implementation for the XLA emissions and this stream precompute
+    so the two paths cannot drift apart); var division upstream."""
+    v = bfb.hdp_spline_density(x, jnp.maximum(kmer, 0), dens, slopes,
+                               g0, dx)
     return jnp.where(valid & (v > 0),
                      jnp.log(jnp.maximum(v, 1e-37)), NEG)
 

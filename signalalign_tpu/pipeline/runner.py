@@ -317,12 +317,19 @@ def run_alignment_batch(
             except Exception as exc:
                 # geometry constraints raise ValueError; device compile
                 # limits (e.g. VMEM) surface as runtime errors -> fall back
-                # to the XLA kernels either way
+                # to the XLA kernels either way. Stripes already
+                # dispatched before the failure are valid - drain them
+                # and only re-run the gap.
                 if verbose:
                     print(f"[runner] pallas fallback ({exc})",
                           file=sys.stderr)
+                drain(0)
         if True:
             from signalalign_tpu.ops.batch import run_banded_fb_batch
+            idxs = [i for i in idxs if seg_results[i] is None]
+            if not idxs:
+                continue
+            probs = [seg_tasks[i].problem for i in idxs]
             res = run_banded_fb_batch(
                 probs, W=W, P=P,
                 with_expectations=config.compute_expectations)
