@@ -576,7 +576,7 @@ def _bwd_kernel(geom_ref, refwin_ref, evinit_ref, evins_ref, pack_ref,
 def _fwd_kernel_log(geom_ref, refwin_ref, evinit_ref, evins_ref,
                 pack_ref, lseflag_ref, *rest,
                 T: int, WB: int, S: int, RB: int, PP: int = 1,
-                estream: bool = False):
+                estream: bool = False, expect: bool = False):
     """Forward sweep tile — LOG-space DP (unbounded dynamic range).
 
     Selected as the production default: exact for unbounded within-band
@@ -740,7 +740,14 @@ def _fwd_kernel_log(geom_ref, refwin_ref, evinit_ref, evins_ref,
         def _wait_reuse():
             out_dma(buf, d - 2).wait()
 
-        obuf[buf] = mm                         # f32 log-rel row
+        if expect:
+            # expectation runs stream all three states (the backward
+            # pass needs f_m/f_x/f_y of the FROM diagonal)
+            obuf[buf, 0] = mm
+            obuf[buf, 1] = gx
+            obuf[buf, 2] = gy
+        else:
+            obuf[buf] = mm                     # f32 log-rel row
         out_dma(buf, d).start()
 
         # end-weighted logsumexp: consumed only at each lane's final
@@ -771,7 +778,8 @@ def _fwd_kernel_log(geom_ref, refwin_ref, evinit_ref, evins_ref,
 def _bwd_kernel_log(geom_ref, refwin_ref, evinit_ref, evins_ref,
                 pack_ref, *rest,
                 T: int, WB: int, S: int, RB: int, Dpad: int,
-                fuse_post: bool, PP: int = 1, estream: bool = False):
+                fuse_post: bool, PP: int = 1, estream: bool = False,
+                expect: bool = False):
     """Backward sweep tile (descending diagonals); optionally fuses the
     forward match rows (DMA-prefetched from hbm_fin_ref) into an
     unnormalized log-posterior output.
@@ -787,6 +795,11 @@ def _bwd_kernel_log(geom_ref, refwin_ref, evinit_ref, evins_ref,
         (hbm_post_ref, out_incr_ref, out_lse_ref, out_fmax_ref,
          ring, evw, mprev, obuf, osem, ibuf, isem,
          ering, esem3) = rest[3:]
+    elif expect:
+        cvecf_ref, ivar_ref, hbm_fin_ref = rest[0], rest[1], rest[2]
+        (hbm_post_ref, out_incr_ref, out_lse_ref, out_fmax_ref,
+         out_texp_ref, out_kexp_ref,
+         ring, evw, mprev, obuf, osem, ibuf, isem) = rest[3:]
     else:
         (hbm_fin_ref, hbm_post_ref, out_incr_ref, out_lse_ref,
          out_fmax_ref, ring, evw, mprev, obuf, osem, ibuf, isem) = rest
@@ -808,6 +821,14 @@ def _bwd_kernel_log(geom_ref, refwin_ref, evinit_ref, evins_ref,
     def _init():
         ring[...] = jnp.full(ring.shape, NEG, dtype=ring.dtype)
         mprev[...] = jnp.zeros(mprev.shape, mprev.dtype)
+
+    if expect:
+        @pl.when(t == 0)
+        def _init_texp():
+            out_texp_ref[...] = jnp.zeros(out_texp_ref.shape,
+                                          out_texp_ref.dtype)
+        out_kexp_ref[...] = jnp.zeros(out_kexp_ref.shape,
+                                      out_kexp_ref.dtype)
 
     @pl.when(t > 0)
     def _do_rebase():
@@ -912,6 +933,48 @@ def _bwd_kernel_log(geom_ref, refwin_ref, evinit_ref, evins_ref,
         gx_red = b1_x + gapx_ok
         mm_red = (b2_m - m_prev) + e_match_to
         gy_term = b1_y + e_stay_same
+
+        if expect:
+            # transition + emission expectations for the transitions OUT
+            # of diagonal d: every term is already at hand (f rows of d
+            # via the fuse DMA, the to-cell b+emission reductions above,
+            # and the absolute normalizer Fo(d) - total [input stream]
+            # + Bo(d+1) [running rescale sum in mprev row 1]). Mirrors
+            # banded_fb._expectations_core accumulated at the TO
+            # diagonal; see continuousHmm.c:159-178.
+            buf = i % 2
+            in_dma(buf, d).wait()
+
+            @pl.when(d - 1 >= 0)
+            def _prefetch_next_e():
+                in_dma(1 - buf, d - 1).start()
+            f_m = ibuf[buf, 0]
+            f_x = ibuf[buf, 1]
+            f_y = ibuf[buf, 2]
+            normA = cvecf_ref[0, 0, pl.ds(row, 1), :] + mprev[1:2, :]
+            p_mx = jnp.exp(f_m + t_mx + gx_red + normA)
+            p_xx = jnp.exp(f_x + t_xx + gx_red + normA)
+            p_mm = jnp.exp(f_m + t_mm + mm_red + normA)
+            p_xm = jnp.exp(f_x + t_xm + mm_red + normA)
+            p_ym = jnp.exp(f_y + t_ym + mm_red + normA)
+            p_my = jnp.exp(f_m + t_my + gy_term + normA)
+            p_yy = jnp.exp(f_y + t_yy + gy_term + normA)
+            for r_, pv in enumerate((p_mx, p_xx, p_mm, p_xm, p_ym,
+                                     p_my, p_yy)):
+                out_texp_ref[0, r_:r_ + 1, :] = \
+                    out_texp_ref[0, r_:r_ + 1, :] \
+                    + jnp.sum(pv, axis=0, keepdims=True)
+            # per-kmer emission moments at the TO match cell (x+1, y+1):
+            # dx = (event_mean - m_hat)/var, accumulated per sublane and
+            # segment-summed by the x+1 kmer window downstream
+            mtp = p_mm + p_xm + p_ym
+            dxv = (ev_mean - m_hat1) * ivar_ref[0, 0:1, :]
+            dxv = jnp.where(inv_m1 > 0.0, dxv, 0.0)
+            out_kexp_ref[0, 0, 0] = out_kexp_ref[0, 0, 0] + mtp
+            out_kexp_ref[0, 0, 1] = out_kexp_ref[0, 0, 1] + mtp * dxv
+            out_kexp_ref[0, 0, 2] = out_kexp_ref[0, 0, 2] \
+                + mtp * dxv * dxv
+
         if PP > 1:
             # the to-cell (x+1) terms carry per-target-path emissions;
             # reduce them onto source-path lanes with x+1 legality
@@ -941,8 +1004,14 @@ def _bwd_kernel_log(geom_ref, refwin_ref, evinit_ref, evins_ref,
         ring[_bwd_x(slot), base:base + WB, :] = bx
         ring[_bwd_y(slot), base:base + WB, :] = by
 
+        if expect:
+            # Bo(d+1) -> Bo(d) for the next (lower-d) step
+            mprev[1:2, :] = mprev[1:2, :] + m
+
         buf = i % 2
-        if fuse_post:
+        if expect:
+            fused = bm + ibuf[buf, 0]     # waited above; row 0 = match
+        elif fuse_post:
             # wait for this diagonal's forward row; prefetch the next
             in_dma(buf, d).wait()
 
@@ -1019,13 +1088,14 @@ def _specs(NT, T, WB, S, fwd: bool):
 
 @functools.partial(jax.jit,
                    static_argnames=("WB", "T", "S", "RB", "interpret",
-                                    "log_space", "PP", "estream"))
+                                    "log_space", "PP", "estream",
+                                    "expect"))
 def pallas_forward_b(geom, refwin, evinit, evins, pack, lseflag, legf=None,
                      estack=None,
                      *, WB: int, T: int,
                      S: int, RB: int, interpret: bool = False,
                      log_space: bool = False, PP: int = 1,
-                     estream: bool = False):
+                     estream: bool = False, expect: bool = False):
     G, NT, _, T_, S_ = geom.shape
     Dp1p = NT * T
     in_specs, out_small = _specs(NT, T, WB, S, fwd=True)
@@ -1047,19 +1117,24 @@ def pallas_forward_b(geom, refwin, evinit, evins, pack, lseflag, legf=None,
         # forward stack stays f32: real reads' posterior-relevant cells
         # dip up to ~800 nats below the diagonal ridge, far beyond any
         # fixed-point window (u16@1/512 clamped at -128 and silently
-        # dropped ~12% of aligned pairs on bundled reads)
-        jax.ShapeDtypeStruct((G, Dp1p, WB, S), jnp.float32),
+        # dropped ~12% of aligned pairs on bundled reads). Expectation
+        # runs stream all three states.
+        jax.ShapeDtypeStruct((G, Dp1p, 3, WB, S) if expect
+                             else (G, Dp1p, WB, S), jnp.float32),
         jax.ShapeDtypeStruct((G, Dp1p, S), jnp.float32),
         jax.ShapeDtypeStruct((G, Dp1p, S), jnp.float32),
     )
-    assert (PP == 1 and not estream) or log_space, \
-        "P>1 / emission streams require the log-space kernels"
+    assert (PP == 1 and not estream and not expect) or log_space, \
+        "P>1 / streams / expectations require the log-space kernels"
+    assert not (expect and (estream or PP > 1))
     kern = _fwd_kernel_log if log_space else _fwd_kernel
-    kw = {"PP": PP, "estream": estream} if log_space else {}
+    kw = {"PP": PP, "estream": estream, "expect": expect} \
+        if log_space else {}
     scratch = [pltpu.VMEM((RING_ROWS, ring_h, S), jnp.float32),
                pltpu.VMEM((NEV, SUBPAD + WB + 2, S), jnp.float32),
                pltpu.VMEM((8, S), jnp.float32),
-               pltpu.VMEM((2, WB, S), jnp.float32),
+               pltpu.VMEM(((2, 3, WB, S) if expect else (2, WB, S)),
+                          jnp.float32),
                pltpu.SemaphoreType.DMA((2,))]
     if estream:
         scratch += [pltpu.VMEM((2, WB + 8, S), jnp.float32),
@@ -1080,13 +1155,13 @@ def pallas_forward_b(geom, refwin, evinit, evins, pack, lseflag, legf=None,
 @functools.partial(jax.jit,
                    static_argnames=("WB", "T", "S", "RB", "fuse_post",
                                     "interpret", "log_space", "PP",
-                                    "estream"))
+                                    "estream", "expect"))
 def pallas_backward_b(geom, refwin, evinit, evins, pack, fstack, legb=None,
-                      estack=None, ebnd=None,
+                      estack=None, ebnd=None, cvecf=None, ivar=None,
                       *, WB: int, T: int, S: int, RB: int,
                       fuse_post: bool = True, interpret: bool = False,
                       log_space: bool = False, PP: int = 1,
-                      estream: bool = False):
+                      estream: bool = False, expect: bool = False):
     G, NT, _, T_, S_ = geom.shape
     Dp1p = NT * T
     Dpad = Dp1p - 1
@@ -1106,6 +1181,15 @@ def pallas_backward_b(geom, refwin, evinit, evins, pack, fstack, legb=None,
                          lambda g, t: (g, t, 0, 0, 0),
                          memory_space=pltpu.VMEM)]
         args = args + (ebnd,)
+    if expect:
+        # per-diagonal forward normalizer Fo(d) - total (fwd-tile order)
+        # + per-lane 1/var for the emission moments
+        in_specs = in_specs + [
+            pl.BlockSpec((1, 1, T, S), lambda g, t: (g, NT - 1 - t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, S), lambda g, t: (g, 0, 0),
+                         memory_space=pltpu.VMEM)]
+        args = args + (cvecf, ivar)
     in_specs = in_specs + [pl.BlockSpec(memory_space=pl.ANY)]
     args = args + (fstack,)
     if estream:
@@ -1123,32 +1207,51 @@ def pallas_backward_b(geom, refwin, evinit, evins, pack, fstack, legb=None,
         # added back by the compaction normalizer
         jax.ShapeDtypeStruct((G, Dp1p, S), jnp.float32),
     )
-    assert (PP == 1 and not estream) or log_space, \
-        "P>1 / emission streams require the log-space kernels"
+    if expect:
+        out_shapes = out_shapes + (
+            jax.ShapeDtypeStruct((G, 8, S), jnp.float32),
+            jax.ShapeDtypeStruct((G, NT, 3, WB, S), jnp.float32),
+        )
+    assert (PP == 1 and not estream and not expect) or log_space, \
+        "P>1 / streams / expectations require the log-space kernels"
+    assert not (expect and (estream or PP > 1 or not fuse_post))
     kern = _bwd_kernel_log if log_space else _bwd_kernel
-    kw = {"PP": PP, "estream": estream} if log_space else {}
+    kw = {"PP": PP, "estream": estream, "expect": expect} \
+        if log_space else {}
     scratch = [pltpu.VMEM((7, ring_h, S), jnp.float32),
                pltpu.VMEM((NEV, SUBPAD + WB + 2, S), jnp.float32),
                pltpu.VMEM((8, S), jnp.float32),
                pltpu.VMEM((2, WB, S), jnp.uint16),
                pltpu.SemaphoreType.DMA((2,)),
-               pltpu.VMEM((2, WB, S), jnp.float32),
+               pltpu.VMEM(((2, 3, WB, S) if expect else (2, WB, S)),
+                          jnp.float32),
                pltpu.SemaphoreType.DMA((2,))]
     if estream:
         scratch += [pltpu.VMEM((3, WB + 8, S), jnp.float32),
                     pltpu.SemaphoreType.DMA((3,))]
-    post, incr, lse, fmax = pl.pallas_call(
+    out_specs = ((pl.BlockSpec(memory_space=pl.ANY),)
+                 + tuple(out_small) + (out_small[0],))
+    if expect:
+        out_specs = out_specs + (
+            pl.BlockSpec((1, 8, S), lambda g, t: (g, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 3, WB, S),
+                         lambda g, t: (g, NT - 1 - t, 0, 0, 0),
+                         memory_space=pltpu.VMEM))
+    outs = pl.pallas_call(
         functools.partial(kern, T=T, WB=WB, S=S, RB=RB, Dpad=Dpad,
                           fuse_post=fuse_post, **kw),
         grid=(G, NT),
         in_specs=in_specs,
-        out_specs=(pl.BlockSpec(memory_space=pl.ANY),)
-        + tuple(out_small) + (out_small[0],),
+        out_specs=out_specs,
         out_shape=out_shapes,
         scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
     )(*args)
+    if expect:
+        return outs          # (post, incr, lse, fmax, texp, kexp)
+    post, incr, lse, fmax = outs
     return post, incr, lse, fmax
 
 
@@ -1415,6 +1518,45 @@ def _totals_cvec_df(f_incr, b_incr, f_lse, b_lse, n_diag, *, T: int,
     return cvec, tf_hi, tf_lo, tb_hi, tb_lo
 
 
+@functools.partial(jax.jit, static_argnames=("T",))
+def _cvecf_expect(f_incr, f_lse, n_diag, *, T: int):
+    """Per-diagonal Fo(d) - total_f, reshaped to forward-tile blocks for
+    the expectation kernel's normalizer stream; garbage rows clamped
+    finite so exp() in the kernel yields exact zeros, never NaN."""
+    G, Dp1p, S = f_incr.shape
+    NT = Dp1p // T
+    ft = f_incr.reshape(G, NT, T, S)
+    intra = jnp.cumsum(ft, axis=2)
+    base = jnp.cumsum(jnp.sum(ft, axis=2), axis=1)
+    base = jnp.concatenate([jnp.zeros_like(base[:, :1]), base[:, :-1]],
+                           axis=1)
+    fo = (intra + base[:, :, None, :]).reshape(G, Dp1p, S)
+    nd = n_diag[:, None, :]
+    total = (jnp.take_along_axis(fo, nd, axis=1)
+             + jnp.take_along_axis(f_lse, nd, axis=1))[:, 0]
+    cv = fo - total[:, None, :]
+    cv = jnp.where(jnp.isfinite(cv), jnp.maximum(cv, NEG), NEG)
+    return cv.reshape(G, NT, T, S)
+
+
+@functools.partial(jax.jit, static_argnames=("K",))
+def _kexp_reduce(kexp_tiles, ids, *, K: int):
+    """Segment-sum the per-tile per-sublane emission moments by kmer id.
+
+    kexp_tiles: (G, NT, 3, WB, S); ids: (G, NT, WB, S) i32, -1 invalid.
+    Returns (G, S, 3, K)."""
+    G, NT, _, WB, S = kexp_tiles.shape
+    data = jnp.transpose(kexp_tiles, (0, 4, 2, 1, 3)).reshape(
+        G * S, 3, NT * WB)
+    idf = jnp.transpose(ids, (0, 3, 1, 2)).reshape(G * S, NT * WB)
+    idf = jnp.where(idf >= 0, idf, K)
+
+    def one(d, i):
+        return jnp.zeros((3, K + 1), d.dtype).at[:, i].add(d)
+    out = jax.vmap(one)(data, idf)[:, :, :K]
+    return out.reshape(G, S, 3, K)
+
+
 def choose_lanes(n_diag_max: int, W: int, T: int = 24,
                  hbm_budget: Optional[float] = None) -> int:
     """Lane count per dispatch. Mosaic requires the full 128-lane tile
@@ -1441,7 +1583,7 @@ class PallasBatchAligner:
     def __init__(self, problems: Sequence[bfb.BandedProblem], W: int,
                  T: int = 240, S: int = 32, RB: int = 256,
                  interpret: bool = False, log_space: bool = False,
-                 P: int = 1):
+                 P: int = 1, expect: bool = False):
         """``log_space=True`` selects the log-domain kernel bodies:
         exact for unbounded within-band dynamic range (real bundled
         reads need up to ~4700 nats below the diagonal ridge) at ~0.7x
@@ -1463,6 +1605,10 @@ class PallasBatchAligner:
         self.estream = problems[0].mode == bfb.MODE_HDP
         assert not self.estream or log_space, \
             "HDP emission streams require log_space=True"
+        # EM expectation accumulation (device texp/kexp): Gaussian P=1
+        # log-space only; the forward stack triples (all three states)
+        self.expect = expect
+        assert not expect or (log_space and P == 1 and not self.estream)
         # P > 1 (degenerate-base expansion) runs paths-in-lanes: each
         # problem occupies PP consecutive lanes (PP = P padded to a
         # divisor of the 128-lane tile), cross-path transitions are
@@ -1476,6 +1622,8 @@ class PallasBatchAligner:
         budget = float(os.environ.get("SIGNALALIGN_TPU_HBM_BUDGET", 13e9))
         nd_max = max(p.n_diag for p in problems)
         sb = stack_bytes(nd_max, W, S, T)
+        if expect:
+            sb += sb * 8 // 6   # 3-state f32 forward stack
         if self.estream:
             sb += sb * 4 // 6   # + f32 emission stream (WBe ~ WB)
         WBq = W + T + 128
@@ -1641,6 +1789,34 @@ class PallasBatchAligner:
             self.WBe = WBe
         self.legf = jnp.asarray(legf) if PP > 1 else None
         self.legb = jnp.asarray(legb) if PP > 1 else None
+        if expect:
+            # kmer ids of the TO match cell (x+1) per (tile, sublane,
+            # lane) for the device segment-sum, and per-lane 1/var
+            kid = np.full((G, NT, WB, S), -1, dtype=np.int32)
+            iv = np.ones((G, 1, S), dtype=np.float32)
+            u_ = np.arange(WB)
+            for idx, (pi, pp_) in enumerate(lane_list):
+                p = problems[pi]
+                gi, si = divmod(idx, S)
+                kids = p.kmer_ids[0].astype(np.int64)
+                inv0 = p.ref_params[1, 0]
+                LXp = kids.shape[0]
+                Dp1 = p.x0.shape[0]
+                x0f = np.zeros(Dp1p, dtype=np.int64)
+                x0f[:Dp1] = p.x0
+                x0f[Dp1:] = x0f[Dp1 - 1]
+                tbf = (x0f[np.arange(NT) * T] // 128) * 128
+                xs = tbf[:, None] + u_[None, :] + 1       # TO cell x+1
+                oob = (xs < 0) | (xs >= LXp)
+                xc = np.clip(xs, 0, LXp - 1)
+                kw_ = kids[xc].copy()
+                kw_[oob] = -1
+                kw_[inv0[xc] <= 0.0] = -1
+                kid[gi, :, :, si] = kw_
+                iv[gi, 0, si] = 1.0 / float(p.var)
+            self.kexp_ids = jnp.asarray(kid)
+            self.ivar = jnp.asarray(iv)
+            self.num_kmers = max(p.num_kmers for p in problems)
         self.NT = NT
 
     def execute(self, compact_k: int = 4096, threshold: float = 0.01,
@@ -1766,6 +1942,73 @@ class PallasBatchAligner:
         def finish():
             th = np.asarray(totals, dtype=np.float64)
             return th[0] + th[1] + self.ev_off, np.asarray(counts)
+        return finish
+
+    def execute_expect(self, compact_k: int = 4096,
+                       threshold: float = 0.01):
+        """EM expectation pass on the lane kernels: one fwd+bwd sweep
+        pair returns aligned pairs AND the (3,3) transition posterior
+        sums + per-kmer emission moments, accumulated in the backward
+        kernel (banded_fb._expectations_core semantics) instead of the
+        XLA re-scan. Gaussian MEAN_ONLY, P=1. Returns a finish closure
+        -> List[dict] with pairs/totals/texp/kexp."""
+        assert self.expect
+        T, WB, S, RB = self.T, self.WB, self.S, self.RB
+        fstack, f_incr, f_lse = pallas_forward_b(
+            self.geom, self.refwin, self.evinit_f, self.evins_f, self.pack,
+            self.lseflag, None, None, WB=WB, T=T, S=S, RB=RB,
+            interpret=self.interpret, log_space=True, expect=True)
+        cvecf = _cvecf_expect(f_incr, f_lse, self.n_diag, T=T)
+        postlog, b_incr, b_lse, fmax, texp8, kexp_t = pallas_backward_b(
+            self.geom, self.refwin, self.evinit_b, self.evins_b, self.pack,
+            fstack, None, None, None, cvecf, self.ivar,
+            WB=WB, T=T, S=S, RB=RB, fuse_post=True,
+            interpret=self.interpret, log_space=True, expect=True)
+        cvec, tf_hi, tf_lo, tb_hi, tb_lo = _totals_cvec_df(
+            f_incr, b_incr, f_lse, b_lse, self.n_diag, T=T)
+        cvec = cvec + fmax
+        del fstack
+        K = self.num_kmers
+        kexp_dev = _kexp_reduce(kexp_t, self.kexp_ids, K=K)
+        del kexp_t
+        log_thr = jnp.float32(np.log(max(threshold, 1e-300)))
+        buf, counts, overflow = _compact_chunked(
+            postlog, cvec, self.xoffs, self.widths, self.n_diag, log_thr,
+            K=compact_k, C=max(T, 1))
+        totals = jnp.stack([tf_hi, tf_lo, tb_hi, tb_lo,
+                            counts.astype(jnp.float32),
+                            overflow.astype(jnp.float32)])
+
+        def finish():
+            th = np.asarray(totals, dtype=np.float64)
+            total_f = th[0] + th[1]
+            total_b = th[2] + th[3]
+            counts_h = th[4].astype(np.int64)
+            overflow_h = th[5] > 0.5
+            texp_h = np.asarray(texp8, dtype=np.float64)
+            kexp_h = np.asarray(kexp_dev, dtype=np.float64)
+            kmax = int(counts_h.max()) if counts_h.size else 0
+            kf = min(max((kmax + 127) // 128 * 128, 128), compact_k)
+            bh = np.asarray(buf[:, :, :kf] if kf < compact_k else buf)
+            p_h = bh[..., 0].astype(np.float64) / 255.0
+            cell_h = bh[..., 1:4].copy()
+            cell_h = (cell_h[..., 0:2].copy().view(np.uint16)[..., 0]
+                      .astype(np.uint32)
+                      | (cell_h[..., 2].astype(np.uint32) << 16))
+            results = self._decode_packed(p_h, cell_h, counts_h,
+                                          total_f, total_b, False,
+                                          overflow_h)
+            # texp rows: (mx, xx, mm, xm, ym, my, yy)
+            rows = ((0, 1), (1, 1), (0, 0), (1, 0), (2, 0), (0, 2),
+                    (2, 2))
+            for idx, r in enumerate(results):
+                gi, si = divmod(idx, S)
+                te = np.zeros((3, 3))
+                for r_, (a, b) in enumerate(rows):
+                    te[a, b] = texp_h[gi, r_, si]
+                r["texp"] = te
+                r["kexp"] = kexp_h[gi, si]          # (3, K)
+            return results
         return finish
 
     def _decode_packed(self, p_h, cell_h, counts_h, total_f, total_b,

@@ -227,10 +227,15 @@ def run_alignment_batch(
         # paths-in-lanes on the lane-batched log kernels (P padded to a
         # divisor of the 128-lane tile)
         PP = {1: 1, 2: 2, 3: 4, 4: 4}.get(P, 0)
+        # EM expectation passes ride the lane kernels too (in-kernel
+        # texp/kexp accumulation) for Gaussian P=1 segments
+        expect = bool(config.compute_expectations)
+        exp_ok = (P == 1
+                  and config.emission_mode == bfb.MODE_MEAN_ONLY)
         pallas_ok = (use_pallas and 1 <= P <= 4
                      and config.emission_mode in (bfb.MODE_MEAN_ONLY,
                                                   bfb.MODE_HDP)
-                     and not config.compute_expectations)
+                     and (not expect or exp_ok))
         if pallas_ok:
             try:
                 from signalalign_tpu.ops.banded_fb_pallas_batch import \
@@ -247,9 +252,10 @@ def run_alignment_batch(
                     raise ValueError(
                         "P>1/HDP bucket too small/wide for the lane "
                         "kernels")
-                if P == 1 and not hdp_mode and (pallas_interpret
-                                                or W > 1024
-                                                or len(probs) < 32):
+                if P == 1 and not hdp_mode and not expect \
+                        and (pallas_interpret
+                             or W > 1024
+                             or len(probs) < 32):
                     # per-read-row kernel: far cheaper under the
                     # interpreter; the fallback for shapes whose
                     # lane-batched scratch exceeds VMEM; and the right
@@ -293,13 +299,14 @@ def run_alignment_batch(
                         # the tf/tb residual check below catches the
                         # rest and re-runs them exactly.
                         prob_ok = (P == 1 and W <= 512 and not hdp_mode
+                                   and not expect
                                    and os.environ.get(
                                        "SIGNALALIGN_TPU_PROB_KERNELS")
                                    == "1")
                         aligner = PallasBatchAligner(chunk, W=W, T=120,
                                                      S=S, RB=256,
                                                      log_space=not prob_ok,
-                                                     P=P,
+                                                     P=P, expect=expect,
                                                      interpret=
                                                      pallas_interpret)
                         # pipeline: overlap this stripe's kernels with the
@@ -309,8 +316,12 @@ def run_alignment_batch(
                             import stack_bytes
                         sb = stack_bytes(max(p.n_diag for p in chunk),
                                          W, S, 120)
-                        fin = aligner.execute_async(
-                            compact_k=K, threshold=config.threshold)
+                        if expect:
+                            fin = aligner.execute_expect(
+                                compact_k=K, threshold=config.threshold)
+                        else:
+                            fin = aligner.execute_async(
+                                compact_k=K, threshold=config.threshold)
                         pending.append((cidx, n_real, fin))
                         drain(1 if 2 * sb < 12e9 else 0)
                 continue
@@ -353,7 +364,9 @@ def run_alignment_batch(
                   f"XLA path (numerics residual check)", file=sys.stderr)
         for i in suspects:
             t = seg_tasks[i]
-            r = bfb.run_banded_fb(t.problem, W=t.W, P=t.P)
+            r = bfb.run_banded_fb(
+                t.problem, W=t.W, P=t.P,
+                with_expectations=config.compute_expectations)
             r["pairs"] = bfb.extract_aligned_pairs(t.problem, r["post"],
                                                    config.threshold)
             seg_results[i] = r

@@ -102,7 +102,12 @@ def em_train(
 
     model = copy.deepcopy(model)
     config = config or AlignmentConfig()
-    config = dataclasses.replace(config, compute_expectations=True)
+    # the expectation kernels stream 3-state f32 forward stacks (~2.3x
+    # the inference stacks); shorter segments keep full 128-lane stripes
+    # inside the HBM budget (splitting at anchor gaps is exact)
+    config = dataclasses.replace(
+        config, compute_expectations=True,
+        max_segment_diagonals=min(config.max_segment_diagonals, 7000))
     likelihoods: List[float] = []
     lls: List[float] = []
     history: List[np.ndarray] = []
@@ -122,7 +127,7 @@ def em_train(
                 n_bases += rg[0].read_length
             batch = subset
         results = run_alignment_batch(batch, reference, model,
-                                      config, use_pallas=False,
+                                      config, use_pallas=True,
                                       strand_template=strand_template)
         texp = np.zeros((3, 3))
         kexp = np.zeros((3, model.alphabet.num_kmers))

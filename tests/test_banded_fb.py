@@ -393,3 +393,39 @@ def test_pallas_v2_hdp_stream_matches_scan(P, amb):
         assert set(d1) == set(d2)
         for key in d1:
             assert abs(d1[key] - d2[key]) <= 3e-3 * 1e7
+
+
+def test_pallas_v2_expectations_match_scan(r94_model):
+    """In-kernel EM expectations (3-state forward stack + backward
+    accumulation of the 7 transition posteriors and per-kmer emission
+    moments) must match banded_fb._expectations_core."""
+    from signalalign_tpu.ops.banded_fb_pallas_batch import PallasBatchAligner
+    model = r94_model
+    rng = np.random.default_rng(5)
+    problems = []
+    for i in range(3):
+        seq = "".join(rng.choice(list("ACGT"), size=150))
+        ids = model.alphabet.seq_to_kmer_ids(seq)
+        ev = np.stack([model.level_mean[ids] + rng.normal(0, 1.5, len(ids)),
+                       np.ones(len(ids)), np.full(len(ids), .005),
+                       np.arange(len(ids)) * .005], 1)
+        anchors = [(j, j) for j in range(10, len(ids) - 10, 15)]
+        problems.append(bfb.prepare_problem(
+            seq, ev, model, ScalingParams(shift=1.0 + 0.3 * i),
+            DEFAULT_AMBIG_BASES, W=128, Dpad=340, P=1,
+            mode=bfb.MODE_MEAN_ONLY, anchor_pairs=anchors, expansion=8))
+    al = PallasBatchAligner(problems, W=128, T=48, S=4, RB=256,
+                            interpret=True, log_space=True, expect=True)
+    res = al.execute_expect(compact_k=1024)()
+    for i, p in enumerate(problems):
+        x = bfb.run_banded_fb(p, W=128, P=1, with_expectations=True)
+        r = res[i]
+        assert math.isclose(r["total_f"], x["total_f"], rel_tol=1e-5)
+        np.testing.assert_allclose(r["texp"], x["texp"],
+                                   rtol=2e-4, atol=5e-3)
+        np.testing.assert_allclose(r["kexp"], x["kexp"][:, :r["kexp"].shape[1]],
+                                   rtol=2e-3, atol=5e-3)
+        # pairs still produced by the same pass
+        sp = bfb.extract_aligned_pairs(p, x["post"], 0.01)
+        assert set((a, b) for _, a, b, _ in sp) \
+            == set((a, b) for _, a, b, _ in r["pairs"])
