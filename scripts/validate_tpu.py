@@ -130,6 +130,42 @@ def drive_methyl():
     return ok_all
 
 
+def drive_expect():
+    """EM expectation pass on the lane kernels vs the XLA expectations
+    core, on the bundled 1D reads (capped segments, as em_train runs)."""
+    from signalalign_tpu.ops import banded_fb as bfb
+    from signalalign_tpu.ops.banded_fb_pallas_batch import \
+        PallasBatchAligner
+    b = _ecoli_fasta()
+    wl = b.build_workload()
+    ok_all = True
+    for W, kind, probs in wl:
+        if kind != "v2" or W > 512:
+            continue
+        if max(p.n_diag for p in probs) > 7000:
+            continue   # em_train caps segment length below this
+        K = max(((3 * max(p.lY for p in probs) + 127) // 128) * 128, 1024)
+        al = PallasBatchAligner(probs, W=W, T=120, S=128, RB=256,
+                                log_space=True, expect=True)
+        res = al.execute_expect(compact_k=K)()
+        seen = set()
+        for j, p in enumerate(probs):
+            if id(p) in seen:
+                continue
+            seen.add(id(p))
+            x = bfb.run_banded_fb(p, W=W, P=1, with_expectations=True)
+            dt = np.abs(res[j]["texp"] - x["texp"]).max()
+            rel = dt / max(float(x["texp"].max()), 1.0)
+            dk = np.abs(res[j]["kexp"]
+                        - x["kexp"][:, :res[j]["kexp"].shape[1]]).max()
+            ok = rel < 1e-3 and dk < 0.05
+            ok_all &= ok
+            print(f"W={W} lY={p.lY}: texp rel={rel:.2e} kexp maxd={dk:.4f}"
+                  f" {'OK' if ok else 'FAIL'}")
+    print("EXPECT: ALL OK" if ok_all else "EXPECT: FAILURES")
+    return ok_all
+
+
 def drive_speed():
     """Device-only throughput per bucket (totals/counts fetch only)."""
     from signalalign_tpu.ops.banded_fb_pallas_batch import \
@@ -158,5 +194,5 @@ def drive_speed():
 if __name__ == "__main__":
     what = sys.argv[1] if len(sys.argv) > 1 else "pairs"
     ok = {"pairs": drive_pairs, "methyl": drive_methyl,
-          "speed": drive_speed}[what]()
+          "expect": drive_expect, "speed": drive_speed}[what]()
     sys.exit(0 if ok is not False else 1)
