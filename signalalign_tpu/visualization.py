@@ -152,3 +152,179 @@ def plot_model_comparisons(kls, hels, deltas, out_path: str,
     fig.savefig(out_path, dpi=120)
     plt.close(fig)
     return out_path
+
+
+def plot_em_model_distributions(model_paths, kmers, out_path: str,
+                                assignments=None, show: bool = False):
+    """Overlay the per-iteration EM models' emission Gaussians for the
+    given kmers — the evolution view of a training run's checkpoints
+    (reference: visualization/plot_em_model_distributions.py, reduced to
+    the static overlay; the reference animates the same data).
+
+    model_paths: iterable of .model files (EM iteration order);
+    assignments: optional {kmer: [descaled means]} observation lists to
+    histogram behind the curves.
+    """
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    from signalalign_tpu.models.pore_model import PoreModel
+
+    models = [PoreModel.from_file(p) for p in model_paths]
+    fig, axes = plt.subplots(len(kmers), 1,
+                             figsize=(8, 2.6 * len(kmers)), squeeze=False)
+    for ax, kmer in zip(axes[:, 0], kmers):
+        for i, m in enumerate(models):
+            kid = m.alphabet.kmer_index(kmer)
+            mu = float(m.level_mean[kid])
+            sd = float(m.level_sd[kid])
+            xs = np.linspace(mu - 4 * sd, mu + 4 * sd, 200)
+            ys = np.exp(-0.5 * ((xs - mu) / sd) ** 2) / (
+                sd * np.sqrt(2 * np.pi))
+            ax.plot(xs, ys, label=f"iter {i}",
+                    alpha=0.5 + 0.5 * i / max(len(models) - 1, 1))
+        if assignments and kmer in assignments and len(assignments[kmer]):
+            ax.hist(assignments[kmer], bins=30, density=True,
+                    color="0.8", zorder=0)
+        ax.set_title(kmer)
+        ax.set_xlabel("descaled current (pA)")
+        ax.legend(fontsize=7)
+    fig.tight_layout()
+    fig.savefig(out_path, dpi=110)
+    if not show:
+        plt.close(fig)
+    return out_path
+
+
+def plot_multiclass_variant_accuracy(labelled, out_dir: str, name: str,
+                                     threshold: float = 0.5):
+    """Per-class precision/recall and ROC curves for variant calls
+    against known labels (reference:
+    visualization/plot_multiple_variant_accuracy.py, with the curve
+    math in numpy instead of py3helpers' ClassificationMetrics).
+
+    labelled: DataFrame with one row per (read, site): column
+    ``label`` (true base) and one probability column per variant base.
+    Returns {class: {auc, precision_at_threshold, recall_at_threshold,
+    plot_path}}.
+    """
+    import os
+
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    classes = [c for c in labelled.columns if len(c) == 1]
+    out = {}
+    fig, (ax_roc, ax_pr) = plt.subplots(1, 2, figsize=(10, 4))
+    for cls in classes:
+        y = (labelled["label"] == cls).to_numpy().astype(int)
+        p = labelled[cls].to_numpy(dtype=float)
+        if y.sum() == 0 or y.sum() == len(y):
+            continue
+        order = np.argsort(-p)
+        ys = y[order]
+        tp = np.cumsum(ys)
+        fp = np.cumsum(1 - ys)
+        tpr = tp / y.sum()
+        fpr = fp / (len(y) - y.sum())
+        auc = float(np.trapezoid(tpr, fpr))
+        prec = tp / np.maximum(tp + fp, 1)
+        ax_roc.plot(fpr, tpr, label=f"{cls} (AUC {auc:.3f})")
+        ax_pr.plot(tpr, prec, label=cls)
+        called = p >= threshold
+        tp_t = int(np.sum(called & (y == 1)))
+        out[cls] = {
+            "auc": auc,
+            "precision_at_threshold":
+                tp_t / max(int(called.sum()), 1),
+            "recall_at_threshold": tp_t / max(int(y.sum()), 1),
+        }
+    ax_roc.plot([0, 1], [0, 1], "k:", lw=0.7)
+    ax_roc.set_xlabel("FPR")
+    ax_roc.set_ylabel("TPR")
+    ax_roc.set_title(f"ROC — {name}")
+    ax_roc.legend(fontsize=8)
+    ax_pr.set_xlabel("recall")
+    ax_pr.set_ylabel("precision")
+    ax_pr.set_title(f"precision-recall — {name}")
+    ax_pr.legend(fontsize=8)
+    fig.tight_layout()
+    path = os.path.join(out_dir, f"{name}_accuracy.png")
+    fig.savefig(path, dpi=110)
+    plt.close(fig)
+    for cls in out:
+        out[cls]["plot_path"] = path
+    return out
+
+
+def sequencing_summary(alignment_file: str, readdb: str, fast5_dirs,
+                       out_dir: Optional[str] = None,
+                       pass_threshold: float = 7.0):
+    """Per-read sequencing-run summary: read length, mean q-score,
+    mapped/pass flags, plus the headline fractions and histograms
+    (reference: visualization/sequencing_summary.py
+    get_alignment_summary_info / print_summary_information /
+    plot_summary_information, without the worker-pool plumbing — the
+    BAM+readdb scan is a single pass here).
+    """
+    import os
+
+    from signalalign_tpu.io.sam import load_readdb, read_bam
+
+    _, records = read_bam(alignment_file)
+    by_name = {}
+    for rec in records:
+        by_name.setdefault(rec.qname.split("_")[0], []).append(rec)
+    rows = []
+    for name, f5 in load_readdb(readdb, list(fast5_dirs)).items():
+        recs = by_name.get(name.split("_")[0], [])
+        primary = [r for r in recs if not (r.flag & 0x900)]
+        q = 0.0
+        length = 0
+        if primary:
+            qual = primary[0].qual
+            if qual:
+                phred = np.frombuffer(qual.encode("latin-1"),
+                                      dtype=np.uint8) - 33
+                q = float(phred.mean())
+                length = len(qual)
+        rows.append({
+            "read_id": name,
+            "read_length": length,
+            "q_score_average": q,
+            "mapped": bool(primary),
+            "num_secondary_mappings":
+                sum(1 for r in recs if r.flag & 0x100),
+            "num_supplementary":
+                sum(1 for r in recs if r.flag & 0x800),
+            "pass": bool(primary) and q >= pass_threshold,
+        })
+    import pandas as pd
+    df = pd.DataFrame(rows)
+    if len(df):
+        n_pass = int(df["pass"].sum())
+        print(f"[summary] reads={len(df)} passing={n_pass} "
+              f"({n_pass / len(df):.3f})")
+        failed = df[~df["pass"]]
+        if len(failed):
+            print(f"[summary] failed unmapped fraction: "
+                  f"{float((~failed['mapped']).mean()):.3f}")
+            print(f"[summary] failed low-q fraction: "
+                  f"{float((failed['q_score_average'] < pass_threshold).mean()):.3f}")
+    if out_dir and len(df):
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+        fig, axes = plt.subplots(1, 2, figsize=(9, 3.5))
+        axes[0].hist(df["read_length"], bins=30)
+        axes[0].set_xlabel("read length (bases)")
+        axes[1].hist(df["q_score_average"], bins=30)
+        axes[1].axvline(pass_threshold, color="r", ls=":")
+        axes[1].set_xlabel("mean q-score")
+        fig.tight_layout()
+        fig.savefig(os.path.join(out_dir, "sequencing_summary.png"),
+                    dpi=110)
+        plt.close(fig)
+    return df
