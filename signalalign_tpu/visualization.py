@@ -328,3 +328,83 @@ def sequencing_summary(alignment_file: str, readdb: str, fast5_dirs,
                     dpi=110)
         plt.close(fig)
     return df
+
+
+def plot_alignment_breaks(summaries_by_read, out_path: str,
+                          gap_threshold: int = 10):
+    """Flagged-gap overview across reads: per-read gap counts and the
+    distribution of gap sizes (reference:
+    visualization/plot_breaks_in_alignments.py on top of
+    validateSignalAlignment's flag_large_gaps — the flagging itself
+    lives in pipeline/validate.py here).
+
+    summaries_by_read: {read_label: list[EventSummary]} from
+    pipeline.validate.event_summaries.
+    """
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    from signalalign_tpu.pipeline.validate import flag_large_gaps
+
+    labels, counts, sizes = [], [], []
+    for label, summaries in summaries_by_read.items():
+        flagged = flag_large_gaps(summaries, gap_threshold)
+        labels.append(label[:8])
+        counts.append(len(flagged))
+        sizes.extend(f["event_count"] for f in flagged)
+    fig, (ax1, ax2) = plt.subplots(1, 2, figsize=(10, 3.6))
+    ax1.bar(range(len(labels)), counts)
+    ax1.set_xticks(range(len(labels)), labels, rotation=45, fontsize=7)
+    ax1.set_ylabel(f"gaps > {gap_threshold}")
+    ax1.set_title("flagged alignment breaks per read")
+    if sizes:
+        ax2.hist(sizes, bins=min(30, max(len(sizes), 2)))
+    ax2.set_xlabel("gap size (events)")
+    ax2.set_title("gap size distribution")
+    fig.tight_layout()
+    fig.savefig(out_path, dpi=110)
+    plt.close(fig)
+    return out_path
+
+
+def verify_load_from_raw(fast5_path: str, model_path: str, sam_record,
+                         out_path: Optional[str] = None):
+    """Debug check that regenerating the event table from raw signal
+    reproduces the embedded basecall segmentation (reference:
+    visualization/verify_load_from_raw.py): aligns the two tables'
+    mean traces and reports/plots the drift.
+
+    Returns (n_embedded, n_regenerated, mean_abs_diff_of_head).
+    """
+    import numpy as np
+
+    from signalalign_tpu.io.read import NanoporeReadData
+    from signalalign_tpu.models.pore_model import PoreModel
+    from signalalign_tpu.pipeline.event_align import \
+        nanopore_read_from_raw
+
+    embedded = NanoporeReadData.from_fast5(fast5_path)
+    model = PoreModel.from_file(model_path)
+    regen = nanopore_read_from_raw(fast5_path, model, sam_record,
+                                   embed=False)
+    n_e = embedded.events.shape[0]
+    n_r = regen.events.shape[0]
+    n = min(n_e, n_r, 512)
+    diff = float(np.mean(np.abs(embedded.events[:n, 0]
+                                - regen.events[:n, 0])))
+    if out_path:
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+        fig, ax = plt.subplots(figsize=(10, 3))
+        ax.plot(embedded.events[:n, 0], label="embedded", lw=0.8)
+        ax.plot(regen.events[:n, 0], label="regenerated", lw=0.8,
+                alpha=0.7)
+        ax.set_xlabel("event index")
+        ax.set_ylabel("mean current")
+        ax.legend()
+        fig.tight_layout()
+        fig.savefig(out_path, dpi=110)
+        plt.close(fig)
+    return n_e, n_r, diff

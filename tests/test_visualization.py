@@ -41,3 +41,47 @@ def test_sequencing_summary(tmp_path):
     assert len(df) >= 3
     assert df["mapped"].any()
     assert os.path.exists(tmp_path / "sequencing_summary.png")
+
+
+def test_alignment_breaks_and_raw_verify(tmp_path):
+    from signalalign_tpu.io.guide import guide_from_sam_record
+    from signalalign_tpu.io.read import NanoporeReadData
+    from signalalign_tpu.io.reference import ProcessedReference
+    from signalalign_tpu.io.sam import filter_reads, read_bam
+    from signalalign_tpu.models.pore_model import PoreModel
+    from signalalign_tpu.pipeline.signal_align import (AlignmentConfig,
+                                                       align_read)
+    from signalalign_tpu.pipeline.validate import event_summaries
+    from signalalign_tpu.visualization import (plot_alignment_breaks,
+                                               verify_load_from_raw)
+
+    pairs = filter_reads(os.path.join(ONED, "1D.bam"),
+                         os.path.join(ONED, "1D.fastq.index.readdb"),
+                         [ONED])
+    f5, rec = [p for p in pairs if p[1].qname.startswith("6deaf971")][0]
+
+    n_e, n_r, diff = verify_load_from_raw(
+        f5, MODEL, rec, out_path=str(tmp_path / "raw.png"))
+    assert n_e > 1000 and n_r > 1000
+    assert os.path.exists(tmp_path / "raw.png")
+
+    # breaks plot on a real alignment
+    from signalalign_tpu.io.sam import reconstruct_reference_window
+    genome = np.full(4641652, ord("A"), dtype=np.uint8)
+    _, records = read_bam(os.path.join(ONED, "1D.bam"))
+    for r in records:
+        w = reconstruct_reference_window(r)
+        genome[r.pos:r.pos + len(w)] = np.frombuffer(
+            w.encode("latin-1"), dtype=np.uint8)
+    fa = tmp_path / "e.fa"
+    with open(fa, "w") as fh:
+        fh.write(">gi_ecoli\n" + genome.tobytes().decode("latin-1") + "\n")
+    reference = ProcessedReference(str(fa))
+    model = PoreModel.from_file(MODEL)
+    read = NanoporeReadData.from_fast5(f5)
+    guide = guide_from_sam_record(rec)
+    res = align_read(read, guide, reference, model, AlignmentConfig())
+    summ = event_summaries(res, read, guide)
+    out = plot_alignment_breaks({read.read_label: summ},
+                                str(tmp_path / "breaks.png"))
+    assert os.path.exists(out)
