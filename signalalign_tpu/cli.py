@@ -336,6 +336,28 @@ def cmd_scan(args) -> int:
     return 0
 
 
+def cmd_plot(args) -> int:
+    """Plotting toolkit front-end (reference ships one __main__ per
+    visualization/*.py; here one subcommand dispatches)."""
+    from signalalign_tpu import visualization as viz
+    if args.what == "summary":
+        viz.sequencing_summary(args.alignment_file, args.readdb,
+                               args.fast5_dir or [],
+                               out_dir=args.output_dir)
+    elif args.what == "em_models":
+        os.makedirs(args.output_dir, exist_ok=True)
+        out = os.path.join(args.output_dir, "em_models.png")
+        viz.plot_em_model_distributions(args.model, args.kmer, out)
+        print(f"[plot] wrote {out}")
+    elif args.what == "compare_models":
+        # per-kmer distance plots live in the compare subcommand; this
+        # alias keeps plot discovery symmetrical
+        print("use `signalalign_tpu compare --plot` for model "
+              "comparison figures", file=sys.stderr)
+        return 2
+    return 0
+
+
 def cmd_extract(args) -> int:
     """Pull fastqs (+ index readdb) from fast5 files — the reference's
     ``extract`` binary (impl/extract.c:23 + eventAligner.c
@@ -516,6 +538,19 @@ def main(argv=None) -> int:
                       help="write x_vals.txt + per-kmer _distr.txt density "
                            "dumps (compareDistributions equivalent)")
     cmpp.set_defaults(func=cmd_compare)
+
+    plotp = sub.add_parser("plot", help="plotting toolkit "
+                           "(sequencing summary, EM model evolution)")
+    plotp.add_argument("what",
+                       choices=["summary", "em_models", "compare_models"])
+    plotp.add_argument("--alignment_file")
+    plotp.add_argument("--readdb")
+    plotp.add_argument("--fast5_dir", action="append")
+    plotp.add_argument("--model", action="append",
+                       help="model file(s), EM iteration order")
+    plotp.add_argument("--kmer", action="append")
+    plotp.add_argument("--output_dir", default="plots")
+    plotp.set_defaults(func=cmd_plot)
 
     extp = sub.add_parser("extract",
                           help="pull fastqs from fast5 files (extract)")
