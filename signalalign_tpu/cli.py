@@ -341,10 +341,19 @@ def cmd_plot(args) -> int:
     visualization/*.py; here one subcommand dispatches)."""
     from signalalign_tpu import visualization as viz
     if args.what == "summary":
+        if not (args.alignment_file and args.readdb):
+            print("plot summary requires --alignment_file and --readdb",
+                  file=sys.stderr)
+            return 2
+        os.makedirs(args.output_dir, exist_ok=True)
         viz.sequencing_summary(args.alignment_file, args.readdb,
                                args.fast5_dir or [],
                                out_dir=args.output_dir)
     elif args.what == "em_models":
+        if not (args.model and args.kmer):
+            print("plot em_models requires --model (repeatable, EM "
+                  "iteration order) and --kmer", file=sys.stderr)
+            return 2
         os.makedirs(args.output_dir, exist_ok=True)
         out = os.path.join(args.output_dir, "em_models.png")
         viz.plot_em_model_distributions(args.model, args.kmer, out)

@@ -951,7 +951,8 @@ def _bwd_kernel_log(geom_ref, refwin_ref, evinit_ref, evins_ref,
             f_m = ibuf[buf, 0]
             f_x = ibuf[buf, 1]
             f_y = ibuf[buf, 2]
-            normA = cvecf_ref[0, 0, pl.ds(row, 1), :] + mprev[1:2, :]
+            normA = cvecf_ref[0, 0, pl.ds(row, 1), :] \
+                + (mprev[1:2, :] + mprev[2:3, :])
             p_mx = jnp.exp(f_m + t_mx + gx_red + normA)
             p_xx = jnp.exp(f_x + t_xx + gx_red + normA)
             p_mm = jnp.exp(f_m + t_mm + mm_red + normA)
@@ -1005,8 +1006,15 @@ def _bwd_kernel_log(geom_ref, refwin_ref, evinit_ref, evins_ref,
         ring[_bwd_y(slot), base:base + WB, :] = by
 
         if expect:
-            # Bo(d+1) -> Bo(d) for the next (lower-d) step
-            mprev[1:2, :] = mprev[1:2, :] + m
+            # Bo(d+1) -> Bo(d) for the next (lower-d) step; compensated
+            # (TwoSum) running sum - thousands of O(1) increments reach
+            # ~1e4 where plain f32 accumulation would drift ~0.01 nats
+            bo = mprev[1:2, :]
+            s_ = bo + m
+            v_ = s_ - bo
+            mprev[2:3, :] = mprev[2:3, :] + ((bo - (s_ - v_))
+                                             + (m - v_))
+            mprev[1:2, :] = s_
 
         buf = i % 2
         if expect:
@@ -1527,14 +1535,32 @@ def _cvecf_expect(f_incr, f_lse, n_diag, *, T: int):
     NT = Dp1p // T
     ft = f_incr.reshape(G, NT, T, S)
     intra = jnp.cumsum(ft, axis=2)
-    base = jnp.cumsum(jnp.sum(ft, axis=2), axis=1)
-    base = jnp.concatenate([jnp.zeros_like(base[:, :1]), base[:, :-1]],
-                           axis=1)
-    fo = (intra + base[:, :, None, :]).reshape(G, Dp1p, S)
+
+    # inter-tile prefix with double-float compensation (the magnitudes
+    # reach ~1e4-1e5 and cancel to O(1) against the total; plain f32
+    # cumsum would bias every expectation by exp(~0.01) on long reads)
+    def two_sum(a, b):
+        s = a + b
+        v = s - a
+        return s, (a - (s - v)) + (b - v)
+
+    def dd_add(x, y):
+        s, e = two_sum(x[0], y[0])
+        return s, e + x[1] + y[1]
+
+    tsum = jnp.sum(ft, axis=2)
+    bh, bl = jax.lax.associative_scan(
+        dd_add, (tsum, jnp.zeros_like(tsum)), axis=1)
+    bh = jnp.concatenate([jnp.zeros_like(bh[:, :1]), bh[:, :-1]], axis=1)
+    bl = jnp.concatenate([jnp.zeros_like(bl[:, :1]), bl[:, :-1]], axis=1)
+    fo_hi = (bh[:, :, None, :] + intra).reshape(G, Dp1p, S)
+    fo_lo = jnp.broadcast_to(bl[:, :, None, :],
+                             (G, NT, T, S)).reshape(G, Dp1p, S)
     nd = n_diag[:, None, :]
-    total = (jnp.take_along_axis(fo, nd, axis=1)
+    total = (jnp.take_along_axis(fo_hi, nd, axis=1)
+             + jnp.take_along_axis(fo_lo, nd, axis=1)
              + jnp.take_along_axis(f_lse, nd, axis=1))[:, 0]
-    cv = fo - total[:, None, :]
+    cv = (fo_hi - total[:, None, :]) + fo_lo
     cv = jnp.where(jnp.isfinite(cv), jnp.maximum(cv, NEG), NEG)
     return cv.reshape(G, NT, T, S)
 
@@ -1981,8 +2007,8 @@ class PallasBatchAligner:
 
         def finish():
             th = np.asarray(totals, dtype=np.float64)
-            total_f = th[0] + th[1]
-            total_b = th[2] + th[3]
+            total_f = th[0] + th[1] + self.ev_off
+            total_b = th[2] + th[3] + self.ev_off
             counts_h = th[4].astype(np.int64)
             overflow_h = th[5] > 0.5
             texp_h = np.asarray(texp8, dtype=np.float64)

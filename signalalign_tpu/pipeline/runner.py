@@ -247,11 +247,13 @@ def run_alignment_batch(
                 K = max(((3 * lYmax + 127) // 128) * 128, 1024)
                 S_lanes = _choose_lanes(max(p.n_diag for p in probs), W)
                 hdp_mode = config.emission_mode == bfb.MODE_HDP
-                if (P > 1 or hdp_mode) and (W > 1024
-                                            or len(probs) * PP < 16):
+                if (P > 1 or hdp_mode or expect) \
+                        and (W > 1024 or len(probs) * PP < 16):
+                    # tiny buckets would pad to full 128-lane stripes
+                    # (up to 127/128 wasted); the XLA path right-sizes
                     raise ValueError(
-                        "P>1/HDP bucket too small/wide for the lane "
-                        "kernels")
+                        "P>1/HDP/expect bucket too small/wide for the "
+                        "lane kernels")
                 if P == 1 and not hdp_mode and not expect \
                         and (pallas_interpret
                              or W > 1024
@@ -316,6 +318,8 @@ def run_alignment_batch(
                             import stack_bytes
                         sb = stack_bytes(max(p.n_diag for p in chunk),
                                          W, S, 120)
+                        if expect:
+                            sb = sb * 14 // 6   # 3-state f32 fwd stack
                         if expect:
                             fin = aligner.execute_expect(
                                 compact_k=K, threshold=config.threshold)

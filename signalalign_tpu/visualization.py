@@ -223,10 +223,17 @@ def plot_multiclass_variant_accuracy(labelled, out_dir: str, name: str,
         p = labelled[cls].to_numpy(dtype=float)
         if y.sum() == 0 or y.sum() == len(y):
             continue
-        order = np.argsort(-p)
+        # evaluate the staircase only at distinct-threshold boundaries
+        # (tied probabilities advance TP and FP together, so the curve
+        # and AUC are order-independent) and anchor at (0, 0)
+        order = np.argsort(-p, kind="stable")
+        ps = p[order]
         ys = y[order]
-        tp = np.cumsum(ys)
-        fp = np.cumsum(1 - ys)
+        tp_all = np.cumsum(ys)
+        fp_all = np.cumsum(1 - ys)
+        last = np.nonzero(np.diff(ps, append=-np.inf))[0]
+        tp = np.concatenate([[0], tp_all[last]])
+        fp = np.concatenate([[0], fp_all[last]])
         tpr = tp / y.sum()
         fpr = fp / (len(y) - y.sum())
         auc = float(np.trapezoid(tpr, fpr))
