@@ -119,7 +119,17 @@ def main():
 
     reps = int(os.environ.get("BENCH_REPS", "6"))
     workload = build_workload()
-    dev = jax.devices()[0]
+    try:
+        dev = jax.devices()[0]
+    except Exception as exc:
+        # device/tunnel outage: emit a parseable record instead of a
+        # traceback (observed multi-hour TPU backend outages on this
+        # environment)
+        print(json.dumps({
+            "metric": "banded_fb_posterior_events_per_s_per_chip",
+            "value": 0.0, "unit": "events/s", "vs_baseline": 0.0,
+            "error": f"device unavailable: {exc}"[:300]}))
+        return
 
     aligners = []
     total_events = 0
