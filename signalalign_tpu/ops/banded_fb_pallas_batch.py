@@ -1897,33 +1897,8 @@ class PallasBatchAligner:
                             overflow.astype(jnp.float32)])
 
         def finish():
-            th = np.asarray(totals, dtype=np.float64)
-            # kernels run on event-normalized emissions; restore the
-            # per-problem normalizer in the reported totals
-            total_f = th[0] + th[1] + self.ev_off
-            total_b = th[2] + th[3] + self.ev_off
-            counts_h = th[4].astype(np.int64)
-            overflow_h = th[5] > 0.5
-            # fetch only the (128-granular) K-prefix that holds survivors:
-            # the compaction sorted them to the front. This is the single
-            # biggest transfer of the pipeline and typically shrinks ~1.5x
-            # vs the 3*lY K heuristic (survivors ~= 1.0-1.2 per event).
-            kmax = int(counts_h.max()) if counts_h.size else 0
-            kf = min(max((kmax + 127) // 128 * 128, 128), compact_k)
-            bh = np.asarray(buf[:, :, :kf] if kf < compact_k else buf)
-            if pack16:
-                p_h = (bh[..., 0:2].copy().view(np.uint16)[..., 0]
-                       .astype(np.float64) / 65535.0)
-                cb = bh[..., 2:]
-            else:
-                p_h = bh[..., 0].astype(np.float64) / 255.0
-                cb = bh[..., 1:]
-            if cb.shape[-1] == 3:
-                cell_h = (cb[..., 0:2].copy().view(np.uint16)[..., 0]
-                          .astype(np.uint32)
-                          | (cb[..., 2].astype(np.uint32) << 16))
-            else:
-                cell_h = cb[..., 0:4].copy().view(np.uint32)[..., 0]
+            (total_f, total_b, counts_h, overflow_h, p_h,
+             cell_h) = self._fetch_packed(totals, buf, compact_k, pack16)
             return self._decode_packed(p_h, cell_h, counts_h,
                                        total_f, total_b, as_arrays,
                                        overflow_h)
@@ -1970,6 +1945,38 @@ class PallasBatchAligner:
             return th[0] + th[1] + self.ev_off, np.asarray(counts)
         return finish
 
+    def _fetch_packed(self, totals, buf, compact_k, pack16=False):
+        """Fetch the totals stack + the counts-bounded packed prefix and
+        unpack to (total_f, total_b, counts, overflow, p, cell) — shared
+        by the inference and expectation finish paths."""
+        th = np.asarray(totals, dtype=np.float64)
+        # kernels run on event-normalized emissions; restore the
+        # per-problem normalizer in the reported totals
+        total_f = th[0] + th[1] + self.ev_off
+        total_b = th[2] + th[3] + self.ev_off
+        counts_h = th[4].astype(np.int64)
+        overflow_h = th[5] > 0.5
+        # fetch only the (128-granular) K-prefix that holds survivors:
+        # the compaction sorted them to the front. This is the single
+        # biggest transfer of the pipeline.
+        kmax = int(counts_h.max()) if counts_h.size else 0
+        kf = min(max((kmax + 127) // 128 * 128, 128), compact_k)
+        bh = np.asarray(buf[:, :, :kf] if kf < compact_k else buf)
+        if pack16:
+            p_h = (bh[..., 0:2].copy().view(np.uint16)[..., 0]
+                   .astype(np.float64) / 65535.0)
+            cb = bh[..., 2:]
+        else:
+            p_h = bh[..., 0].astype(np.float64) / 255.0
+            cb = bh[..., 1:]
+        if cb.shape[-1] == 3:
+            cell_h = (cb[..., 0:2].copy().view(np.uint16)[..., 0]
+                      .astype(np.uint32)
+                      | (cb[..., 2].astype(np.uint32) << 16))
+        else:
+            cell_h = cb[..., 0:4].copy().view(np.uint32)[..., 0]
+        return total_f, total_b, counts_h, overflow_h, p_h, cell_h
+
     def execute_expect(self, compact_k: int = 4096,
                        threshold: float = 0.01):
         """EM expectation pass on the lane kernels: one fwd+bwd sweep
@@ -2006,21 +2013,10 @@ class PallasBatchAligner:
                             overflow.astype(jnp.float32)])
 
         def finish():
-            th = np.asarray(totals, dtype=np.float64)
-            total_f = th[0] + th[1] + self.ev_off
-            total_b = th[2] + th[3] + self.ev_off
-            counts_h = th[4].astype(np.int64)
-            overflow_h = th[5] > 0.5
+            (total_f, total_b, counts_h, overflow_h, p_h,
+             cell_h) = self._fetch_packed(totals, buf, compact_k)
             texp_h = np.asarray(texp8, dtype=np.float64)
             kexp_h = np.asarray(kexp_dev, dtype=np.float64)
-            kmax = int(counts_h.max()) if counts_h.size else 0
-            kf = min(max((kmax + 127) // 128 * 128, 128), compact_k)
-            bh = np.asarray(buf[:, :, :kf] if kf < compact_k else buf)
-            p_h = bh[..., 0].astype(np.float64) / 255.0
-            cell_h = bh[..., 1:4].copy()
-            cell_h = (cell_h[..., 0:2].copy().view(np.uint16)[..., 0]
-                      .astype(np.uint32)
-                      | (cell_h[..., 2].astype(np.uint32) << 16))
             results = self._decode_packed(p_h, cell_h, counts_h,
                                           total_f, total_b, False,
                                           overflow_h)
