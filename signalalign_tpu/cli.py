@@ -191,6 +191,25 @@ def cmd_train(args) -> int:
     os.makedirs(output_dir, exist_ok=True)
     result = None
     trans_args = cfg.get("transitions_args", {})
+    smt = (training.get("stateMachineType")
+           or cfg.get("stateMachineType") or "threeState")
+    em_cfg = None
+    em_hdp = None
+    if smt == "threeStateHdp":
+        # HdpHmm transition EM: expectations under HDP emissions
+        # (trainModels stateMachineType=threeStateHdp); requires a
+        # trained .nhdp alongside the .model
+        from signalalign_tpu.models.hdp_model import load_nhdp
+        from signalalign_tpu.pipeline.signal_align import AlignmentConfig
+        from signalalign_tpu.ops import banded_fb as _bfb
+        hdp_path = (cfg.get("template_hdp_model")
+                    or training.get("template_hdp_model"))
+        if not hdp_path:
+            print("threeStateHdp training requires template_hdp_model",
+                  file=sys.stderr)
+            return 2
+        em_hdp = load_nhdp(hdp_path)
+        em_cfg = AlignmentConfig(emission_mode=_bfb.MODE_HDP)
     if training.get("transitions", True):
         # unified per-iteration EM: transition posteriors + per-kmer
         # emission moments from one device expectation pass; per-iteration
@@ -198,6 +217,7 @@ def cmd_train(args) -> int:
         # (trainModels.py:922-985 + expectation_maximization_training)
         result = em_train(
             rgs, reference, model, iterations=iterations, verbose=True,
+            config=em_cfg, hdp=em_hdp,
             update_transitions=True,
             update_emissions=bool(training.get("em_emissions", False)),
             training_bases=(trans_args.get("training_bases")

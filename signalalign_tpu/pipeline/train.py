@@ -61,6 +61,7 @@ def em_train(
     model: PoreModel,
     iterations: int = 3,
     config: Optional[AlignmentConfig] = None,
+    hdp=None,
     update_transitions: bool = True,
     update_emissions: bool = False,
     emission_prior_weight: float = 0.0,
@@ -90,7 +91,10 @@ def em_train(
     trainModels.py:1144 / filter_reads.py:155-170).
     ``strand_template=False`` trains a complement-strand model on 2D
     complement reads (trainModels trains both strand HMMs for twoD
-    chemistry). ``checkpoint_dir``
+    chemistry). ``hdp`` + config.emission_mode=MODE_HDP runs the
+    threeStateHdp transition EM (HdpHmm expectations) — emission
+    updates then come from the HDP training path, not the Gaussian
+    M-step. ``checkpoint_dir``
     writes a model file per iteration (trainModels.py:938-949) and, with
     ``write_expectations``, a reference-format expectations file summing
     the batch (continuousHmm_writeToFile layout).
@@ -127,7 +131,7 @@ def em_train(
                 n_bases += rg[0].read_length
             batch = subset
         results = run_alignment_batch(batch, reference, model,
-                                      config, use_pallas=True,
+                                      config, hdp=hdp, use_pallas=True,
                                       strand_template=strand_template)
         texp = np.zeros((3, 3))
         kexp = np.zeros((3, model.alphabet.num_kmers))

@@ -281,3 +281,51 @@ def test_cli_train_multi_sample(tmp_path):
     finally:
         _sys.argv = old_argv
     assert os.path.exists(tmp_path / "out" / "template_trained.model")
+
+
+def test_em_train_three_state_hdp():
+    """threeStateHdp transition EM: expectations accumulated under HDP
+    emissions (HdpHmm semantics, trainModels stateMachineType)."""
+    from signalalign_tpu.io.guide import GuideAlignment
+    from signalalign_tpu.models.hdp_model import load_nhdp
+    from signalalign_tpu.ops import banded_fb as bfb
+    from signalalign_tpu.pipeline.signal_align import AlignmentConfig
+    from signalalign_tpu.pipeline.train import em_train
+
+    hdp = load_nhdp("/root/reference/models/templateSingleLevelFixed.nhdp")
+    model = PoreModel.from_file(
+        "/root/reference/models/testModelR73_acegot_template.model")
+    rng = np.random.default_rng(2)
+    genome = "".join(rng.choice(list("ACGT"), size=600))
+    import tempfile
+    with tempfile.TemporaryDirectory() as d:
+        fa = os.path.join(d, "ref.fa")
+        with open(fa, "w") as fh:
+            fh.write(">chr\n" + genome + "\n")
+        reference = ProcessedReference(fa)
+        k = model.kmer_length
+        rgs = []
+        for ri in range(2):
+            start = 50 + 120 * ri
+            seq = genome[start:start + 180]
+            ids = model.alphabet.seq_to_kmer_ids(seq)
+            events, emap = [], []
+            for kid in ids:
+                emap.append(len(events))
+                events.append([rng.normal(model.level_mean[kid], 1.5),
+                               1.0, .002, len(events) * .002])
+            emap.extend([emap[-1]] * (k - 1))
+            read = NanoporeReadData(
+                read_label=f"hdp{ri}", template_read=seq,
+                events=np.array(events), event_map=np.array(emap),
+                model_states=None, p_model_state=None, kmer_length=k,
+                params=ScalingParams(var=1.05), rna=False)
+            rgs.append((read, GuideAlignment(
+                contig="chr", forward=True, window_start=start,
+                window_end=start + 180, query_start=0, query_end=180,
+                ops=[(180, "M")])))
+        res = em_train(rgs, reference, model, iterations=1, hdp=hdp,
+                       config=AlignmentConfig(emission_mode=bfb.MODE_HDP))
+        assert np.isfinite(res.log_likelihoods[0])
+        tr = res.transitions_history[0]
+        np.testing.assert_allclose(tr.sum(axis=1), 1.0, atol=1e-6)
