@@ -485,6 +485,35 @@ def cmd_compare(args) -> int:
     return 0
 
 
+def cmd_mixture(args) -> int:
+    from signalalign_tpu.models.pore_model import PoreModel
+    from signalalign_tpu.pipeline.mixture import (
+        generate_mixture_model_for_motifs, get_motif_kmer_pairs,
+        read_assignment_table)
+
+    import numpy as np
+
+    model = PoreModel.from_file(args.model)
+    assignments = {}
+    for path in args.assignments:
+        for key, vals in read_assignment_table(path).items():
+            prev = assignments.get(key)
+            assignments[key] = (vals if prev is None
+                                else np.concatenate([prev, vals]))
+    pairs = []
+    for spec in args.motif:
+        canonical, modified = spec.split(",")
+        pairs.extend(get_motif_kmer_pairs(
+            (canonical, modified), model.alphabet.kmer_length,
+            alphabet="ATGC"))
+    rows = generate_mixture_model_for_motifs(
+        model, assignments, pairs, strand=args.strand,
+        output_dir=args.output_dir, name=args.name, plot=args.plot)
+    print(f"[mixture] fit {len(rows)}/{len(pairs)} kmer pairs -> "
+          f"{args.output_dir}")
+    return 0
+
+
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser(prog="signalalign_tpu")
     sub = parser.add_subparsers(dest="command", required=True)
@@ -588,6 +617,23 @@ def main(argv=None) -> int:
     extp.add_argument("-r", "--recursive", action="store_true",
                       help="search all immediate subdirectories")
     extp.set_defaults(func=cmd_extract)
+
+    mixp = sub.add_parser(
+        "mixture", help="fit per-kmer Gaussian mixtures at modification "
+                        "motifs and build a modified-kmer model "
+                        "(mixture_model)")
+    mixp.add_argument("--model", required=True)
+    mixp.add_argument("--assignments", nargs="+", required=True,
+                      help="buildAlignment/assignments TSVs "
+                           "(kmer strand mean [prob])")
+    mixp.add_argument("--motif", action="append", required=True,
+                      help="canonical,modified motif pair, e.g. CCAGG,CEAGG"
+                           " (repeatable)")
+    mixp.add_argument("--strand", default="t", choices=("t", "c"))
+    mixp.add_argument("--output_dir", required=True)
+    mixp.add_argument("--name", default="")
+    mixp.add_argument("--plot", action="store_true")
+    mixp.set_defaults(func=cmd_mixture)
 
     args = parser.parse_args(argv)
     return args.func(args)

@@ -154,6 +154,54 @@ def plot_model_comparisons(kls, hels, deltas, out_path: str,
     return out_path
 
 
+def plot_mixture_fit(canonical_kmer: str, modified_kmer: str,
+                     model_mean: float, model_sd: float,
+                     canonical_comp, modified_comp,
+                     mixture=None, event_means=None,
+                     out_path: str = "mixture.png") -> str:
+    """Mixture-model comparison figure for one kmer pair: the ONT model
+    curve, the fitted canonical/modified mixture components, the overall
+    mixture pdf, and a KDE of the raw event means
+    (mixture_model.py:203-303 plot_mixture_model_distribution)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    from signalalign_tpu.compare import gaussian_pdf
+
+    fig, ax = plt.subplots(figsize=(10, 6))
+    curves = [(model_mean, model_sd, f"{canonical_kmer} ONT model", "--"),
+              (canonical_comp[0], canonical_comp[1],
+               f"{canonical_kmer} mixture", "-"),
+              (modified_comp[0], modified_comp[1],
+               f"{modified_kmer} mixture", "-")]
+    lo = min(m - 4 * s for m, s, _, _ in curves)
+    hi = max(m + 4 * s for m, s, _, _ in curves)
+    x = np.linspace(lo, hi, 400)
+    for m, s, label, style in curves:
+        ax.plot(x, gaussian_pdf(x, m, s), style, lw=1.4, label=label)
+    if mixture is not None:
+        ax.plot(x, np.exp(mixture.score_samples(x)), "-k", lw=0.9,
+                label="mixture pdf")
+    if event_means is not None and len(event_means):
+        vals = np.asarray(event_means, dtype=np.float64)
+        z = (x[:, None] - vals[None, :]) / 0.5
+        kde = np.exp(-0.5 * z * z).sum(axis=1) / (
+            len(vals) * 0.5 * np.sqrt(2 * np.pi))
+        ax.plot(x, kde, ":", lw=1.2, label=f"KDE ({len(vals)} events)")
+        ax.plot(vals, -0.005 - 0.01 * np.random.default_rng(0)
+                .random(len(vals)), "+k", ms=4)
+    ax.set_title(f"Mixture Model Comparison: {canonical_kmer}")
+    ax.set_xlabel("pA")
+    ax.set_ylabel("Density")
+    ax.grid(alpha=0.4)
+    ax.legend(fontsize=8)
+    fig.tight_layout()
+    fig.savefig(out_path, dpi=120)
+    plt.close(fig)
+    return out_path
+
+
 def plot_em_model_distributions(model_paths, kmers, out_path: str,
                                 assignments=None, show: bool = False):
     """Overlay the per-iteration EM models' emission Gaussians for the
