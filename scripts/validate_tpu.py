@@ -15,6 +15,8 @@ Usage:
 import glob
 import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import time
 
 import numpy as np
@@ -61,7 +63,13 @@ def drive_pairs():
             xp = bfb.extract_aligned_pairs(p, x["post"], 0.01)
             d1 = {(xx, yy): pr for pr, xx, yy, k in xp}
             d2 = {(xx, yy): pr for pr, xx, yy, k in res[j]["pairs"]}
-            seteq = set(d1) == set(d2)
+            # pairs present on one side only must sit at the 0.01
+            # threshold boundary (f32 lane-vs-XLA roundoff + u8 result
+            # quantization legitimately flips cells within ~0.005 of it)
+            edge = 0.015 * 1e7
+            strays = [d2[c] for c in set(d2) - set(d1)] \
+                + [d1[c] for c in set(d1) - set(d2)]
+            seteq = all(pr <= edge for pr in strays)
             tfe = abs(res[j]["total_f"] - x["total_f"])
             ok = seteq and tfe < 0.05 and not res[j]["numerics_suspect"]
             ok_all &= ok

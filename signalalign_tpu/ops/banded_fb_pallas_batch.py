@@ -228,7 +228,7 @@ def _fwd_kernel(geom_ref, refwin_ref, evinit_ref, evins_ref, pack_ref,
     kvalid = inv_m > 0.0
     e_gapx = jnp.where(kvalid, gapx_e, 0.0)
 
-    lse_on = lseflag_ref[0, 0] == 1
+    lse_on = lseflag_ref[0, 0, 0, 0] == 1
 
     def out_dma(slot, d):
         return pltpu.make_async_copy(obuf.at[slot], hbm_f_ref.at[g, d],
@@ -642,7 +642,7 @@ def _fwd_kernel_log(geom_ref, refwin_ref, evinit_ref, evins_ref,
     kvalid = inv_m > 0.0
     e_gapx = jnp.where(kvalid, gapx_e, NEG)
 
-    lse_on = lseflag_ref[0, 0] == 1
+    lse_on = lseflag_ref[0, 0, 0, 0] == 1
 
     def out_dma(slot, d):
         return pltpu.make_async_copy(obuf.at[slot], hbm_f_ref.at[g, d],
@@ -1108,9 +1108,15 @@ def pallas_forward_b(geom, refwin, evinit, evins, pack, lseflag, legf=None,
     Dp1p = NT * T
     in_specs, out_small = _specs(NT, T, WB, S, fwd=True)
     # per-tile flag: 1 if any lane's final diagonal falls in this tile
-    in_specs = in_specs + [pl.BlockSpec((1, 1), lambda g, t: (g, t),
+    # Mosaic rejects (1, 1) blocks of a (G, NT) array (the last two block
+    # dims must be (8, 128)-divisible or full): broadcast the flag to one
+    # (8, 128) i32 tile per grid cell.
+    in_specs = in_specs + [pl.BlockSpec((1, 1, 8, 128),
+                                        lambda g, t: (g, t, 0, 0),
                                         memory_space=pltpu.VMEM)]
-    args = (geom, refwin, evinit, evins, pack, lseflag)
+    lseflag_t = jnp.broadcast_to(lseflag[:, :, None, None],
+                                 lseflag.shape + (8, 128))
+    args = (geom, refwin, evinit, evins, pack, lseflag_t)
     if PP > 1:
         NLEG = 2 * PP - 1
         in_specs = in_specs + [

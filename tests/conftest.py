@@ -13,6 +13,13 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# signalalign_tpu/__init__ turns on the persistent compilation cache
+# (wanted on TPU: remote compiles are the cold-start cost). Serializing
+# CPU executables through it segfaults on this jaxlib (observed:
+# put_executable_and_time -> executable.serialize() SIGSEGV killing the
+# whole pytest run). CPU compiles are cheap — keep it off for tests.
+os.environ["SIGNALALIGN_TPU_NO_COMPILE_CACHE"] = "1"
+jax.config.update("jax_enable_compilation_cache", False)
 import pytest  # noqa: E402
 
 REFERENCE_DIR = "/root/reference"
