@@ -20,9 +20,13 @@ Metrics:
     the tunnel.
 
 Baseline: the reference publishes no numbers (BASELINE.md). We use an
-estimated 96-process C signalMachine aggregate of 2.88M events/s
+ESTIMATED 96-process C signalMachine aggregate of 2.88M events/s
 (~30k events/s/core for the banded C DP at these band widths), the
-production configuration in the reference README (job_count: 96).
+production configuration in the reference README (job_count: 96). The
+reference cannot be built in this environment (empty sonLib submodule,
+no egress) so the constant is a derivation, not a measurement — see
+BASELINE.md for the full derivation; bench JSON self-describes with
+"baseline_is_estimate": true.
 
 Prints one JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 """
@@ -241,6 +245,7 @@ def main():
         "compute_only_events_per_s": round(comp_events_per_s, 1),
         "compute_only_vs_baseline": round(
             comp_events_per_s / BASELINE_EVENTS_PER_S, 4),
+        "baseline_is_estimate": True,
         "workload": f"{len(workload)} buckets, "
                     f"{sum(len(p) for *_, p in workload)} lanes, "
                     f"{total_events} events/rep, all bundled 1D reads",

@@ -69,7 +69,12 @@ def drive_pairs():
             edge = 0.015 * 1e7
             strays = [d2[c] for c in set(d2) - set(d1)] \
                 + [d1[c] for c in set(d1) - set(d2)]
-            seteq = all(pr <= edge for pr in strays)
+            # strays must sit at the boundary AND be rare: a systematic
+            # low-weight divergence (many spurious/missing sub-edge
+            # pairs) should still fail validation
+            max_strays = max(5, len(d1) // 200)
+            seteq = (all(pr <= edge for pr in strays)
+                     and len(strays) <= max_strays)
             tfe = abs(res[j]["total_f"] - x["total_f"])
             ok = seteq and tfe < 0.05 and not res[j]["numerics_suspect"]
             ok_all &= ok

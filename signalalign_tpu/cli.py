@@ -384,6 +384,60 @@ def cmd_plot(args) -> int:
         print("use `signalalign_tpu compare --plot` for model "
               "comparison figures", file=sys.stderr)
         return 2
+    elif args.what == "deviation":
+        # per-site call accuracy vs distance from the guide alignment
+        # (reference: visualization/plot_accuracy_vs_alignment_deviation
+        # .py) — joins .sm.vc.tsv variant calls with the guide
+        # alignment's per-event positions (no DP re-run)
+        if not (args.alignment_file and args.readdb and args.fast5_dir
+                and args.variant_tsv_dir and args.label):
+            print("plot deviation requires --alignment_file --readdb "
+                  "--fast5_dir --variant_tsv_dir --label",
+                  file=sys.stderr)
+            return 2
+        import glob as _glob
+
+        from signalalign_tpu.io.guide import guide_from_sam_record
+        from signalalign_tpu.io.read import NanoporeReadData
+        from signalalign_tpu.io.sam import filter_reads
+        from signalalign_tpu.pipeline.validate import guide_event_positions
+        vc_by_label = {}
+        for p in _glob.glob(os.path.join(args.variant_tsv_dir,
+                                         "*.sm.vc.tsv")):
+            vc_by_label[os.path.basename(p)[:-len(".sm.vc.tsv")]] = p
+        all_deltas, all_tf = [], []
+        for f5, rec in filter_reads(args.alignment_file, args.readdb,
+                                    args.fast5_dir):
+            try:
+                read = NanoporeReadData.from_fast5(f5)
+                vc = vc_by_label.get(read.read_label)
+                if vc is None:
+                    continue
+                guide = guide_from_sam_record(rec)
+                gpos = guide_event_positions(read, guide)
+                rows = []
+                with open(vc) as fh:
+                    for line in fh:
+                        parts = line.rstrip("\n").split("\t")
+                        if len(parts) >= 4:
+                            rows.append((int(parts[0]), int(parts[1]),
+                                         parts[2], float(parts[3])))
+                d, tf = viz.deviation_call_data(rows, gpos, args.label,
+                                                args.threshold)
+                all_deltas.append(d)
+                all_tf.append(tf)
+            except Exception as exc:
+                print(f"[plot] skipping {f5}: {exc}", file=sys.stderr)
+        if not all_deltas:
+            print("plot deviation: no joined calls", file=sys.stderr)
+            return 1
+        import numpy as np
+        data = [(np.concatenate(all_deltas), np.concatenate(all_tf))]
+        os.makedirs(args.output_dir, exist_ok=True)
+        out = os.path.join(args.output_dir,
+                           "accuracy_vs_alignment_deviation.png")
+        viz.plot_accuracy_vs_alignment_deviation(data, [args.label], out)
+        print(f"[plot] wrote {out}")
     return 0
 
 
@@ -598,15 +652,22 @@ def main(argv=None) -> int:
     cmpp.set_defaults(func=cmd_compare)
 
     plotp = sub.add_parser("plot", help="plotting toolkit "
-                           "(sequencing summary, EM model evolution)")
+                           "(sequencing summary, EM model evolution, "
+                           "accuracy vs alignment deviation)")
     plotp.add_argument("what",
-                       choices=["summary", "em_models", "compare_models"])
+                       choices=["summary", "em_models", "compare_models",
+                                "deviation"])
     plotp.add_argument("--alignment_file")
     plotp.add_argument("--readdb")
     plotp.add_argument("--fast5_dir", action="append")
     plotp.add_argument("--model", action="append",
                        help="model file(s), EM iteration order")
     plotp.add_argument("--kmer", action="append")
+    plotp.add_argument("--variant_tsv_dir",
+                       help="directory of .sm.vc.tsv files (deviation)")
+    plotp.add_argument("--label",
+                       help="known-correct base for the sample (deviation)")
+    plotp.add_argument("--threshold", type=float, default=0.5)
     plotp.add_argument("--output_dir", default="plots")
     plotp.set_defaults(func=cmd_plot)
 

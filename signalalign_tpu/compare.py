@@ -47,7 +47,9 @@ def kl_divergence(p: np.ndarray, q: np.ndarray) -> Optional[float]:
         q[q == 0] = 1e-6
     p = p / p.sum()
     q = q / q.sum()
-    kl = float(np.sum(p * np.log2(p / q)))
+    # log-difference form: p/q with 1e-6-floored bins can overflow f64
+    # before the log; log2(p) - log2(q) cannot
+    kl = float(np.sum(p * (np.log2(p) - np.log2(q))))
     if not np.isfinite(kl):
         return None
     return kl

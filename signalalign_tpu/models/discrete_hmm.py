@@ -12,8 +12,9 @@ alphabets, with
 * dense log-space forward-backward (vectorized numpy — symbol MSA
   fragments are short host-side work, not TPU work, by design: see
   SURVEY §2.2 C13 "used only in C tests/HDP experiments");
-* posterior aligned-pair extraction (the ``PAIR_ALIGNMENT_PROB_1``
-  integer-weight convention of pairwiseAligner.c);
+* posterior aligned-pair extraction (plain [0, 1] float posteriors;
+  ``PAIR_ALIGNMENT_PROB_1`` is exported for callers that want the
+  pairwiseAligner.h integer-weight convention);
 * transition + emission expectation accumulation and row normalization
   (hmmDiscrete_normalizeTransitions semantics), i.e. Baum-Welch EM.
 

@@ -7,13 +7,22 @@ impl/continuousHmm.c) and summed by trainModels. The TPU pipeline keeps
 expectations on device (psum over the mesh), but this module round-trips
 the file format for interoperability with reference tooling.
 
-Format (5 lines):
+ContinuousPairHmm format (6 lines, continuousHmm.c:353-407):
   0: stateNumber \t alphabetSize \t alphabet \t kmerLength
   1: 9 transition expectations + likelihood
   2: event model (5 params per kmer)
   3: event expectations [mean, sd] per kmer
   4: posteriors (1 per kmer)
   5: observed (1 per kmer)
+
+HdpHmm format (5 lines, hdpHmm_writeToFile/hdpHmm_loadFromFile,
+continuousHmm.c:571-650 / 627-790): transition expectations plus the
+thresholded (kmer, event) assignment lists that seed HDP training:
+  0: stateNumber \t alphabetSize \t alphabet \t kmerLength
+  1: 9 transition expectations + likelihood
+  2: event model (5 params per kmer)
+  3: assignment event means (numberOfAssignments doubles)
+  4: assignment kmers (numberOfAssignments kmers, tab-separated)
 """
 
 from __future__ import annotations
@@ -154,3 +163,65 @@ def write_expectations_file(path: str, model: PoreModel,
         fh.write("\t".join(f"{v:.9f}" for v in posteriors) + "\n")
         fh.write("\t".join(str(int(v)) for v in observed) + "\n")
     return path
+
+
+def write_hdp_expectations_file(path: str, model: PoreModel,
+                                transition_expectations: np.ndarray,
+                                likelihood: float,
+                                event_assignments: np.ndarray,
+                                kmer_assignments) -> str:
+    """Emit the HdpHmm 5-line expectations layout (hdpHmm_writeToFile,
+    continuousHmm.c:571-627): transition expectations + the thresholded
+    (event mean, kmer) assignment lists signalMachine collects under
+    threeStateHdp (cell_signal_updateExpectationsAndAssignments,
+    pairwiseAligner.c:946)."""
+    event_assignments = np.asarray(event_assignments, dtype=np.float64)
+    kmer_assignments = list(kmer_assignments)
+    assert len(event_assignments) == len(kmer_assignments)
+    k = model.kmer_length
+    assert all(len(km) == k for km in kmer_assignments)
+    t = np.asarray(transition_expectations).reshape(-1)
+    assert t.shape == (9,)
+    with open(path, "w") as fh:
+        fh.write(f"3\t{model.alphabet.size}\t{model.alphabet.letters}\t"
+                 f"{model.kmer_length}\t\n")
+        fh.write("\t".join(f"{v:.9f}" for v in t)
+                 + f"\t{likelihood:.9f}\n")
+        ev = np.stack([model.level_mean, model.level_sd, model.noise_mean,
+                       model.noise_sd, model.noise_lambda], axis=1)
+        fh.write("\t".join(f"{v:.9f}" for v in ev.reshape(-1)) + "\n")
+        fh.write("\t".join(f"{v:.9f}" for v in event_assignments) + "\n")
+        fh.write("\t".join(kmer_assignments) + "\n")
+    return path
+
+
+def read_hdp_expectations_file(path: str) -> dict:
+    """Parse an HdpHmm expectations file (hdpHmm_loadFromFile semantics,
+    continuousHmm.c:627-790). Returns a dict with state_number,
+    alphabet, kmer_length, transitions (9,), likelihood,
+    event_model (K, 5), event_assignments (n,), kmer_assignments [n]."""
+    with open(path) as fh:
+        header = fh.readline().split()
+        assert len(header) == 4, f"{path}: bad header"
+        state_number = int(header[0])
+        alphabet_size = int(header[1])
+        alphabet = header[2]
+        kmer_length = int(header[3])
+        assert alphabet_size == len(alphabet)
+        line = fh.readline().split()
+        nb_transitions = state_number * state_number
+        assert len(line) == nb_transitions + 1, f"{path}: bad transitions"
+        transitions = np.asarray([float(v) for v in line[:-1]])
+        likelihood = float(line[-1])
+        K = alphabet_size ** kmer_length
+        em = [float(v) for v in fh.readline().split()]
+        assert len(em) == K * 5, f"{path}: bad event model line"
+        event_model = np.asarray(em).reshape(K, 5)
+        events = np.asarray([float(v) for v in fh.readline().split()])
+        kmers = fh.readline().split()
+        assert len(kmers) == len(events), f"{path}: assignment mismatch"
+        assert all(len(km) == kmer_length for km in kmers)
+    return {"state_number": state_number, "alphabet": alphabet,
+            "kmer_length": kmer_length, "transitions": transitions,
+            "likelihood": likelihood, "event_model": event_model,
+            "event_assignments": events, "kmer_assignments": kmers}

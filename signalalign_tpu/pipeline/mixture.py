@@ -93,7 +93,10 @@ class GaussianMixture1D:
                 break
             prev_ll = ll
         else:
-            self.converged_ = True  # ran the full budget; accept the fit
+            # budget exhausted without meeting tol: converged_ stays
+            # False (sklearn semantics — get_nanopore_gauss_mixture's
+            # convergence assert can then fire, as in the reference)
+            self.converged_ = False
         order = np.argsort(mu)
         self.weights_ = w[order]
         self.means_ = mu[order].reshape(-1, 1)
@@ -193,16 +196,21 @@ def find_modification_index_and_character(canonical_motif: str,
     return pos, canonical_motif[pos], replacement_motif[pos]
 
 
-def get_motif_kmers(motif_pair: Sequence[str], k: int,
-                    alphabet: str = "ATGC") -> List[str]:
-    """All k-mers covering the modified position of the motif, with every
-    flanking completion over ``alphabet`` (sequenceTools.py:332-376)."""
+def _motif_kmers_with_pos(motif_pair: Sequence[str], k: int,
+                          alphabet: str = "ATGC"
+                          ) -> List[Tuple[str, int]]:
+    """(kmer, position of the modified base within the kmer) for every
+    k-mer window covering the modified motif position, with flanking
+    completions over ``alphabet``. The position is tracked during
+    enumeration — re-deriving it with ``kmer.find(mod_char)`` picks the
+    wrong slot when the modification character also occurs earlier in
+    the kmer (a bug inherited by the reference, mixture_model.py:197)."""
     assert len(motif_pair) == 2
     canonical, modified = motif_pair[0].upper(), motif_pair[1].upper()
     mod_index, _, _ = find_modification_index_and_character(canonical,
                                                             modified)
     L = len(modified)
-    out: List[str] = []
+    out: List[Tuple[str, int]] = []
     seen = set()
     # kmer window starts at motif coordinate s, covering the mod position
     for s in range(mod_index - k + 1, mod_index + 1):
@@ -214,18 +222,28 @@ def get_motif_kmers(motif_pair: Sequence[str], k: int,
                 kmer = "".join(front) + core + "".join(back)
                 if kmer not in seen:
                     seen.add(kmer)
-                    out.append(kmer)
+                    out.append((kmer, mod_index - s))
     return out
+
+
+def get_motif_kmers(motif_pair: Sequence[str], k: int,
+                    alphabet: str = "ATGC") -> List[str]:
+    """All k-mers covering the modified position of the motif, with every
+    flanking completion over ``alphabet`` (sequenceTools.py:332-376)."""
+    return [kmer for kmer, _ in _motif_kmers_with_pos(motif_pair, k,
+                                                      alphabet)]
 
 
 def get_motif_kmer_pairs(motif_pair: Sequence[str], k: int,
                          alphabet: str = "ATGC") -> List[List[str]]:
-    """[[canonical_kmer, modified_kmer], ...] (mixture_model.py:189-200)."""
-    _, old_char, new_char = find_modification_index_and_character(
+    """[[canonical_kmer, modified_kmer], ...] (mixture_model.py:189-200),
+    reverting the tracked modification slot rather than the first
+    occurrence of the modification character."""
+    _, old_char, _ = find_modification_index_and_character(
         motif_pair[0], motif_pair[1])
     pairs = []
-    for new_kmer in get_motif_kmers(motif_pair, k, alphabet=alphabet):
-        pos = new_kmer.find(new_char)
+    for new_kmer, pos in _motif_kmers_with_pos(motif_pair, k,
+                                               alphabet=alphabet):
         pairs.append([new_kmer[:pos] + old_char + new_kmer[pos + 1:],
                       new_kmer])
     return pairs

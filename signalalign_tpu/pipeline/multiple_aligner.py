@@ -29,7 +29,7 @@ from typing import Dict, List, Optional, Sequence, Set, Tuple
 
 import numpy as np
 
-from ..models.discrete_hmm import PAIR_ALIGNMENT_PROB_1, DiscreteHmm
+from ..models.discrete_hmm import DiscreteHmm
 
 __all__ = ["MultipleAlignment", "make_alignment",
            "make_all_pairwise_alignments", "alignment_score", "render_msa"]
@@ -177,7 +177,9 @@ def make_all_pairwise_alignments(seqs: Sequence[str],
         pairs = hmm.aligned_pairs(seqs[s1], seqs[s2], threshold=threshold)
         weighted = reweight_aligned_pairs(pairs, len(seqs[s1]),
                                           len(seqs[s2]), gap_gamma)
-        scores[(s1, s2)] = alignment_score(pairs, len(seqs[s1]),
+        # score the gap-gamma-reweighted pairs (the reference computes
+        # getAlignmentScore after reweighting, multipleAligner.c:667-668)
+        scores[(s1, s2)] = alignment_score(weighted, len(seqs[s1]),
                                            len(seqs[s2]))
         for w, i, j in weighted:
             if w > 0.0:

@@ -463,3 +463,102 @@ def verify_load_from_raw(fast5_path: str, model_path: str, sam_record,
         fig.savefig(out_path, dpi=110)
         plt.close(fig)
     return n_e, n_r, diff
+
+
+def deviation_call_data(vc_rows, guide_positions, label: str,
+                        threshold: float = 0.5):
+    """Join per-event variant-call rows with the guide alignment's
+    per-event positions into (guide_delta, true_false) arrays.
+
+    vc_rows: (event_index, variant_position, base, prob, ...) tuples
+    (io.output.build_vc_rows / one read's .sm.vc.tsv); guide_positions:
+    {event_index: genomic position} (pipeline.validate
+    .guide_event_positions); ``label`` is the known-correct base for the
+    sample, ``true_false`` is prob(label)/sum(probs) > threshold per
+    (event, position) call — get_distance_from_guide_alignment +
+    threshold semantics (reference: visualization/
+    plot_accuracy_vs_alignment_deviation.py:118-133,
+    alignedsignal.py:388).
+    """
+    by_call = {}
+    for r in vc_rows:
+        ev, pos, base, prob = int(r[0]), int(r[1]), str(r[2]), float(r[3])
+        by_call.setdefault((ev, pos), {})[base] = prob
+    deltas, correct = [], []
+    for (ev, pos), probs in sorted(by_call.items()):
+        gp = guide_positions.get(ev)
+        if gp is None:
+            continue
+        tot = sum(probs.values())
+        p_label = probs.get(label, 0.0) / tot if tot > 0 else 0.0
+        deltas.append(abs(pos - gp))
+        correct.append(p_label > threshold)
+    return np.asarray(deltas, dtype=np.float64), \
+        np.asarray(correct, dtype=bool)
+
+
+def get_percent_accuracy_vs_deltas(all_data, n_bins: int = 20):
+    """Per-delta-bin call accuracy (reference: plot_accuracy_vs_
+    alignment_deviation.py get_percent_accuracy_vs_deltas:228-262
+    semantics — n_bins edges spanning the FIRST experiment's delta
+    range, per-bin (not cumulative) accuracy, with a final bucket for
+    calls at/above the last edge).
+
+    all_data: [(deltas, true_false), ...] per experiment. Returns
+    (deltas (n_bins,), [percents (n_bins,)] per experiment) — percents
+    has one entry per edge after the first, plus the overflow bucket.
+    """
+    d0 = np.asarray(all_data[0][0], dtype=np.float64)
+    edges = np.linspace(d0.min(), d0.max(), n_bins)
+    all_percents = []
+    for deltas, tf in all_data:
+        deltas = np.asarray(deltas, dtype=np.float64)
+        tf = np.asarray(tf, dtype=np.float64)
+        order = np.argsort(deltas, kind="stable")
+        deltas, tf = deltas[order], tf[order]
+        percents = []
+        for lo, hi in zip(edges[:-1], edges[1:]):
+            m = (deltas >= lo) & (deltas < hi)
+            percents.append(float(tf[m].mean()) if m.any() else 0.0)
+        m = deltas >= edges[-1]
+        percents.append(float(tf[m].mean()) if m.any() else 0.0)
+        all_percents.append(np.asarray(percents))
+    return edges, all_percents
+
+
+def plot_accuracy_vs_alignment_deviation(all_data, labels, out_path: str,
+                                         n_bins: int = 20):
+    """Per-site call accuracy vs distance from the guide alignment
+    (reference: visualization/plot_accuracy_vs_alignment_deviation.py
+    plot_classification_accuracy_vs_deviation:208-226 +
+    plot_alignment_deviation:135-152): left panel the deviation density
+    histogram per experiment, right panel per-bin accuracy bars.
+
+    all_data: [(guide_deltas, true_false), ...]; labels: experiment
+    names. Returns out_path.
+    """
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    edges, all_percents = get_percent_accuracy_vs_deltas(all_data, n_bins)
+    fig, (ax1, ax2) = plt.subplots(1, 2, figsize=(11, 4.2))
+    ax1.hist([np.asarray(d) for d, _ in all_data],
+             bins=max(n_bins // 2, 5), density=True, label=list(labels),
+             alpha=0.7)
+    ax1.set_xlabel("Delta from guide alignment (reference bases)")
+    ax1.set_ylabel("Density")
+    ax1.grid(color="black", linestyle="-", linewidth=0.3)
+    ax1.legend(loc="upper right", fontsize=8)
+    width = (edges[1] - edges[0]) if len(edges) > 1 else 1.0
+    xs = np.concatenate([edges[1:], [edges[-1] + width]])
+    for percents, lab in zip(all_percents, labels):
+        ax2.bar(xs, height=percents, width=width, label=lab, alpha=0.6)
+    ax2.set_xlabel("Delta from guide alignment (reference bases)")
+    ax2.set_ylabel("Accuracy of calls")
+    ax2.set_ylim(0, 1.05)
+    ax2.legend(loc="lower right", fontsize=8)
+    fig.tight_layout()
+    fig.savefig(out_path, dpi=110)
+    plt.close(fig)
+    return out_path

@@ -53,3 +53,37 @@ def test_write_read_roundtrip(tmp_path):
     assert np.allclose(acc.mean_expectations, me, atol=1e-8)
     assert np.allclose(acc.posteriors, post, atol=1e-8)
     assert (acc.observed == obs).all()
+
+def test_hdp_expectations_roundtrip(tmp_path):
+    """HdpHmm 5-line format: transitions + thresholded (kmer, event)
+    assignment lists (hdpHmm_writeToFile/loadFromFile,
+    /root/reference/impl/continuousHmm.c:571-790)."""
+    from signalalign_tpu.models.expectations import (
+        read_hdp_expectations_file, write_hdp_expectations_file)
+    model = PoreModel.from_file(MODEL)
+    rng = np.random.default_rng(1)
+    texp = rng.random(9) * 10
+    k = model.kmer_length
+    letters = model.alphabet.letters
+    kmers = ["".join(rng.choice(list(letters), k)) for _ in range(17)]
+    events = rng.normal(65.0, 8.0, size=17)
+    path = write_hdp_expectations_file(
+        str(tmp_path / "x.hdp.expectations.tsv"), model, texp, -77.25,
+        events, kmers)
+    d = read_hdp_expectations_file(path)
+    assert d["state_number"] == 3
+    assert d["alphabet"] == letters
+    assert d["kmer_length"] == k
+    assert abs(d["likelihood"] + 77.25) < 1e-6
+    assert np.allclose(d["transitions"], texp, atol=1e-8)
+    assert d["kmer_assignments"] == kmers
+    assert np.allclose(d["event_assignments"], events, atol=1e-8)
+    assert np.allclose(d["event_model"][:, 0], model.level_mean, atol=1e-8)
+    # reference loader line-shape invariants (continuousHmm.c:627-720):
+    # header has 4 tokens, transitions line has 10, event model K*5
+    with open(path) as fh:
+        lines = fh.read().rstrip("\n").split("\n")
+    assert len(lines) == 5
+    assert len(lines[0].split()) == 4
+    assert len(lines[1].split()) == 10
+    assert len(lines[2].split()) == model.alphabet.num_kmers * 5

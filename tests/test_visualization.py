@@ -85,3 +85,34 @@ def test_alignment_breaks_and_raw_verify(tmp_path):
     out = plot_alignment_breaks({read.read_label: summ},
                                 str(tmp_path / "breaks.png"))
     assert os.path.exists(out)
+
+
+def test_accuracy_vs_deviation(tmp_path):
+    from signalalign_tpu.visualization import (
+        deviation_call_data, get_percent_accuracy_vs_deltas,
+        plot_accuracy_vs_alignment_deviation)
+    rng = np.random.default_rng(3)
+    # synthetic vc rows: two candidate bases per (event, position) call;
+    # calls drift off the guide with occasional wrong calls far away
+    rows, gpos = [], {}
+    for i in range(200):
+        ev, pos = 10 + i, 1000 + i
+        gpos[ev] = pos + int(rng.integers(0, 8))
+        p_true = 0.9 if rng.random() > 0.2 else 0.2
+        rows.append((ev, pos, "C", p_true))
+        rows.append((ev, pos, "A", 1.0 - p_true))
+    d, tf = deviation_call_data(rows, gpos, "C", threshold=0.5)
+    assert len(d) == 200 and len(tf) == 200
+    assert d.min() >= 0 and d.max() <= 7
+    # normalization: p(label)/sum == raw p here (pairs sum to 1)
+    assert 0.6 < tf.mean() < 0.95
+    # events without a guide position are dropped
+    d2, tf2 = deviation_call_data(rows[:2] + [(9999, 5, "C", 1.0)],
+                                  gpos, "C")
+    assert len(d2) == 1
+    edges, percents = get_percent_accuracy_vs_deltas([(d, tf)], n_bins=8)
+    assert len(edges) == 8 and len(percents[0]) == 8
+    assert all(0.0 <= p <= 1.0 for p in percents[0])
+    out = plot_accuracy_vs_alignment_deviation(
+        [(d, tf)], ["C"], str(tmp_path / "dev.png"))
+    assert os.path.exists(out)
