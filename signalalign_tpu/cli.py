@@ -119,7 +119,8 @@ def cmd_run(args) -> int:
                                    fromlist=["TargetRegions"])
                         .TargetRegions(args.target_regions)
                         if args.target_regions else None),
-        quality_threshold=float(cfg.get("filter_reads", 7.0) or 7.0))
+        quality_threshold=float(cfg.get("filter_reads", 7.0) or 7.0),
+        distributed=bool(getattr(args, "distributed", False)))
     print(f"[signalalign_tpu] wrote {len(written)} output files to "
           f"{output_dir}")
     return 0
@@ -157,14 +158,34 @@ def cmd_train(args) -> int:
 
     model = PoreModel.from_file(model_path)
     reference = ProcessedReference(ref)
-    pairs = []
-    for sample in samples:
+
+    def _sample_reference(sample):
+        """The sample's motif/positions-edited reference
+        (CreateHdpTrainingData per-sample labels,
+        /root/reference/src/signalalign/train/trainModels.py:427-520 +
+        samples[] motifs/positions schema, README.md:185-203): an mC
+        sample's alignments must carry E-labelled kmers."""
+        motifs = sample.get("motifs")
+        pf = sample.get("positions_file")
+        if not motifs and not pf:
+            return reference
+        from signalalign_tpu.io.reference import AmbiguityPositions
+        positions = AmbiguityPositions.from_file(pf) if pf else None
+        motifs_t = [tuple(m) for m in motifs] if motifs else None
+        sref = sample.get("bwa_reference") or ref
+        return ProcessedReference(sref, positions=positions,
+                                  motifs=motifs_t)
+
+    pairs = []          # (fast5, sam_record, sample_index)
+    sample_refs = [_sample_reference(s) for s in samples]
+    for si, sample in enumerate(samples):
         alignment_file = args.alignment_file or sample.get("alignment_file")
         readdb = args.readdb or sample.get("readdb")
         fast5_dirs = args.fast5_dir or sample.get("fast5_dirs") or []
         if isinstance(fast5_dirs, str):
             fast5_dirs = [fast5_dirs]
-        pairs.extend(filter_reads(alignment_file, readdb, fast5_dirs))
+        pairs.extend((f5, rec, si) for f5, rec in
+                     filter_reads(alignment_file, readdb, fast5_dirs))
     if args.max_reads:
         pairs = pairs[:args.max_reads]
     distributed = bool(getattr(args, "distributed", False))
@@ -178,13 +199,15 @@ def cmd_train(args) -> int:
         multihost.initialize()
         pairs = multihost.host_shard(pairs)
         proc0 = jax.process_index() == 0
-    rgs = []
-    for f5, rec in pairs:
+    rgs = []            # (read, guide, per-sample reference) triples
+    rgs_by_sample = [[] for _ in samples]
+    for f5, rec, si in pairs:
         try:
             read = NanoporeReadData.from_fast5(f5)
             guide = guide_from_sam_record(rec)
             if guide and guide.validate(read.read_length):
-                rgs.append((read, guide))
+                rgs.append((read, guide, sample_refs[si]))
+                rgs_by_sample[si].append((read, guide))
         except Exception as exc:
             print(f"[train] skipping {f5}: {exc}", file=sys.stderr)
 
@@ -227,17 +250,40 @@ def cmd_train(args) -> int:
             cross_host=distributed,
             assert_monotonic=bool(trans_args.get("test", False)))
         model = result.model
+    def _sample_observations(threshold_default, max_per_kmer=None):
+        """Pool per-sample kmer observations, each sample aligned
+        against ITS edited reference so modified-base kmers (e.g. CpG->E)
+        label that sample's rows (CreateHdpTrainingData semantics,
+        trainModels.py:427-520); per-sample probability_threshold and
+        number_of_kmer_assignments honored (samples[] schema)."""
+        merged = {}
+        for si, sample in enumerate(samples):
+            if not rgs_by_sample[si]:
+                continue
+            results = run_alignment_batch(
+                rgs_by_sample[si], sample_refs[si], model,
+                AlignmentConfig(), use_pallas=False)
+            thr = float(sample.get("probability_threshold",
+                                   threshold_default))
+            mpk = max_per_kmer
+            if mpk is not None:
+                mpk = int(sample.get("number_of_kmer_assignments", mpk))
+            obs = collect_kmer_observations(results, model, threshold=thr,
+                                            max_per_kmer=mpk)
+            for kmer, vals in obs.items():
+                if kmer in merged:
+                    import numpy as _np
+                    merged[kmer] = _np.concatenate([merged[kmer], vals])
+                else:
+                    merged[kmer] = vals
+        return merged
+
     if training.get("normal_emissions", False):
-        results = run_alignment_batch(rgs, reference, model,
-                                      AlignmentConfig(), use_pallas=False)
-        obs = collect_kmer_observations(results, model, threshold=0.5)
+        obs = _sample_observations(0.5)
         model = train_gaussian_emissions(obs, model)
     if training.get("hdp_emissions", False):
-        results = run_alignment_batch(rgs, reference, model,
-                                      AlignmentConfig(), use_pallas=False)
-        obs = collect_kmer_observations(results, model, threshold=0.8,
-                                        max_per_kmer=int(
-                                            training.get("max_assignments", 100)))
+        obs = _sample_observations(
+            0.8, max_per_kmer=int(training.get("max_assignments", 100)))
         build = write_hdp_training_file(
             obs, os.path.join(output_dir, "buildAlignment.tsv"))
         from signalalign_tpu.hdp.train import train_hdp_from_alignment
@@ -597,6 +643,11 @@ def main(argv=None) -> int:
     runp.add_argument("--force_kmer_event_alignment", action="store_true",
                       help="regenerate event tables from raw signal even "
                            "when basecall events exist")
+    runp.add_argument("--distributed", action="store_true",
+                      help="host-shard the read list over "
+                      "jax.process_count() processes (jax.distributed; "
+                      "set SIGNALALIGN_COORD/NPROC/PROC off-pod); each "
+                      "host writes its shard's TSVs")
     runp.add_argument("--embed", action="store_true",
                       help="write alignment + MEA labels into the fast5s")
     runp.add_argument("--2d", dest="twod", action="store_true",

@@ -451,6 +451,7 @@ def run_signal_align(
     overwrite: bool = True,
     force_kmer_event_alignment: bool = False,
     target_regions=None,
+    distributed: bool = False,
 ) -> List[str]:
     """Full CLI-equivalent run: filter reads -> align -> write TSVs.
 
@@ -458,6 +459,15 @@ def run_signal_align(
     ``embed`` mirrors --embed (SignalAlignment.embed_file): alignment rows +
     MEA labels written into each fast5 under /Analyses/SignalAlign_NNN.
     Returns the list of written output files.
+
+    ``distributed=True`` host-shards the read list over
+    ``jax.process_count()`` processes (jax.distributed init from
+    SIGNALALIGN_* env, parallel/multihost.py): each host preps, aligns,
+    and writes TSVs for only its shard — per-read output files never
+    collide, so the union over hosts equals the single-process output
+    (the reference scales inference with one signalMachine process per
+    read across Toil workers; here reads shard across hosts and batch
+    across each host's chips). Returns THIS host's written files.
     """
     config = config or AlignmentConfig()
     reference = ProcessedReference(reference_fasta, positions=positions,
@@ -466,6 +476,15 @@ def run_signal_align(
                          quality_threshold=quality_threshold)
     if max_reads:
         pairs = pairs[:max_reads]
+    if distributed:
+        from signalalign_tpu.parallel import multihost
+        multihost.initialize()
+        pairs = multihost.host_shard(pairs)
+        if verbose:
+            import jax
+            print(f"[runner] process {jax.process_index()}/"
+                  f"{jax.process_count()}: {len(pairs)} reads in shard",
+                  file=sys.stderr)
     if not overwrite:
         # rerun-resume: skip reads whose outputs already exist (the
         # reference's check_for_temp_file_existance behavior,

@@ -55,6 +55,41 @@ def normalize_transitions_expectations(texp: np.ndarray) -> np.ndarray:
     return out
 
 
+def run_alignment_batch_grouped(batch, reference, model, config,
+                                hdp=None, use_pallas: bool = True,
+                                strand_template: bool = True):
+    """run_alignment_batch over entries that may carry a per-read
+    reference override: ``(read, guide)`` uses the shared ``reference``,
+    ``(read, guide, ref_i)`` aligns against ``ref_i`` (per-sample
+    motif/positions-edited genomes, trainModels.py samples[] semantics).
+    Entries sharing a reference batch together; result order follows the
+    input order."""
+    from collections import defaultdict as _dd
+    groups = _dd(list)
+    refs = {}
+    order = []
+    for i, rg in enumerate(batch):
+        ref_i = rg[2] if len(rg) > 2 and rg[2] is not None else reference
+        refs[id(ref_i)] = ref_i
+        groups[id(ref_i)].append((i, rg[0], rg[1]))
+        order.append(i)
+    out = [None] * len(batch)
+    for key, items in groups.items():
+        res = run_alignment_batch([(r, g) for _, r, g in items],
+                                  refs[key], model, config, hdp=hdp,
+                                  use_pallas=use_pallas,
+                                  strand_template=strand_template)
+        # per-read fault isolation can drop reads: match by read_label
+        by_label = {}
+        for r in res:
+            by_label.setdefault(r.read_label, []).append(r)
+        for i, read, _ in items:
+            lst = by_label.get(read.read_label)
+            if lst:
+                out[i] = lst.pop(0)
+    return [r for r in out if r is not None]
+
+
 def em_train(
     reads_and_guides,
     reference,
@@ -89,6 +124,12 @@ def em_train(
     ``training_bases`` caps the E-step to a random read subset totalling
     that many read bases per iteration (filter_reads trim semantics,
     trainModels.py:1144 / filter_reads.py:155-170).
+    ``reads_and_guides`` entries may be ``(read, guide)`` pairs or
+    ``(read, guide, reference)`` triples: a triple aligns that read
+    against its own (per-sample motif/positions-edited) reference — the
+    reference edits each sample's genome before aligning
+    (processReferenceFasta per sample, trainModels.py samples[] schema),
+    so an mC sample's expectations carry E-labelled kmers.
     ``strand_template=False`` trains a complement-strand model on 2D
     complement reads (trainModels trains both strand HMMs for twoD
     chemistry). ``hdp`` + config.emission_mode=MODE_HDP runs the
@@ -130,9 +171,9 @@ def em_train(
                 subset.append(rg)
                 n_bases += rg[0].read_length
             batch = subset
-        results = run_alignment_batch(batch, reference, model,
-                                      config, hdp=hdp, use_pallas=True,
-                                      strand_template=strand_template)
+        results = run_alignment_batch_grouped(
+            batch, reference, model, config, hdp=hdp, use_pallas=True,
+            strand_template=strand_template)
         texp = np.zeros((3, 3))
         kexp = np.zeros((3, model.alphabet.num_kmers))
         lik = 0.0

@@ -109,3 +109,90 @@ def test_two_process_cpu_em(tmp_path):
     trans = np.array([float(v) for v in outs[0][4].split(",")]).reshape(3, 3)
     rows = trans.sum(axis=1)
     assert np.allclose(rows[rows > 0], 1.0, rtol=1e-4)
+
+
+INFER_WORKER = r"""
+import os, sys
+sys.path.insert(0, os.environ["SA_REPO"])
+import jax
+jax.config.update("jax_platforms", "cpu")
+
+from signalalign_tpu.models.pore_model import PoreModel
+from signalalign_tpu.pipeline.runner import run_signal_align
+
+ONED = "/root/reference/tests/minion_test_reads/1D"
+written = run_signal_align(
+    alignment_file=os.path.join(ONED, "1D.bam"),
+    readdb=os.path.join(ONED, "1D.fastq.index.readdb"),
+    fast5_dirs=[ONED],
+    reference_fasta=os.environ["SA_FASTA"],
+    model=PoreModel.from_file(
+        "/root/reference/models/testModelR9p4_5mer_acegt_template.model"),
+    output_dir=os.environ["SA_OUT"],
+    output_format="full", max_reads=2, verbose=False,
+    distributed=True)
+print("WROTE " + str(len(written)), flush=True)
+"""
+
+
+def test_two_process_cpu_inference(tmp_path, ecoli_fasta):
+    """`run_signal_align(distributed=True)` under 2 CPU processes: the
+    read list host-shards, each process writes only its shard, and the
+    union of TSVs matches the single-process run byte-for-byte
+    (VERDICT r2 item 6)."""
+    import glob
+
+    from signalalign_tpu.models.pore_model import PoreModel
+    from signalalign_tpu.pipeline.runner import run_signal_align
+
+    oned = "/root/reference/tests/minion_test_reads/1D"
+    single_dir = tmp_path / "single"
+    run_signal_align(
+        alignment_file=os.path.join(oned, "1D.bam"),
+        readdb=os.path.join(oned, "1D.fastq.index.readdb"),
+        fast5_dirs=[oned], reference_fasta=ecoli_fasta,
+        model=PoreModel.from_file(
+            "/root/reference/models/testModelR9p4_5mer_acegt_template"
+            ".model"),
+        output_dir=str(single_dir), output_format="full", max_reads=2,
+        verbose=False)
+    single = {os.path.basename(p) for p in glob.glob(str(single_dir / "*"))}
+    assert len(single) == 2
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    script = tmp_path / "infer_worker.py"
+    script.write_text(INFER_WORKER)
+    dist_dir = tmp_path / "dist"
+    os.makedirs(dist_dir)
+    procs = []
+    for pid in range(2):
+        env = dict(os.environ)
+        env.update({
+            "SA_REPO": REPO,
+            "SA_FASTA": ecoli_fasta,
+            "SA_OUT": str(dist_dir),
+            "SIGNALALIGN_COORD": f"127.0.0.1:{port}",
+            "SIGNALALIGN_NPROC": "2",
+            "SIGNALALIGN_PROC": str(pid),
+            "XLA_FLAGS": "--xla_force_host_platform_device_count=4",
+            "JAX_PLATFORMS": "cpu",
+        })
+        procs.append(subprocess.Popen(
+            [sys.executable, str(script)], env=env,
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True))
+    n_written = 0
+    for p in procs:
+        out, err = p.communicate(timeout=900)
+        assert p.returncode == 0, f"worker failed:\n{err[-3000:]}"
+        n_written += int([ln for ln in out.splitlines()
+                          if ln.startswith("WROTE")][0].split()[1])
+    # each read written by exactly one host; union == single-process
+    assert n_written == 2
+    dist = {os.path.basename(p) for p in glob.glob(str(dist_dir / "*"))}
+    assert dist == single
+    for name in sorted(single):
+        a = open(single_dir / name).read()
+        b = open(dist_dir / name).read()
+        assert a == b, f"{name} differs between single and distributed"

@@ -329,3 +329,70 @@ def test_em_train_three_state_hdp():
         assert np.isfinite(res.log_likelihoods[0])
         tr = res.transitions_history[0]
         np.testing.assert_allclose(tr.sum(axis=1), 1.0, atol=1e-6)
+
+
+def test_cli_train_hdp_per_sample_motifs(tmp_path):
+    """CLI HDP training-data assembly applies EACH sample's motifs when
+    labelling its kmers (CreateHdpTrainingData per-sample substitution,
+    /root/reference/src/signalalign/train/trainModels.py:427-520 +
+    samples[] motifs schema README.md:185-203): a canonical + an mC
+    sample (motifs CG->EG) train an HDP whose E-kmers are populated —
+    through `cli train`, not hand-built tables."""
+    import json
+    import sys as _sys
+
+    from signalalign_tpu import cli
+    oned = "/root/reference/tests/minion_test_reads/1D"
+    from signalalign_tpu.io.sam import read_bam, reconstruct_reference_window
+    _, records = read_bam(os.path.join(oned, "1D.bam"))
+    genome = np.full(4641652, ord("A"), dtype=np.uint8)
+    for rec in records:
+        w = reconstruct_reference_window(rec)
+        genome[rec.pos:rec.pos + len(w)] = np.frombuffer(
+            w.encode("latin-1"), dtype=np.uint8)
+    fa = tmp_path / "ecoli.fa"
+    with open(fa, "w") as fh:
+        fh.write(">gi_ecoli\n" + genome.tobytes().decode("latin-1") + "\n")
+    canonical = {"name": "canonical",
+                 "alignment_file": os.path.join(oned, "1D.bam"),
+                 "readdb": os.path.join(oned, "1D.fastq.index.readdb"),
+                 "fast5_dirs": [oned],
+                 "probability_threshold": 0.8,
+                 "number_of_kmer_assignments": 30}
+    mc = dict(canonical)
+    mc.update({"name": "mC", "motifs": [["CG", "EG"]]})
+    cfg = {"samples": [canonical, mc],
+           "reference": str(fa),
+           "template_hmm_model": MODEL,
+           "training": {"transitions": False, "hdp_emissions": True,
+                        "hdp_type": "singleLevelFixed",
+                        "max_assignments": 30, "gibbs_samples": 10},
+           "hdp_args": {"grid_start": 30.0, "grid_end": 180.0,
+                        "grid_length": 120, "burnin_multiplier": 2,
+                        "thinning": 10},
+           "output_dir": str(tmp_path / "out")}
+    cfgp = tmp_path / "cfg.json"
+    cfgp.write_text(json.dumps(cfg))
+    # 1D dir holds 3 reads; max_reads 4 -> 3 canonical + 1 mC read
+    argv = ["cli", "train", "--config", str(cfgp), "--max_reads", "4"]
+    old_argv = _sys.argv
+    _sys.argv = argv
+    try:
+        assert cli.main() == 0
+    finally:
+        _sys.argv = old_argv
+    # the buildAlignment table must carry E-labelled kmers from the mC
+    # sample AND canonical kmers from the canonical sample
+    build = tmp_path / "out" / "buildAlignment.tsv"
+    assert build.exists()
+    kmers = [line.split("\t")[0] for line in open(build)]
+    e_kmers = {k for k in kmers if "E" in k}
+    assert len(e_kmers) > 5, "mC sample produced no E-labelled rows"
+    assert any("E" not in k for k in kmers)
+    # and the trained HDP populates those E-kmer distributions
+    from signalalign_tpu.models.hdp_model import load_nhdp
+    hdp = load_nhdp(str(tmp_path / "out" / "template.nhdp"))
+    n_e_obs = int(sum(
+        hdp.observed[i] for i in range(hdp.alphabet.num_kmers)
+        if "E" in hdp.alphabet.index_to_kmer(i)))
+    assert n_e_obs > 5
