@@ -114,6 +114,168 @@ def build_workload():
     return out
 
 
+def build_expect_workload():
+    """EM expectation buckets: the bundled 1D reads prepped exactly as
+    em_train runs them (compute_expectations, segments capped at 7000
+    diagonals, W <= 512 lane-kernel gate)."""
+    import dataclasses
+
+    from signalalign_tpu.io.guide import guide_from_sam_record
+    from signalalign_tpu.io.read import NanoporeReadData
+    from signalalign_tpu.io.reference import ProcessedReference
+    from signalalign_tpu.io.sam import filter_reads
+    from signalalign_tpu.models.pore_model import PoreModel
+    from signalalign_tpu.pipeline.runner import prepare_read
+    from signalalign_tpu.pipeline.signal_align import AlignmentConfig
+
+    model = PoreModel.from_file(MODEL)
+    reference = ProcessedReference(_ecoli_fasta())
+    config = AlignmentConfig(compute_expectations=True,
+                             max_segment_diagonals=7000)
+    pairs = filter_reads(os.path.join(ONED, "1D.bam"),
+                         os.path.join(ONED, "1D.fastq.index.readdb"), [ONED])
+    buckets = defaultdict(list)
+    for f5, rec in pairs:
+        read = NanoporeReadData.from_fast5(f5)
+        guide = guide_from_sam_record(rec)
+        _, _, _, _, tasks = prepare_read(read, guide, reference, model,
+                                         config)
+        for (_, problem, W, Dpad, P) in tasks:
+            if W <= 512 and P == 1:
+                buckets[(W, Dpad)].append(problem)
+    out = []
+    for (W, Dpad), probs in sorted(buckets.items()):
+        padded = []
+        i = 0
+        while len(padded) < 128 or len(padded) % 128:
+            padded.append(probs[i % len(probs)])
+            i += 1
+        out.append((W, padded))
+    return out
+
+
+def build_methyl_workload():
+    """Methylation-calling buckets: the bundled zymo C/mC template reads
+    against the CpG-ambiguous (P=2 paths) reference with HDP emission
+    streams — the flagship variant-calling configuration."""
+    import glob
+
+    import signalalign_tpu.pipeline.signal_align as sa
+    from signalalign_tpu.io.minialign import generate_guide_alignment
+    from signalalign_tpu.io.read import NanoporeRead2DData
+    from signalalign_tpu.io.reference import ProcessedReference
+    from signalalign_tpu.models.hdp_model import load_nhdp
+    from signalalign_tpu.models.pore_model import PoreModel
+    from signalalign_tpu.ops import banded_fb as bfb
+    from signalalign_tpu.pipeline.runner import prepare_read
+
+    ref_dir = "/root/reference"
+    zymo = os.path.join(ref_dir, "tests/test_sequences/zymo_sequence.fasta")
+    model = PoreModel.from_file(
+        os.path.join(ref_dir, "models/testModelR73_acegot_template.model"))
+    hdp = load_nhdp(os.path.join(
+        ref_dir, "models/templateSingleLevelFixed.nhdp"))
+    ambig_ref = ProcessedReference(zymo, motifs=[("CG", "PG")])
+    plain_ref = ProcessedReference(zymo)
+    cfg = sa.AlignmentConfig(emission_mode=bfb.MODE_HDP,
+                             ambig_map={"P": "CE"})
+    buckets = defaultdict(list)
+    for d in ("C", "mC"):
+        for path in sorted(glob.glob(os.path.join(
+                ref_dir, f"tests/minion_test_reads/{d}/*.fast5"))):
+            try:
+                r2 = NanoporeRead2DData.from_fast5(path)
+                g = generate_guide_alignment(r2.twod_sequence, plain_ref)
+                if g is None:
+                    continue
+                _, _, _, _, tasks = prepare_read(r2.template, g, ambig_ref,
+                                                 model, cfg, hdp=hdp)
+                for (_, problem, W, Dpad, P) in tasks:
+                    if W <= 1024 and P <= 2:
+                        buckets[(W, Dpad, P)].append(problem)
+            except Exception:
+                continue
+    out = []
+    for (W, Dpad, P), probs in sorted(buckets.items()):
+        PP = {1: 1, 2: 2}[P]
+        lanes = 128 // PP        # problems per 128-lane stripe
+        padded = []
+        i = 0
+        while len(padded) < lanes or len(padded) % lanes:
+            padded.append(probs[i % len(probs)])
+            i += 1
+        out.append((W, P, padded))
+    return out
+
+
+def _pipelined_device_only(aligners, reps):
+    """Steady-state device-only throughput over (aligner, K) pairs."""
+    from signalalign_tpu.ops.banded_fb_pallas_batch import stack_bytes
+    HBM_PIPE = 12e9
+
+    def run(n):
+        pending = []
+        inflight = 0
+        for _ in range(n):
+            for al, K, execute in aligners:
+                nb = stack_bytes(max(p.n_diag for p in al.problems),
+                                 al.W, al.S, al.T)
+                while pending and (len(pending) > 1
+                                   or inflight + nb > HBM_PIPE):
+                    fin, nb0 = pending.pop(0)
+                    fin()
+                    inflight -= nb0
+                pending.append((execute(), nb))
+                inflight += nb
+        while pending:
+            fin, nb0 = pending.pop(0)
+            fin()
+            inflight -= nb0
+
+    run(1)      # compile
+    t0 = time.perf_counter()
+    run(reps)
+    return time.perf_counter() - t0
+
+
+def bench_expect(reps):
+    """EM expectation-pass throughput (training workload)."""
+    from signalalign_tpu.ops.banded_fb_pallas_batch import \
+        PallasBatchAligner
+    wl = build_expect_workload()
+    aligners = []
+    ev = 0
+    for W, probs in wl:
+        K = max(((3 * max(p.lY for p in probs) + 127) // 128) * 128, 1024)
+        al = PallasBatchAligner(probs, W=W, T=120, S=128, RB=256,
+                                log_space=True, expect=True)
+        aligners.append((al, K,
+                         lambda a=al, k=K: a.execute_expect(
+                             compact_k=k, fetch_pairs=False)))
+        ev += sum(p.lY for p in probs)
+    dt = _pipelined_device_only(aligners, reps)
+    return ev * reps / dt, ev
+
+
+def bench_methyl(reps):
+    """HDP + P=2 methylation-calling throughput (device-only)."""
+    from signalalign_tpu.ops.banded_fb_pallas_batch import \
+        PallasBatchAligner
+    wl = build_methyl_workload()
+    aligners = []
+    ev = 0
+    for W, P, probs in wl:
+        K = max(((3 * max(p.lY for p in probs) + 127) // 128) * 128, 1024)
+        al = PallasBatchAligner(probs, W=W, T=120, S=128, RB=256,
+                                log_space=True, P=P)
+        aligners.append((al, K,
+                         lambda a=al, k=K:
+                         a.execute_device_only(compact_k=k)))
+        ev += sum(p.lY for p in probs)
+    dt = _pipelined_device_only(aligners, reps)
+    return ev * reps / dt, ev
+
+
 def main():
     import jax
 
@@ -237,6 +399,20 @@ def main():
     comp_s = time.perf_counter() - t0
     comp_events_per_s = v2_events * reps / comp_s
 
+    # ---- flagship workloads: EM expectations + HDP/P=2 methylation ----
+    # (device-only: training/calling compute throughput; skippable for
+    # quick runs)
+    expect_eps = methyl_eps = None
+    if os.environ.get("BENCH_FLAGSHIP", "1") == "1":
+        try:
+            expect_eps, _ = bench_expect(max(reps // 2, 2))
+        except Exception as exc:
+            print(f"# expect bench failed: {exc}", file=sys.stderr)
+        try:
+            methyl_eps, _ = bench_methyl(max(reps // 2, 2))
+        except Exception as exc:
+            print(f"# methyl bench failed: {exc}", file=sys.stderr)
+
     out = {
         "metric": "banded_fb_posterior_events_per_s_per_chip",
         "value": round(e2e_events_per_s, 1),
@@ -251,6 +427,10 @@ def main():
                     f"{total_events} events/rep, all bundled 1D reads",
         "aligned_pairs_per_rep": int(pairs_per_rep),
     }
+    if expect_eps is not None:
+        out["expect_events_per_s"] = round(expect_eps, 1)
+    if methyl_eps is not None:
+        out["methyl_events_per_s"] = round(methyl_eps, 1)
     print(json.dumps(out))
 
 

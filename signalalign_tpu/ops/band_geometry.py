@@ -169,13 +169,63 @@ def get_split_points(anchor_pairs: Sequence[Tuple[int, int]], lX: int, lY: int,
     return split_points
 
 
+# width-class ladder: mirrors signal_align._bucket_w — sub-segments are
+# split so each one's max band width lands in the smallest class that
+# covers it (the kernels' per-diagonal cost is the padded class width)
+_W_CLASSES = (64, 128, 256, 512, 768, 1024)
+
+
+def _width_class_cuts(anchors, w, lX, lY,
+                      min_run: int) -> List[Tuple[int, int]]:
+    """Cut points confining a bimodal width profile: when a long run of
+    diagonals is at least one width CLASS narrower than the segment max,
+    cut at the anchors just inside that run so the narrow bulk buckets
+    into a cheaper kernel shape. Returns [] when no split pays."""
+    wmax = int(w.max())
+    cls = next((c for c in _W_CLASSES if wmax <= c), None)
+    if cls is None or cls == _W_CLASSES[0] or not anchors:
+        return []
+    thr = _W_CLASSES[_W_CLASSES.index(cls) - 1]
+    narrow = w <= thr
+    if narrow.all() or not narrow.any():
+        return []
+    # longest maximal narrow run
+    edges = np.flatnonzero(np.diff(narrow.astype(np.int8)))
+    starts = np.concatenate([[0], edges + 1])
+    ends = np.concatenate([edges, [len(narrow) - 1]])
+    runs = [(int(s), int(e)) for s, e in zip(starts, ends) if narrow[s]]
+    s, e = max(runs, key=lambda r: r[1] - r[0])
+    if e - s + 1 < min_run:
+        return []
+    # anchors just inside the run's edges (diag of anchor = ax+ay+2)
+    inside = [a for a in anchors if s <= a[0] + a[1] + 2 <= e]
+    if not inside:
+        return []
+    cuts = []
+    if s > 0:                       # run starts mid-segment: cut before it
+        a = inside[0]
+        cuts.append((a[0] + 1, a[1] + 1))
+    if e < len(narrow) - 1:         # run ends mid-segment: cut after it
+        a = inside[-1]
+        if not cuts or (a[0] + 1, a[1] + 1) != cuts[0]:
+            cuts.append((a[0] + 1, a[1] + 1))
+    return cuts
+
+
 def split_segment_by_width(
         anchor_pairs: Sequence[Tuple[int, int]], lX: int, lY: int,
         expansion: int, cap: int, max_diag: int = 0,
+        min_class_run: int = 1500,
         _depth: int = 0) -> List[Tuple[int, int, int, int, List[Tuple[int, int]]]]:
     """Split a segment whose band exceeds ``cap`` cells in width — at the
     anchors flanking the bulge — or whose diagonal count exceeds
-    ``max_diag`` (0 = no limit) — at the anchor nearest the midpoint.
+    ``max_diag`` (0 = no limit) — at the anchor nearest the midpoint —
+    or whose width profile is bimodal (a run of >= ``min_class_run``
+    diagonals at least one width class narrower than the segment max:
+    the narrow bulk then buckets into a cheaper kernel shape instead of
+    paying the bulge's padded width on every diagonal; measured band
+    widths on the bundled reads are median ~100 with maxima 300-900, so
+    this is worth ~1.5-2x of sweep+compaction cost).
     Returns (x1, y1, x2, y2, rel_anchors) blocks covering
     [0,0]..[lX,lY] in order.
 
@@ -186,13 +236,13 @@ def split_segment_by_width(
     the wide band to a small block (which falls back to the per-read
     kernel) while the bulk keeps the fast fixed-width shape. The diagonal
     cap bounds the per-lane DP-stack HBM of very long reads and makes
-    device shape buckets homogeneous. Both cuts pin the path at an anchor,
+    device shape buckets homogeneous. All cuts pin the path at an anchor,
     exactly like the reference's own getSplitPoints cuts
     (pairwiseAligner.c:1886-1951).
     """
     anchors = list(anchor_pairs)
     whole = [(0, 0, lX, lY, anchors)]
-    if lX <= 0 or lY <= 0 or _depth > 12:
+    if lX <= 0 or lY <= 0 or _depth > 16:
         return whole
     cuts: List[Tuple[int, int]] = []
     if max_diag and lX + lY > max_diag and anchors:
@@ -204,19 +254,25 @@ def split_segment_by_width(
         xmyL, xmyR = build_band(anchors, lX, lY, expansion)
         w = band_widths(xmyL, xmyR)
         if int(w.max()) <= cap:
-            return whole
-        wide = np.nonzero(w > cap)[0]
-        dlo, dhi = int(wide.min()), int(wide.max())
-        # anchor (ax, ay) sits on matrix diagonal ax + ay + 2
-        before = [a for a in anchors if a[0] + a[1] + 2 <= dlo]
-        after = [a for a in anchors if a[0] + a[1] + 2 >= dhi]
-        cut_anchors = []
-        if before:
-            cut_anchors.append(before[-1])
-        if after and (not before or after[0] != before[-1]):
-            cut_anchors.append(after[0])
-        cuts = [(ax + 1, ay + 1) for ax, ay in cut_anchors]
+            if min_class_run:
+                cuts = _width_class_cuts(anchors, w, lX, lY,
+                                         min_class_run)
+            if not cuts:
+                return whole
+        else:
+            wide = np.nonzero(w > cap)[0]
+            dlo, dhi = int(wide.min()), int(wide.max())
+            # anchor (ax, ay) sits on matrix diagonal ax + ay + 2
+            before = [a for a in anchors if a[0] + a[1] + 2 <= dlo]
+            after = [a for a in anchors if a[0] + a[1] + 2 >= dhi]
+            cut_anchors = []
+            if before:
+                cut_anchors.append(before[-1])
+            if after and (not before or after[0] != before[-1]):
+                cut_anchors.append(after[0])
+            cuts = [(ax + 1, ay + 1) for ax, ay in cut_anchors]
     cuts = [(cx, cy) for cx, cy in cuts if 0 < cx < lX and 0 < cy < lY]
+    cuts = sorted(set(cuts), key=lambda c: (c[0] + c[1], c[0]))
     if not cuts:
         return whole
     out: List[Tuple[int, int, int, int, List[Tuple[int, int]]]] = []
@@ -232,7 +288,7 @@ def split_segment_by_width(
             j += 1
         for (rx1, ry1, rx2, ry2, ra) in split_segment_by_width(
                 sub, cx - px, cy - py, expansion, cap, max_diag,
-                _depth + 1):
+                min_class_run, _depth + 1):
             out.append((px + rx1, py + ry1, px + rx2, py + ry2, ra))
         px, py = cx, cy
     return out

@@ -1273,10 +1273,13 @@ K_LANE = 16
 
 
 def _compact_chunked(postlog, cvec, xoffs, widths, n_diag, log_thr, *,
-                     K: int, C: int, pack16: bool = False):
-    """Survivor compaction dispatcher: rank-select path (fast, u8
-    packing) when the cell id fits 24 bits and the band offset fits 11,
-    top-k path otherwise (pack16 / very wide bands).
+                     K: int, C: int, pack16: bool = False,
+                     interpret: bool = False):
+    """Survivor compaction dispatcher: Pallas-mapped rank-select path
+    (fast, u8 packing) when the cell id fits 24 bits and the band
+    offset fits 11 (XLA rank-select behind
+    SIGNALALIGN_TPU_XLA_COMPACT=1), top-k path otherwise (pack16 /
+    very wide bands).
 
     Returns (packed bytes (G, S, K, 4|5|6), counts (G, S),
     overflow (G, S) bool — True when a diagonal held more than R
@@ -1285,31 +1288,133 @@ def _compact_chunked(postlog, cvec, xoffs, widths, n_diag, log_thr, *,
     """
     G, Dp1p, WB, S = postlog.shape
     if not pack16 and Dp1p * WB <= (1 << 24) and WB < 2048:
-        return _compact_rank(postlog, cvec, xoffs, widths, n_diag,
-                             log_thr, K=K, C=C)
+        if os.environ.get("SIGNALALIGN_TPU_XLA_COMPACT") == "1":
+            return _compact_rank(postlog, cvec, xoffs, widths, n_diag,
+                                 log_thr, K=K, C=C)
+        return _compact_rank_pl(postlog, cvec, n_diag, K=K,
+                                log_thr=float(log_thr),
+                                interpret=interpret)
     buf, counts = _compact_topk(postlog, cvec, xoffs, widths, n_diag,
                                 log_thr, K=K, C=C, pack16=pack16)
     return buf, counts, jnp.zeros(counts.shape, dtype=jnp.bool_)
 
 
+def _compact_map_kernel(postlog_ref, cvecm_ref, slots_ref, cnt_ref, *,
+                        CD: int, WB: int, S: int, R: int,
+                        log_thr: float):
+    """Survivor-extraction map tile: one pass over a (CD, WB, S) u16
+    postlog block held in VMEM, emitting per-diagonal survivor slots +
+    counts. Replaces the XLA chunk map, which re-read the postlog
+    volume ~9x (key build + R dependent reduces as separate fusions);
+    here the block is DMAd once and the extraction runs in-register
+    (measured: the XLA map alone cost as much as a full DP sweep)."""
+    sub = jax.lax.broadcasted_iota(jnp.int32, (WB, S), 0)
+    subkey = sub << 12
+    IMAX = jnp.int32(0x7FFFFFFF)
+    thr = jnp.float32(log_thr)
+    for i in range(CD):
+        pq = postlog_ref[0, i].astype(jnp.int32)
+        cv = cvecm_ref[0, pl.ds(i, 1), :]                  # (1, S)
+        v = pq.astype(jnp.float32) * jnp.float32(-1.0 / QSCALE) + cv
+        valid = (pq < QMAX) & (v >= thr)
+        qe = jnp.minimum(jnp.round(jnp.maximum(-v, 0.0) * QSCALE),
+                         4095.0).astype(jnp.int32)
+        key = jnp.where(valid, subkey | qe, IMAX)
+        cnt_ref[0, 0, pl.ds(i, 1), :] = jnp.sum(
+            valid.astype(jnp.int32), axis=0, keepdims=True)
+        prev = jnp.full((1, S), -1, jnp.int32)
+        for r in range(R):
+            cur = jnp.where(key > prev, key, IMAX)
+            nxt = jnp.min(cur, axis=0, keepdims=True)
+            slots_ref[0, 0, r, pl.ds(i, 1), :] = nxt
+            prev = nxt
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("K", "R", "log_thr", "interpret"))
+def _compact_rank_pl(postlog, cvec, n_diag, *, K: int, R: int = 8,
+                     log_thr: float = float(np.log(0.01)),
+                     interpret: bool = False):
+    """Pallas-mapped rank-select compaction: same contract as
+    _compact_rank (buf, counts, overflow) with the chunk map as a
+    single-pass VMEM kernel. The global prefix-pack stays XLA (one
+    ascending u32 sort)."""
+    G, Dp1p, WB, S = postlog.shape
+    IMAX = jnp.int32(0x7FFFFFFF)
+    # rows past a lane's final diagonal are masked through cvec so the
+    # kernel needs no per-lane scalars (Mosaic scalar-tile rules)
+    d_idx = jnp.arange(Dp1p, dtype=jnp.int32)[None, :, None]
+    cvecm = jnp.where(d_idx <= n_diag[:, None, :], cvec,
+                      jnp.float32(-3e38))
+    CD = next(c for c in (24, 12, 8)
+              if c * WB * S * 2 * 2 <= 10e6 or c == 8)
+    NT2 = Dp1p // CD
+    kern = functools.partial(_compact_map_kernel, CD=CD, WB=WB, S=S,
+                             R=R, log_thr=log_thr)
+    slots, cnt = pl.pallas_call(
+        kern,
+        grid=(G, NT2),
+        in_specs=[
+            pl.BlockSpec((1, CD, WB, S), lambda g, t: (g, t, 0, 0)),
+            pl.BlockSpec((1, CD, S), lambda g, t: (g, t, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, R, CD, S), lambda g, t: (g, t, 0, 0, 0)),
+            pl.BlockSpec((1, 1, CD, S), lambda g, t: (g, t, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((G, NT2, R, CD, S), jnp.int32),
+            jax.ShapeDtypeStruct((G, NT2, CD, S), jnp.int32),
+        ],
+        interpret=interpret,
+    )(postlog, cvecm)
+    w = jnp.transpose(slots, (0, 4, 1, 3, 2)).reshape(G, S, Dp1p * R)
+    d = (jnp.arange(Dp1p * R, dtype=jnp.uint32)
+         // jnp.uint32(R))[None, None, :]
+    wu = w.astype(jnp.uint32)
+    pos = wu >> jnp.uint32(12)
+    qe = (wu & jnp.uint32(4095)).astype(jnp.float32)
+    p8 = jnp.round(jnp.exp(qe * jnp.float32(-1.0 / QSCALE))
+                   * 255.0).astype(jnp.uint32)
+    cell = d * jnp.uint32(WB) + pos
+    key = jnp.where(w != IMAX, (cell << jnp.uint32(8)) | p8,
+                    jnp.uint32(0xFFFFFFFF))
+    key = jax.lax.sort(key, dimension=2)
+    buf = jax.lax.bitcast_convert_type(key[:, :, :K], jnp.uint8)
+    cntd = jnp.transpose(cnt, (0, 3, 1, 2)).reshape(G, S, Dp1p)
+    counts = jnp.minimum(jnp.sum(jnp.minimum(cntd, R), axis=2),
+                         K).astype(jnp.int32)
+    overflow = jnp.any(cntd > R, axis=2)
+    return buf, counts, overflow
+
+
 @functools.partial(jax.jit, static_argnames=("K", "C", "R"))
 def _compact_rank(postlog, cvec, xoffs, widths, n_diag, log_thr, *,
                   K: int, C: int, R: int = 8):
-    """Rank-select survivor compaction — no top-k, no transpose.
+    """Rank-select survivor compaction — no top-k, no transpose, no
+    cumsum.
 
     XLA's top_k lowers to a full bitonic sort per (diagonal, lane) row
     regardless of k (measured 230ms of a 270ms level-1 on a real-read
     W=512 stripe); survivor selection doesn't need value order at all.
-    Instead: validity mask -> cumsum rank along the band axis -> one
-    masked max-reduce per rank slot r extracts the r-th survivor's
-    packed (band offset << 12 | quantized -log p) word. Survivors come
-    out in (diagonal, band offset) = cell order by construction, so the
-    global step is a single ascending one-operand u32 sort of
-    key = cell << 8 | p_u8 — whose little-endian bytes ARE the 4 B/pair
-    [p_u8, cell_lo, cell_mid, cell_hi] fetch layout (host decode
-    unchanged). Set membership is decided on the same f32 log values as
-    the top-k path (bit-identical); p_u8 is re-derived from the 1/512
-    nat quantized log (<=1 ulp difference vs the f32 exp).
+    Survivors are extracted by ITERATIVE MIN-EXTRACTION: materialize a
+    per-cell u32 key = (band offset << 12 | quantized -log p) (invalid
+    cells -> 0xFFFFFFFF), then R dependent masked min-reduces along the
+    band axis pull out the survivors in band order (slot r = min key
+    strictly above slot r-1; keys are distinct because the band offset
+    dominates). This replaced a cumsum-rank + R masked max-reduce
+    formulation whose log-depth cumsum and per-slot recomputation cost
+    ~60 vector passes/cell (measured: compaction ~= a full DP sweep);
+    the key is built once and each slot is a single fused compare+min
+    pass.
+
+    Survivors come out in (diagonal, band offset) = cell order by
+    construction, so the global step is a single ascending one-operand
+    u32 sort of key = cell << 8 | p_u8 — whose little-endian bytes ARE
+    the 4 B/pair [p_u8, cell_lo, cell_mid, cell_hi] fetch layout (host
+    decode unchanged). Set membership is decided on the same f32 log
+    values as the top-k path (bit-identical); p_u8 is re-derived from
+    the 1/512 nat quantized log (<=1 ulp difference vs the f32 exp).
 
     A diagonal with more than R survivors overflows the rank slots:
     reported via the overflow flag, caller re-runs that lane exactly
@@ -1317,6 +1422,7 @@ def _compact_rank(postlog, cvec, xoffs, widths, n_diag, log_thr, *,
     """
     G, Dp1p, WB, S = postlog.shape
     NC = Dp1p // C
+    UMAX = jnp.uint32(0xFFFFFFFF)
 
     def chunk(ci):
         c0 = ci * C
@@ -1324,7 +1430,7 @@ def _compact_rank(postlog, cvec, xoffs, widths, n_diag, log_thr, *,
         pl_ = _dequant_rows(pq)
         cv = jax.lax.dynamic_slice_in_dim(cvec, c0, C, axis=1)
         d_idx = (c0 + jnp.arange(C, dtype=jnp.int32))[None, :, None]
-        sub = jnp.arange(WB, dtype=jnp.int32)[None, None, :, None]
+        sub = jnp.arange(WB, dtype=jnp.uint32)[None, None, :, None]
         v = pl_ + cv[:, :, None, :]
         # out-of-band cells arrive as the QMAX sentinel (the backward
         # kernel writes NEG there before quantization), so the band
@@ -1332,25 +1438,29 @@ def _compact_rank(postlog, cvec, xoffs, widths, n_diag, log_thr, *,
         valid = ((d_idx[..., None] <= n_diag[:, None, None, :]) &
                  (pq < QMAX) & (v >= log_thr))
         qe = jnp.minimum(jnp.round(jnp.maximum(-v, 0.0) * QSCALE),
-                         4095.0).astype(jnp.int32)
-        word = (sub << 12) | qe
-        rank = jnp.cumsum(valid.astype(jnp.int32), axis=2)
-        cnt = rank[:, :, WB - 1, :]                       # (G, C, S)
-        slots = [jnp.max(jnp.where(valid & (rank == r + 1), word, -1),
-                         axis=2) for r in range(R)]
+                         4095.0).astype(jnp.uint32)
+        key = jnp.where(valid, (sub << jnp.uint32(12)) | qe, UMAX)
+        cnt = jnp.sum(valid.astype(jnp.int32), axis=2)    # (G, C, S)
+        slots = []
+        prev = None
+        for r in range(R):
+            cur = key if prev is None else \
+                jnp.where(key > prev[:, :, None, :], key, UMAX)
+            nxt = jnp.min(cur, axis=2)                    # (G, C, S)
+            slots.append(nxt)
+            prev = nxt
         return jnp.stack(slots, axis=-1), cnt    # (G,C,S,R), (G,C,S)
 
     ws, cnts = jax.lax.map(chunk, jnp.arange(NC))
     w = jnp.transpose(ws, (1, 3, 0, 2, 4)).reshape(G, S, Dp1p * R)
     d = (jnp.arange(Dp1p * R, dtype=jnp.uint32)
          // jnp.uint32(R))[None, None, :]
-    pos = (w >> 12).astype(jnp.uint32)
-    qe = (w & 4095).astype(jnp.float32)
+    pos = w >> jnp.uint32(12)
+    qe = (w & jnp.uint32(4095)).astype(jnp.float32)
     p8 = jnp.round(jnp.exp(qe * jnp.float32(-1.0 / QSCALE))
                    * 255.0).astype(jnp.uint32)
     cell = d * jnp.uint32(WB) + pos
-    key = jnp.where(w >= 0, (cell << jnp.uint32(8)) | p8,
-                    jnp.uint32(0xFFFFFFFF))
+    key = jnp.where(w != UMAX, (cell << jnp.uint32(8)) | p8, UMAX)
     key = jax.lax.sort(key, dimension=2)
     buf = jax.lax.bitcast_convert_type(key[:, :, :K], jnp.uint8)
     counts = jnp.minimum(jnp.sum(jnp.minimum(cnts, R), axis=(0, 2)),
@@ -1895,7 +2005,7 @@ class PallasBatchAligner:
         log_thr = jnp.float32(np.log(max(threshold, 1e-300)))
         buf, counts, overflow = _compact_chunked(
             postlog, cvec, self.xoffs, self.widths, self.n_diag, log_thr,
-            K=compact_k, C=C, pack16=pack16)
+            K=compact_k, C=C, pack16=pack16, interpret=self.interpret)
         # one small fetch: totals + counts + overflow together (counts
         # < 2^24 are exact in f32)
         totals = jnp.stack([tf_hi, tf_lo, tb_hi, tb_lo,
@@ -1943,7 +2053,8 @@ class PallasBatchAligner:
         log_thr = jnp.float32(np.log(max(threshold, 1e-300)))
         _, counts, _ = _compact_chunked(postlog, cvec, self.xoffs,
                                         self.widths, self.n_diag, log_thr,
-                                        K=compact_k, C=max(T, 1))
+                                        K=compact_k, C=max(T, 1),
+                                        interpret=self.interpret)
         totals = jnp.stack([tf_hi, tf_lo])
 
         def finish():
@@ -1984,13 +2095,19 @@ class PallasBatchAligner:
         return total_f, total_b, counts_h, overflow_h, p_h, cell_h
 
     def execute_expect(self, compact_k: int = 4096,
-                       threshold: float = 0.01):
+                       threshold: float = 0.01,
+                       fetch_pairs: bool = True):
         """EM expectation pass on the lane kernels: one fwd+bwd sweep
         pair returns aligned pairs AND the (3,3) transition posterior
         sums + per-kmer emission moments, accumulated in the backward
         kernel (banded_fb._expectations_core semantics) instead of the
         XLA re-scan. Gaussian MEAN_ONLY, P=1. Returns a finish closure
-        -> List[dict] with pairs/totals/texp/kexp."""
+        -> List[dict] with pairs/totals/texp/kexp.
+
+        ``fetch_pairs=False`` skips the packed-prefix transfer and the
+        pair decode (results carry empty ``pairs``): transition-only EM
+        iterations need just texp/kexp/totals, and on slow device links
+        the pair prefix is the dominant transfer."""
         assert self.expect
         T, WB, S, RB = self.T, self.WB, self.S, self.RB
         fstack, f_incr, f_lse = pallas_forward_b(
@@ -2013,14 +2130,23 @@ class PallasBatchAligner:
         log_thr = jnp.float32(np.log(max(threshold, 1e-300)))
         buf, counts, overflow = _compact_chunked(
             postlog, cvec, self.xoffs, self.widths, self.n_diag, log_thr,
-            K=compact_k, C=max(T, 1))
+            K=compact_k, C=max(T, 1), interpret=self.interpret)
         totals = jnp.stack([tf_hi, tf_lo, tb_hi, tb_lo,
                             counts.astype(jnp.float32),
                             overflow.astype(jnp.float32)])
 
         def finish():
-            (total_f, total_b, counts_h, overflow_h, p_h,
-             cell_h) = self._fetch_packed(totals, buf, compact_k)
+            if fetch_pairs:
+                (total_f, total_b, counts_h, overflow_h, p_h,
+                 cell_h) = self._fetch_packed(totals, buf, compact_k)
+            else:
+                th = np.asarray(totals, dtype=np.float64)
+                total_f = th[0] + th[1] + self.ev_off
+                total_b = th[2] + th[3] + self.ev_off
+                counts_h = np.zeros(total_f.shape, dtype=np.int64)
+                overflow_h = th[5] > 0.5
+                p_h = np.zeros(total_f.shape + (0,))
+                cell_h = np.zeros(total_f.shape + (0,), dtype=np.uint32)
             texp_h = np.asarray(texp8, dtype=np.float64)
             kexp_h = np.asarray(kexp_dev, dtype=np.float64)
             results = self._decode_packed(p_h, cell_h, counts_h,

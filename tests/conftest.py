@@ -57,3 +57,41 @@ def ecoli_fasta(tmp_path_factory):
 
 
 import numpy as np  # noqa: E402
+
+
+# ---------------------------------------------------------------------------
+# Suite hygiene + tiers
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Drop jax's in-process caches after every test module.
+
+    A full single-process `pytest tests/` run reproducibly stalled in a
+    late XLA CPU compile (test_twod via banded_fb.run_banded_fb) after
+    ~137 tests: state accumulated across ~hundreds of compiles (live
+    executables + tracing caches + RSS) made one late compile blow up.
+    Clearing between modules keeps the process near a fresh-start
+    profile; per-module recompiles are cheap on CPU.
+    """
+    yield
+    jax.clear_caches()
+
+
+# Fast tier: `pytest -m fast` runs the quick pure-host/unit modules
+# (< ~3 min total); `-m "not slow"` is the default CI tier; no marker
+# runs everything. Module-level marking keeps the tier list in one
+# place.
+_FAST_MODULES = {
+    "test_compare", "test_expectations", "test_io", "test_mixture",
+    "test_multiple_aligner", "test_pore_model", "test_visualization",
+    "test_mea_variants", "test_event_align", "test_embed",
+    "test_minialign", "test_scan",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        mod = item.module.__name__.rsplit(".", 1)[-1]
+        if mod in _FAST_MODULES and "slow" not in item.keywords:
+            item.add_marker(pytest.mark.fast)
