@@ -299,7 +299,11 @@ def run_alignment_batch(
                         # narrow buckets only) are pair-exact only when
                         # the within-band range fits f32 (~157 nats);
                         # the tf/tb residual check below catches the
-                        # rest and re-runs them exactly.
+                        # rest and re-runs them exactly. Promotion to
+                        # default was measured and REJECTED: 33% of
+                        # bundled-read lanes trip the guard
+                        # (PROB_TRIP_RATE.json), so re-runs would erase
+                        # the 1.4x.
                         prob_ok = (P == 1 and W <= 512 and not hdp_mode
                                    and not expect
                                    and os.environ.get(
