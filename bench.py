@@ -220,6 +220,11 @@ def _pipelined_device_only(aligners, reps):
             for al, K, execute in aligners:
                 nb = stack_bytes(max(p.n_diag for p in al.problems),
                                  al.W, al.S, al.T)
+                if al.expect:
+                    # 3-state f32 forward stack (runner.py applies the
+                    # same correction): two in-flight expect stacks at
+                    # the plain estimate would blow the 13GB HBM budget
+                    nb = nb * 14 // 6
                 while pending and (len(pending) > 1
                                    or inflight + nb > HBM_PIPE):
                     fin, nb0 = pending.pop(0)

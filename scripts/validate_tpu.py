@@ -175,6 +175,29 @@ def drive_expect():
             ok_all &= ok
             print(f"W={W} lY={p.lY}: texp rel={rel:.2e} kexp maxd={dk:.4f}"
                   f" {'OK' if ok else 'FAIL'}")
+    # HDP-mode expect (threeStateHdp transition EM): the P=1 buckets of
+    # the zymo methylation workload, in-kernel texp vs the XLA core
+    for W, P, probs in b.build_methyl_workload():
+        if P != 1 or W > 512:
+            continue
+        if max(p.n_diag for p in probs) > 7000:
+            continue
+        K = max(((3 * max(p.lY for p in probs) + 127) // 128) * 128, 1024)
+        al = PallasBatchAligner(probs, W=W, T=120, S=128, RB=256,
+                                log_space=True, expect=True)
+        res = al.execute_expect(compact_k=K)()
+        seen = set()
+        for j, p in enumerate(probs):
+            if id(p) in seen:
+                continue
+            seen.add(id(p))
+            x = bfb.run_banded_fb(p, W=W, P=1, with_expectations=True)
+            dt = np.abs(res[j]["texp"] - x["texp"]).max()
+            rel = dt / max(float(x["texp"].max()), 1.0)
+            ok = rel < 1e-3
+            ok_all &= ok
+            print(f"HDP W={W} lY={p.lY}: texp rel={rel:.2e}"
+                  f" {'OK' if ok else 'FAIL'}")
     print("EXPECT: ALL OK" if ok_all else "EXPECT: FAILURES")
     return ok_all
 

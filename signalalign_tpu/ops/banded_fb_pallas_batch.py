@@ -790,7 +790,17 @@ def _bwd_kernel_log(geom_ref, refwin_ref, evinit_ref, evins_ref,
     if PP > 1:
         legb_ref = rest[0]
         rest = rest[1:]
-    if estream:
+    gauss_exp = expect and not estream   # Gaussian kexp moments apply
+    if estream and expect:
+        # HDP EM: transition expectations only (emissions train via the
+        # Gibbs sampler on thresholded assignments; there is no Gaussian
+        # moment accumulator — banded_fb._expectations_core num_kmers=0)
+        ebnd_ref, cvecf_ref, hbm_fin_ref, hbm_e_ref = rest[0:4]
+        (hbm_post_ref, out_incr_ref, out_lse_ref, out_fmax_ref,
+         out_texp_ref,
+         ring, evw, mprev, obuf, osem, ibuf, isem,
+         ering, esem3) = rest[4:]
+    elif estream:
         ebnd_ref, hbm_fin_ref, hbm_e_ref = rest[0], rest[1], rest[2]
         (hbm_post_ref, out_incr_ref, out_lse_ref, out_fmax_ref,
          ring, evw, mprev, obuf, osem, ibuf, isem,
@@ -827,6 +837,7 @@ def _bwd_kernel_log(geom_ref, refwin_ref, evinit_ref, evins_ref,
         def _init_texp():
             out_texp_ref[...] = jnp.zeros(out_texp_ref.shape,
                                           out_texp_ref.dtype)
+    if gauss_exp:
         out_kexp_ref[...] = jnp.zeros(out_kexp_ref.shape,
                                       out_kexp_ref.dtype)
 
@@ -965,16 +976,20 @@ def _bwd_kernel_log(geom_ref, refwin_ref, evinit_ref, evins_ref,
                 out_texp_ref[0, r_:r_ + 1, :] = \
                     out_texp_ref[0, r_:r_ + 1, :] \
                     + jnp.sum(pv, axis=0, keepdims=True)
-            # per-kmer emission moments at the TO match cell (x+1, y+1):
-            # dx = (event_mean - m_hat)/var, accumulated per sublane and
-            # segment-summed by the x+1 kmer window downstream
-            mtp = p_mm + p_xm + p_ym
-            dxv = (ev_mean - m_hat1) * ivar_ref[0, 0:1, :]
-            dxv = jnp.where(inv_m1 > 0.0, dxv, 0.0)
-            out_kexp_ref[0, 0, 0] = out_kexp_ref[0, 0, 0] + mtp
-            out_kexp_ref[0, 0, 1] = out_kexp_ref[0, 0, 1] + mtp * dxv
-            out_kexp_ref[0, 0, 2] = out_kexp_ref[0, 0, 2] \
-                + mtp * dxv * dxv
+            if gauss_exp:
+                # per-kmer emission moments at the TO match cell
+                # (x+1, y+1): dx = (event_mean - m_hat)/var, accumulated
+                # per sublane and segment-summed by the x+1 kmer window
+                # downstream. HDP runs skip this: emissions train via
+                # Gibbs on thresholded assignments (num_kmers=0 in the
+                # XLA core), and ev_mean/ivar only exist Gaussian-side.
+                mtp = p_mm + p_xm + p_ym
+                dxv = (ev_mean - m_hat1) * ivar_ref[0, 0:1, :]
+                dxv = jnp.where(inv_m1 > 0.0, dxv, 0.0)
+                out_kexp_ref[0, 0, 0] = out_kexp_ref[0, 0, 0] + mtp
+                out_kexp_ref[0, 0, 1] = out_kexp_ref[0, 0, 1] + mtp * dxv
+                out_kexp_ref[0, 0, 2] = out_kexp_ref[0, 0, 2] \
+                    + mtp * dxv * dxv
 
         if PP > 1:
             # the to-cell (x+1) terms carry per-target-path emissions;
@@ -1140,7 +1155,7 @@ def pallas_forward_b(geom, refwin, evinit, evins, pack, lseflag, legf=None,
     )
     assert (PP == 1 and not estream and not expect) or log_space, \
         "P>1 / streams / expectations require the log-space kernels"
-    assert not (expect and (estream or PP > 1))
+    assert not (expect and PP > 1)
     kern = _fwd_kernel_log if log_space else _fwd_kernel
     kw = {"PP": PP, "estream": estream, "expect": expect} \
         if log_space else {}
@@ -1197,13 +1212,17 @@ def pallas_backward_b(geom, refwin, evinit, evins, pack, fstack, legb=None,
         args = args + (ebnd,)
     if expect:
         # per-diagonal forward normalizer Fo(d) - total (fwd-tile order)
-        # + per-lane 1/var for the emission moments
+        # + per-lane 1/var for the emission moments (Gaussian only: HDP
+        # expectation runs accumulate transitions, no kexp moments)
         in_specs = in_specs + [
             pl.BlockSpec((1, 1, T, S), lambda g, t: (g, NT - 1 - t, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, S), lambda g, t: (g, 0, 0),
                          memory_space=pltpu.VMEM)]
-        args = args + (cvecf, ivar)
+        args = args + (cvecf,)
+        if not estream:
+            in_specs = in_specs + [
+                pl.BlockSpec((1, 1, S), lambda g, t: (g, 0, 0),
+                             memory_space=pltpu.VMEM)]
+            args = args + (ivar,)
     in_specs = in_specs + [pl.BlockSpec(memory_space=pl.ANY)]
     args = args + (fstack,)
     if estream:
@@ -1223,12 +1242,13 @@ def pallas_backward_b(geom, refwin, evinit, evins, pack, fstack, legb=None,
     )
     if expect:
         out_shapes = out_shapes + (
-            jax.ShapeDtypeStruct((G, 8, S), jnp.float32),
-            jax.ShapeDtypeStruct((G, NT, 3, WB, S), jnp.float32),
-        )
+            jax.ShapeDtypeStruct((G, 8, S), jnp.float32),)
+        if not estream:
+            out_shapes = out_shapes + (
+                jax.ShapeDtypeStruct((G, NT, 3, WB, S), jnp.float32),)
     assert (PP == 1 and not estream and not expect) or log_space, \
         "P>1 / streams / expectations require the log-space kernels"
-    assert not (expect and (estream or PP > 1 or not fuse_post))
+    assert not (expect and (PP > 1 or not fuse_post))
     kern = _bwd_kernel_log if log_space else _bwd_kernel
     kw = {"PP": PP, "estream": estream, "expect": expect} \
         if log_space else {}
@@ -1248,10 +1268,12 @@ def pallas_backward_b(geom, refwin, evinit, evins, pack, fstack, legb=None,
     if expect:
         out_specs = out_specs + (
             pl.BlockSpec((1, 8, S), lambda g, t: (g, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 3, WB, S),
-                         lambda g, t: (g, NT - 1 - t, 0, 0, 0),
-                         memory_space=pltpu.VMEM))
+                         memory_space=pltpu.VMEM),)
+        if not estream:
+            out_specs = out_specs + (
+                pl.BlockSpec((1, 1, 3, WB, S),
+                             lambda g, t: (g, NT - 1 - t, 0, 0, 0),
+                             memory_space=pltpu.VMEM),)
     outs = pl.pallas_call(
         functools.partial(kern, T=T, WB=WB, S=S, RB=RB, Dpad=Dpad,
                           fuse_post=fuse_post, **kw),
@@ -1346,7 +1368,11 @@ def _compact_rank_pl(postlog, cvec, n_diag, *, K: int, R: int = 8,
     d_idx = jnp.arange(Dp1p, dtype=jnp.int32)[None, :, None]
     cvecm = jnp.where(d_idx <= n_diag[:, None, :], cvec,
                       jnp.float32(-3e38))
-    CD = next(c for c in (24, 12, 8)
+    # chunk depth must be 8-divisible (Mosaic block rule: last two block
+    # dims (CD, S) need 8/128 divisibility) and divide Dp1p (a multiple
+    # of T=120/240, so 24 and 8 both qualify; 12 does NOT — it lowers
+    # only when CD equals the array dim)
+    CD = next(c for c in (24, 8)
               if c * WB * S * 2 * 2 <= 10e6 or c == 8)
     NT2 = Dp1p // CD
     kern = functools.partial(_compact_map_kernel, CD=CD, WB=WB, S=S,
@@ -1747,10 +1773,12 @@ class PallasBatchAligner:
         self.estream = problems[0].mode == bfb.MODE_HDP
         assert not self.estream or log_space, \
             "HDP emission streams require log_space=True"
-        # EM expectation accumulation (device texp/kexp): Gaussian P=1
-        # log-space only; the forward stack triples (all three states)
+        # EM expectation accumulation (device texp/kexp): P=1 log-space
+        # only; the forward stack triples (all three states). HDP-mode
+        # expect runs accumulate transitions only (threeStateHdp EM;
+        # emissions train via Gibbs on thresholded assignments).
         self.expect = expect
-        assert not expect or (log_space and P == 1 and not self.estream)
+        assert not expect or (log_space and P == 1)
         # P > 1 (degenerate-base expansion) runs paths-in-lanes: each
         # problem occupies PP consecutive lanes (PP = P padded to a
         # divisor of the 128-lane tile), cross-path transitions are
@@ -1931,7 +1959,11 @@ class PallasBatchAligner:
             self.WBe = WBe
         self.legf = jnp.asarray(legf) if PP > 1 else None
         self.legb = jnp.asarray(legb) if PP > 1 else None
-        if expect:
+        if expect and self.estream:
+            # HDP EM: no Gaussian moment accumulator (assignments come
+            # from the compacted posterior pairs)
+            self.num_kmers = 0
+        if expect and not self.estream:
             # kmer ids of the TO match cell (x+1) per (tile, sublane,
             # lane) for the device segment-sum, and per-lane 1/var
             kid = np.full((G, NT, WB, S), -1, dtype=np.int32)
@@ -2101,8 +2133,11 @@ class PallasBatchAligner:
         pair returns aligned pairs AND the (3,3) transition posterior
         sums + per-kmer emission moments, accumulated in the backward
         kernel (banded_fb._expectations_core semantics) instead of the
-        XLA re-scan. Gaussian MEAN_ONLY, P=1. Returns a finish closure
-        -> List[dict] with pairs/totals/texp/kexp.
+        XLA re-scan. P=1, Gaussian MEAN_ONLY or HDP (threeStateHdp EM:
+        transitions ride in-kernel, kexp is zeros — HDP emissions train
+        via Gibbs on the thresholded assignment pairs this same pass
+        compacts). Returns a finish closure -> List[dict] with
+        pairs/totals/texp/kexp.
 
         ``fetch_pairs=False`` skips the packed-prefix transfer and the
         pair decode (results carry empty ``pairs``): transition-only EM
@@ -2110,23 +2145,41 @@ class PallasBatchAligner:
         the pair prefix is the dominant transfer."""
         assert self.expect
         T, WB, S, RB = self.T, self.WB, self.S, self.RB
+        estack = ebnd = None
+        if self.estream:
+            from signalalign_tpu.ops.emission_stream import \
+                hdp_emission_stacks
+            estack, ebnd = hdp_emission_stacks(
+                *self.stream_in, self.hdp_dens, self.hdp_slopes,
+                self.hdp_grid, T=T, WBe=self.WBe)
         fstack, f_incr, f_lse = pallas_forward_b(
             self.geom, self.refwin, self.evinit_f, self.evins_f, self.pack,
-            self.lseflag, None, None, WB=WB, T=T, S=S, RB=RB,
-            interpret=self.interpret, log_space=True, expect=True)
+            self.lseflag, None, estack, WB=WB, T=T, S=S, RB=RB,
+            interpret=self.interpret, log_space=True,
+            estream=self.estream, expect=True)
         cvecf = _cvecf_expect(f_incr, f_lse, self.n_diag, T=T)
-        postlog, b_incr, b_lse, fmax, texp8, kexp_t = pallas_backward_b(
+        bouts = pallas_backward_b(
             self.geom, self.refwin, self.evinit_b, self.evins_b, self.pack,
-            fstack, None, None, None, cvecf, self.ivar,
+            fstack, None, estack, ebnd, cvecf,
+            None if self.estream else self.ivar,
             WB=WB, T=T, S=S, RB=RB, fuse_post=True,
-            interpret=self.interpret, log_space=True, expect=True)
+            interpret=self.interpret, log_space=True,
+            estream=self.estream, expect=True)
+        if self.estream:
+            postlog, b_incr, b_lse, fmax, texp8 = bouts
+            kexp_t = None
+        else:
+            postlog, b_incr, b_lse, fmax, texp8, kexp_t = bouts
         cvec, tf_hi, tf_lo, tb_hi, tb_lo = _totals_cvec_df(
             f_incr, b_incr, f_lse, b_lse, self.n_diag, T=T)
         cvec = cvec + fmax
         del fstack
-        K = self.num_kmers
-        kexp_dev = _kexp_reduce(kexp_t, self.kexp_ids, K=K)
-        del kexp_t
+        if kexp_t is None:
+            kexp_dev = jnp.zeros((self.G, S, 3, 1), jnp.float32)
+        else:
+            kexp_dev = _kexp_reduce(kexp_t, self.kexp_ids,
+                                    K=self.num_kmers)
+            del kexp_t
         log_thr = jnp.float32(np.log(max(threshold, 1e-300)))
         buf, counts, overflow = _compact_chunked(
             postlog, cvec, self.xoffs, self.widths, self.n_diag, log_thr,

@@ -228,10 +228,13 @@ def run_alignment_batch(
         # divisor of the 128-lane tile)
         PP = {1: 1, 2: 2, 3: 4, 4: 4}.get(P, 0)
         # EM expectation passes ride the lane kernels too (in-kernel
-        # texp/kexp accumulation) for Gaussian P=1 segments
+        # texp/kexp accumulation) for P=1 Gaussian segments, and for
+        # P=1 HDP segments (threeStateHdp training: in-kernel texp,
+        # assignments from the same pass's compacted pairs)
         expect = bool(config.compute_expectations)
         exp_ok = (P == 1
-                  and config.emission_mode == bfb.MODE_MEAN_ONLY)
+                  and config.emission_mode in (bfb.MODE_MEAN_ONLY,
+                                               bfb.MODE_HDP))
         pallas_ok = (use_pallas and 1 <= P <= 4
                      and config.emission_mode in (bfb.MODE_MEAN_ONLY,
                                                   bfb.MODE_HDP)

@@ -429,3 +429,44 @@ def test_pallas_v2_expectations_match_scan(r94_model):
         sp = bfb.extract_aligned_pairs(p, x["post"], 0.01)
         assert set((a, b) for _, a, b, _ in sp) \
             == set((a, b) for _, a, b, _ in r["pairs"])
+
+
+def test_pallas_v2_hdp_expectations_match_scan():
+    """In-kernel EM on HDP emission streams (threeStateHdp training):
+    the backward kernel's transition-posterior accumulation must match
+    banded_fb._expectations_core under MODE_HDP, with the same pass
+    still compacting the assignment pairs (kexp is zeros: HDP emissions
+    train via Gibbs on assignments, not Gaussian moments —
+    continuousHmm.c hdpHmm expectations carry transitions only)."""
+    from signalalign_tpu.models.hdp_model import load_nhdp
+    from signalalign_tpu.ops.banded_fb_pallas_batch import PallasBatchAligner
+    hdp = load_nhdp("/root/reference/models/templateSingleLevelFixed.nhdp")
+    model = PoreModel.from_file(
+        os.path.join(MODELS, "testModelR73_acegot_template.model"))
+    rng = np.random.default_rng(11)
+    probs = []
+    for i in range(3):
+        seq = "".join(rng.choice(list("ACGT"), size=120))
+        ids = model.alphabet.seq_to_kmer_ids(seq)
+        ev = np.stack([model.level_mean[ids] + rng.normal(0, 1.5, len(ids)),
+                       np.ones(len(ids)), np.full(len(ids), .005),
+                       np.arange(len(ids)) * .005], 1)
+        anchors = [(j, j) for j in range(10, len(ids) - 10, 15)]
+        probs.append(bfb.prepare_problem(
+            seq, ev, model, ScalingParams(shift=1.0 + 0.1 * i, var=1.05),
+            DEFAULT_AMBIG_BASES, W=128, Dpad=288, P=1,
+            mode=bfb.MODE_HDP, anchor_pairs=anchors, expansion=8, hdp=hdp))
+    al = PallasBatchAligner(probs, W=128, T=48, S=4, RB=256,
+                            interpret=True, log_space=True, expect=True)
+    res = al.execute_expect(compact_k=1024)()
+    for i, p in enumerate(probs):
+        x = bfb.run_banded_fb(p, W=128, P=1, with_expectations=True)
+        r = res[i]
+        assert math.isclose(r["total_f"], x["total_f"], rel_tol=1e-5)
+        assert math.isclose(r["total_b"], x["total_b"], rel_tol=1e-5)
+        np.testing.assert_allclose(r["texp"], x["texp"],
+                                   rtol=2e-4, atol=5e-3)
+        assert not np.any(r["kexp"])
+        sp = bfb.extract_aligned_pairs(p, x["post"], 0.01)
+        assert set((a, b) for _, a, b, _ in sp) \
+            == set((a, b) for _, a, b, _ in r["pairs"])
