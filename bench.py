@@ -116,8 +116,9 @@ def build_workload():
 
 def build_expect_workload():
     """EM expectation buckets: the bundled 1D reads prepped exactly as
-    em_train runs them (compute_expectations, segments capped at 7000
-    diagonals, W <= 512 lane-kernel gate)."""
+    em_train runs them (compute_expectations, segments capped at 3200
+    diagonals — the 32-bit stack-DMA bound, see em_train — and the
+    W <= 512 lane-kernel gate)."""
     import dataclasses
 
     from signalalign_tpu.io.guide import guide_from_sam_record
@@ -131,7 +132,7 @@ def build_expect_workload():
     model = PoreModel.from_file(MODEL)
     reference = ProcessedReference(_ecoli_fasta())
     config = AlignmentConfig(compute_expectations=True,
-                             max_segment_diagonals=7000)
+                             max_segment_diagonals=3200)
     pairs = filter_reads(os.path.join(ONED, "1D.bam"),
                          os.path.join(ONED, "1D.fastq.index.readdb"), [ONED])
     buckets = defaultdict(list)
@@ -191,13 +192,15 @@ def build_methyl_workload():
                 _, _, _, _, tasks = prepare_read(r2.template, g, ambig_ref,
                                                  model, cfg, hdp=hdp)
                 for (_, problem, W, Dpad, P) in tasks:
-                    if W <= 1024 and P <= 2:
+                    # real zymo segments expand to P=4 (adjacent CpGs
+                    # sharing a kmer window), the paths-in-lanes max
+                    if W <= 1024 and P <= 4:
                         buckets[(W, Dpad, P)].append(problem)
             except Exception:
                 continue
     out = []
     for (W, Dpad, P), probs in sorted(buckets.items()):
-        PP = {1: 1, 2: 2}[P]
+        PP = {1: 1, 2: 2, 3: 4, 4: 4}[P]
         lanes = 128 // PP        # problems per 128-lane stripe
         padded = []
         i = 0

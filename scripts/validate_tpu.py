@@ -155,7 +155,7 @@ def drive_expect():
     for W, kind, probs in wl:
         if kind != "v2" or W > 512:
             continue
-        if max(p.n_diag for p in probs) > 7000:
+        if max(p.n_diag for p in probs) > 3200:
             continue   # em_train caps segment length below this
         K = max(((3 * max(p.lY for p in probs) + 127) // 128) * 128, 1024)
         al = PallasBatchAligner(probs, W=W, T=120, S=128, RB=256,
@@ -180,7 +180,7 @@ def drive_expect():
     for W, P, probs in b.build_methyl_workload():
         if P != 1 or W > 512:
             continue
-        if max(p.n_diag for p in probs) > 7000:
+        if max(p.n_diag for p in probs) > 3200:
             continue
         K = max(((3 * max(p.lY for p in probs) + 127) // 128) * 128, 1024)
         al = PallasBatchAligner(probs, W=W, T=120, S=128, RB=256,

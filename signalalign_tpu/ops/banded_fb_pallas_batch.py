@@ -1825,6 +1825,19 @@ class PallasBatchAligner:
         NT = per[0][0].shape[0]      # geom_t is (NT, T, NGEOM)
         Dp1p = NT * T
         self.Dp1p = Dp1p
+        # per-diagonal manual DMA into the forward stack addresses the
+        # array by a 32-bit byte offset: stacks past 4GB fault the TPU
+        # worker (measured: W=512 expect, Dp1p 4080 = 4.76GB crashes;
+        # Dp1p 1920 = 2.24GB and W=256 Dp1p 4800 = 3.71GB are fine).
+        # Raise so dispatchers fall back to the XLA kernels / shorter
+        # segment splits instead of crashing the device.
+        fstack_b = Dp1p * (3 if expect else 1) * WB * S * 4
+        if fstack_b > float(os.environ.get(
+                "SIGNALALIGN_TPU_MAX_STACK_DMA", 4.2e9)):
+            raise ValueError(
+                f"forward-stack DMA offsets exceed 32 bits "
+                f"(Dp1p={Dp1p}, WB={WB}: {fstack_b / 1e9:.2f}GB > 4GB); "
+                f"split segments shorter")
 
         def stack_lane(build_one, shape):
             out = np.zeros((G,) + shape + (S,), dtype=np.float32)

@@ -149,10 +149,13 @@ def em_train(
     config = config or AlignmentConfig()
     # the expectation kernels stream 3-state f32 forward stacks (~2.3x
     # the inference stacks); shorter segments keep full 128-lane stripes
-    # inside the HBM budget (splitting at anchor gaps is exact)
+    # inside the HBM budget (splitting at anchor gaps is exact) AND the
+    # per-diagonal stack DMA offsets inside 32 bits (stacks past 4GB
+    # fault the TPU worker: 3200 diagonals keeps W<=512 expect stacks
+    # at <= 4.0GB, the measured-safe bound)
     config = dataclasses.replace(
         config, compute_expectations=True,
-        max_segment_diagonals=min(config.max_segment_diagonals, 7000))
+        max_segment_diagonals=min(config.max_segment_diagonals, 3200))
     likelihoods: List[float] = []
     lls: List[float] = []
     history: List[np.ndarray] = []
