@@ -211,39 +211,71 @@ def build_methyl_workload():
     return out
 
 
+_JITTER_SEQ = None
+
+
+def _jitter_inputs(al, r):
+    """Give each rep's dispatches distinct input buffers: the axon
+    backend CACHES executions keyed on (executable, input buffers), so
+    repeated identical dispatches return instantly and a naive rep loop
+    times only host round-trips (measured: identical reps "ran" at
+    333 Mev/s, jittered reps at 2.6 Mev/s). +1e-7*r nats on the packed
+    transition scalars perturbs posteriors by < 1e-6 while invalidating
+    the cache for the whole downstream chain."""
+    import jax.numpy as jnp
+    if not hasattr(al, "_bench_pack0"):
+        al._bench_pack0 = al.pack
+    al.pack = al._bench_pack0 + jnp.float32(1e-7 * r)
+
+
+def _next_jitter():
+    global _JITTER_SEQ
+    _JITTER_SEQ = (_JITTER_SEQ or 0) + 1
+    return _JITTER_SEQ
+
+
+def _force_chains(device_arrays_list):
+    """Force execution of every dispatched chain via a DATA DEPENDENCY
+    (a device-side reduce over all result arrays), then block once.
+    block_until_ready on the last dispatch alone is NOT sufficient on
+    this backend (it does not imply earlier chains ran), and blocking
+    per chain costs a ~45ms round-trip each."""
+    import jax
+    import jax.numpy as jnp
+    tot = None
+    for da in device_arrays_list:
+        for a in da:
+            s = jnp.sum(a.astype(jnp.float32))
+            tot = s if tot is None else tot + s
+    return jax.block_until_ready(tot)
+
+
 def _pipelined_device_only(aligners, reps):
-    """Steady-state device-only throughput over (aligner, K) pairs."""
-    from signalalign_tpu.ops.banded_fb_pallas_batch import stack_bytes
-    HBM_PIPE = 12e9
+    """Steady-state device-only throughput over (aligner, K) pairs.
+
+    Dispatch is async; per-dispatch fetches would add a ~45ms tunnel
+    round-trip each — an artifact this projection (PCIe-attached
+    hosts, ~us round-trips) excludes. Each rep runs on jittered inputs
+    (execution cache, see _jitter_inputs) and completion is forced by
+    data dependency; results are decoded/validated after the timer."""
 
     def run(n):
-        pending = []
-        inflight = 0
+        fins = []
         for _ in range(n):
+            r = _next_jitter()
             for al, K, execute in aligners:
-                nb = stack_bytes(max(p.n_diag for p in al.problems),
-                                 al.W, al.S, al.T)
-                if al.expect:
-                    # 3-state f32 forward stack (runner.py applies the
-                    # same correction): two in-flight expect stacks at
-                    # the plain estimate would blow the 13GB HBM budget
-                    nb = nb * 14 // 6
-                while pending and (len(pending) > 1
-                                   or inflight + nb > HBM_PIPE):
-                    fin, nb0 = pending.pop(0)
-                    fin()
-                    inflight -= nb0
-                pending.append((execute(), nb))
-                inflight += nb
-        while pending:
-            fin, nb0 = pending.pop(0)
-            fin()
-            inflight -= nb0
+                _jitter_inputs(al, r)
+                fins.append(execute())
+        _force_chains([f.device_arrays for f in fins])
+        return fins
 
     run(1)      # compile
     t0 = time.perf_counter()
-    run(reps)
-    return time.perf_counter() - t0
+    fins = run(reps)
+    dt = time.perf_counter() - t0
+    for fin in fins[-len(aligners):]:
+        fin()   # decode + finiteness sniff outside the timed region
+    return dt
 
 
 def bench_expect(reps):
@@ -352,8 +384,11 @@ def main():
             fetched_pairs += sum(len(r["pairs_arrays"][0]) for r in res)
 
         for _ in range(n_reps):
+            r = _next_jitter()   # defeat the execution cache per rep
             for al, K, kind in aligners:
                 nb = al_bytes(al, kind)
+                if kind == "v2":
+                    _jitter_inputs(al, r)
                 # pipeline depth bounded by in-flight DP-stack HBM
                 while pending and (len(pending) > 1
                                    or inflight + nb > HBM_PIPE):
@@ -363,7 +398,7 @@ def main():
                                                      as_arrays=True), nb))
                 else:
                     res = al.execute(compact_k=K, as_arrays=True)
-                    pending.append((lambda r=res: r, 0))
+                    pending.append((lambda r_=res: r_, 0))
                 inflight += nb
         while pending:
             finish_one()
@@ -377,34 +412,34 @@ def main():
     e2e_events_per_s = total_events * reps / e2e_s
 
     # ---- device-compute-only (totals/counts fetch only; v2 buckets) ----
+    # Each rep runs on jittered inputs (the backend caches executions
+    # keyed on input buffers — identical reps time nothing, see
+    # _jitter_inputs) and completion is forced by a device-side reduce
+    # over every chain's results with ONE final block: per-dispatch
+    # blocking would add a ~45ms tunnel round-trip per bucket per rep —
+    # an artifact of this environment's host link, which the compute
+    # projection (PCIe-attached production hosts, ~us round-trips)
+    # correctly excludes. Decode + finiteness checks run after the
+    # timer stops.
     def run_compute(n_reps):
-        pending = []
-        inflight = 0
-
-        def finish_one():
-            nonlocal inflight
-            fin, nb = pending.pop(0)
-            inflight -= nb
-            tf, _ = fin()
-            assert np.isfinite(tf).all()
-
+        fins = []
         for _ in range(n_reps):
+            r = _next_jitter()
             for al, K, kind in aligners:
                 if kind != "v2":
                     continue
-                nb = al_bytes(al, kind)
-                while pending and (len(pending) > 1
-                                   or inflight + nb > HBM_PIPE):
-                    finish_one()
-                pending.append((al.execute_device_only(compact_k=K), nb))
-                inflight += nb
-        while pending:
-            finish_one()
+                _jitter_inputs(al, r)
+                fins.append(al.execute_device_only(compact_k=K))
+        _force_chains([f.device_arrays for f in fins])
+        return fins
 
     run_compute(1)  # compile
     t0 = time.perf_counter()
-    run_compute(reps)
+    fins = run_compute(reps)
     comp_s = time.perf_counter() - t0
+    for fin in fins[-len(aligners):]:
+        tf, _ = fin()
+        assert np.isfinite(tf).all()
     comp_events_per_s = v2_events * reps / comp_s
 
     # ---- flagship workloads: EM expectations + HDP/P=2 methylation ----
@@ -434,6 +469,11 @@ def main():
                     f"{sum(len(p) for *_, p in workload)} lanes, "
                     f"{total_events} events/rep, all bundled 1D reads",
         "aligned_pairs_per_rep": int(pairs_per_rep),
+        # r01/r02 numbers were artifacts of this env's execution cache +
+        # per-dispatch round-trips (see BASELINE.md measurement note);
+        # r03+ runs jittered inputs with data-dependency forcing
+        "measurement_notes": "honest since r03 (cache-busted, "
+                             "dependency-forced; see BASELINE.md)",
     }
     if expect_eps is not None:
         out["expect_events_per_s"] = round(expect_eps, 1)

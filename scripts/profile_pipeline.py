@@ -82,10 +82,21 @@ def main():
         names = ["fwd", "+bwd", "+totals", "+compact"]
         prev = 0.0
         stages = []
+        pack0 = al.pack
+        jit_ctr = [0]
+
+        def jitter():
+            # the backend caches executions on (executable, inputs):
+            # identical repeats time ~nothing (see bench._jitter_inputs)
+            jit_ctr[0] += 1
+            al.pack = pack0 + jnp.float32(1e-7 * jit_ctr[0])
+
         for n in range(4):
+            jitter()
             run_prefix(n)   # compile
             t0 = time.perf_counter()
             for _ in range(reps):
+                jitter()
                 run_prefix(n)
             dt = (time.perf_counter() - t0) / reps
             stages.append(dt - prev)

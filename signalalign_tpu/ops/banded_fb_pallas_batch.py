@@ -2047,7 +2047,10 @@ class PallasBatchAligner:
         cvec = cvec + fmax
         del fstack  # free the forward stack before compaction peaks
         C = max(T, 1)
-        log_thr = jnp.float32(np.log(max(threshold, 1e-300)))
+        # plain host float: a jnp scalar here cost a synchronous
+        # ~45ms device fetch per dispatch when the rank path
+        # re-read it as a static arg (float(log_thr))
+        log_thr = float(np.log(max(threshold, 1e-300)))
         buf, counts, overflow = _compact_chunked(
             postlog, cvec, self.xoffs, self.widths, self.n_diag, log_thr,
             K=compact_k, C=C, pack16=pack16, interpret=self.interpret)
@@ -2056,6 +2059,13 @@ class PallasBatchAligner:
         totals = jnp.stack([tf_hi, tf_lo, tb_hi, tb_lo,
                             counts.astype(jnp.float32),
                             overflow.astype(jnp.float32)])
+        # start the tiny totals D2H as soon as the device reaches it:
+        # its ~45ms tunnel round-trip then overlaps the remaining queue
+        # instead of serializing inside finish()
+        try:
+            totals.copy_to_host_async()
+        except Exception:
+            pass
 
         def finish():
             (total_f, total_b, counts_h, overflow_h, p_h,
@@ -2095,7 +2105,10 @@ class PallasBatchAligner:
             f_incr, b_incr, f_lse, b_lse, self.n_diag, T=T, PP=self.PP)
         cvec = cvec + fmax
         del fstack
-        log_thr = jnp.float32(np.log(max(threshold, 1e-300)))
+        # plain host float: a jnp scalar here cost a synchronous
+        # ~45ms device fetch per dispatch when the rank path
+        # re-read it as a static arg (float(log_thr))
+        log_thr = float(np.log(max(threshold, 1e-300)))
         _, counts, _ = _compact_chunked(postlog, cvec, self.xoffs,
                                         self.widths, self.n_diag, log_thr,
                                         K=compact_k, C=max(T, 1),
@@ -2105,6 +2118,11 @@ class PallasBatchAligner:
         def finish():
             th = np.asarray(totals, dtype=np.float64)
             return th[0] + th[1] + self.ev_off, np.asarray(counts)
+        # the tiny result arrays, exposed so callers can block on device
+        # completion without paying a host round-trip per dispatch (the
+        # tunnel RTT here is ~45ms; PCIe-attached production hosts pay
+        # microseconds) — see bench.run_compute
+        finish.device_arrays = (totals, counts)
         return finish
 
     def _fetch_packed(self, totals, buf, compact_k, pack16=False):
@@ -2193,13 +2211,22 @@ class PallasBatchAligner:
             kexp_dev = _kexp_reduce(kexp_t, self.kexp_ids,
                                     K=self.num_kmers)
             del kexp_t
-        log_thr = jnp.float32(np.log(max(threshold, 1e-300)))
+        # plain host float: a jnp scalar here cost a synchronous
+        # ~45ms device fetch per dispatch when the rank path
+        # re-read it as a static arg (float(log_thr))
+        log_thr = float(np.log(max(threshold, 1e-300)))
         buf, counts, overflow = _compact_chunked(
             postlog, cvec, self.xoffs, self.widths, self.n_diag, log_thr,
             K=compact_k, C=max(T, 1), interpret=self.interpret)
         totals = jnp.stack([tf_hi, tf_lo, tb_hi, tb_lo,
                             counts.astype(jnp.float32),
                             overflow.astype(jnp.float32)])
+        try:
+            totals.copy_to_host_async()     # overlap the D2H round-trip
+            texp8.copy_to_host_async()
+            kexp_dev.copy_to_host_async()
+        except Exception:
+            pass
 
         def finish():
             if fetch_pairs:
@@ -2229,6 +2256,7 @@ class PallasBatchAligner:
                 r["texp"] = te
                 r["kexp"] = kexp_h[gi, si]          # (3, K)
             return results
+        finish.device_arrays = (totals, texp8, kexp_dev)
         return finish
 
     def _decode_packed(self, p_h, cell_h, counts_h, total_f, total_b,
