@@ -2024,7 +2024,8 @@ class PallasBatchAligner:
                 hdp_emission_stacks
             estack, ebnd = hdp_emission_stacks(
                 *self.stream_in, self.hdp_dens, self.hdp_slopes,
-                self.hdp_grid, T=T, WBe=self.WBe)
+                self.hdp_grid, T=T, WBe=self.WBe,
+                interpret=self.interpret)
         fstack, f_incr, f_lse = pallas_forward_b(
             self.geom, self.refwin, self.evinit_f, self.evins_f, self.pack,
             self.lseflag, self.legf, estack, WB=WB, T=T, S=S, RB=RB,
@@ -2089,7 +2090,8 @@ class PallasBatchAligner:
                 hdp_emission_stacks
             estack, ebnd = hdp_emission_stacks(
                 *self.stream_in, self.hdp_dens, self.hdp_slopes,
-                self.hdp_grid, T=T, WBe=self.WBe)
+                self.hdp_grid, T=T, WBe=self.WBe,
+                interpret=self.interpret)
         fstack, f_incr, f_lse = pallas_forward_b(
             self.geom, self.refwin, self.evinit_f, self.evins_f, self.pack,
             self.lseflag, self.legf, estack, WB=WB, T=T, S=S, RB=RB,
@@ -2182,7 +2184,8 @@ class PallasBatchAligner:
                 hdp_emission_stacks
             estack, ebnd = hdp_emission_stacks(
                 *self.stream_in, self.hdp_dens, self.hdp_slopes,
-                self.hdp_grid, T=T, WBe=self.WBe)
+                self.hdp_grid, T=T, WBe=self.WBe,
+                interpret=self.interpret)
         fstack, f_incr, f_lse = pallas_forward_b(
             self.geom, self.refwin, self.evinit_f, self.evins_f, self.pack,
             self.lseflag, None, estack, WB=WB, T=T, S=S, RB=RB,
