@@ -212,42 +212,58 @@ def build_methyl_workload():
 
 
 _JITTER_SEQ = None
+# per-process base: the execution cache persists ACROSS processes, so a
+# deterministic jitter sequence would let a later bench run replay an
+# earlier run's cached chains
+_JITTER_BASE = (time.time() % 997.0) / 997.0
 
 
 def _jitter_inputs(al, r):
     """Give each rep's dispatches distinct input buffers: the axon
-    backend CACHES executions keyed on (executable, input buffers), so
-    repeated identical dispatches return instantly and a naive rep loop
-    times only host round-trips (measured: identical reps "ran" at
-    333 Mev/s, jittered reps at 2.6 Mev/s). +1e-7*r nats on the packed
-    transition scalars perturbs posteriors by < 1e-6 while invalidating
-    the cache for the whole downstream chain."""
+    backend CACHES executions keyed on (executable, input buffers) —
+    ACROSS PROCESSES — so repeated identical dispatches return
+    instantly and a naive rep loop times only host round-trips
+    (measured: identical reps "ran" at 333 Mev/s, jittered at 2.6).
+    The jitter must be MULTIPLICATIVE: an additive 1e-7 is below half a
+    f32 ULP for entries of magnitude >= ~1.7, so a pack with no
+    small-magnitude entries rounds back to bit-identical bytes and the
+    cache serves it (observed: a 14 Mev/s phantom methyl result).
+    (1 + 1e-6*r) moves every normal nonzero element while perturbing
+    log-probs (and, for HDP streams, the location params) by ~1e-6
+    relative — numerically irrelevant."""
     import jax.numpy as jnp
+    f = jnp.float32(1.0 + 1e-6 * r)
     if not hasattr(al, "_bench_pack0"):
         al._bench_pack0 = al.pack
-    al.pack = al._bench_pack0 + jnp.float32(1e-7 * r)
+    al.pack = al._bench_pack0 * f
+    if getattr(al, "estream", False):
+        if not hasattr(al, "_bench_muw0"):
+            al._bench_muw0 = al.stream_in[1]
+        si = list(al.stream_in)
+        si[1] = al._bench_muw0 * f
+        al.stream_in = tuple(si)
 
 
 def _next_jitter():
     global _JITTER_SEQ
     _JITTER_SEQ = (_JITTER_SEQ or 0) + 1
-    return _JITTER_SEQ
+    return _JITTER_SEQ + _JITTER_BASE
 
 
 def _force_chains(device_arrays_list):
     """Force execution of every dispatched chain via a DATA DEPENDENCY
-    (a device-side reduce over all result arrays), then block once.
-    block_until_ready on the last dispatch alone is NOT sufficient on
-    this backend (it does not imply earlier chains ran), and blocking
-    per chain costs a ~45ms round-trip each."""
-    import jax
+    (a device-side reduce over all result arrays), then FETCH the
+    reduced scalar once. block_until_ready is NOT a reliable forcing
+    mechanism on this backend (observed returning immediately with the
+    chain unexecuted); a data fetch provably forces. Blocking/fetching
+    per chain would cost a ~45ms round-trip each."""
     import jax.numpy as jnp
     tot = None
     for da in device_arrays_list:
         for a in da:
             s = jnp.sum(a.astype(jnp.float32))
             tot = s if tot is None else tot + s
-    return jax.block_until_ready(tot)
+    return float(np.asarray(tot))
 
 
 def _pipelined_device_only(aligners, reps):
@@ -298,7 +314,13 @@ def bench_expect(reps):
 
 
 def bench_methyl(reps):
-    """HDP + P=2 methylation-calling throughput (device-only)."""
+    """HDP + P<=4 methylation-calling throughput (device-only).
+
+    Counts READ events (not path-expanded lanes): a P=4 CpG workload
+    does 4x the DP work per event, and the bundled zymo reads are short
+    (~600 events vs ~4k for the 1D posterior buckets), so this figure
+    is inherently far below the P=1 posterior number at equal device
+    utilization."""
     from signalalign_tpu.ops.banded_fb_pallas_batch import \
         PallasBatchAligner
     wl = build_methyl_workload()

@@ -65,19 +65,24 @@ def main():
                 K=K, C=T)
             return counts, tf_hi
 
-        # prefix-diff: fwd | fwd+bwd | fwd+bwd+tot | full
+        # prefix-diff: fwd | fwd+bwd | fwd+bwd+tot | full. Completion is
+        # forced by FETCHING a device-side sum (block_until_ready is not
+        # a reliable forcing mechanism on this backend).
+        def force(a):
+            float(np.asarray(jnp.sum(a.astype(jnp.float32))))
+
         def run_prefix(n):
             fwd = stage_fwd()
             if n == 0:
-                jax.block_until_ready(fwd[1]); return
+                force(fwd[1]); return
             bwd = stage_bwd(fwd)
             if n == 1:
-                jax.block_until_ready(bwd[1]); return
+                force(bwd[1]); return
             t = stage_tot(bwd)
             if n == 2:
-                jax.block_until_ready(t[2]); return
+                force(t[2]); return
             c = stage_comp(t)
-            jax.block_until_ready(c[0])
+            force(c[0])
 
         names = ["fwd", "+bwd", "+totals", "+compact"]
         prev = 0.0
@@ -86,10 +91,13 @@ def main():
         jit_ctr = [0]
 
         def jitter():
-            # the backend caches executions on (executable, inputs):
-            # identical repeats time ~nothing (see bench._jitter_inputs)
+            # the backend caches executions on (executable, inputs) —
+            # across processes; the jitter must be multiplicative (an
+            # additive 1e-7 is sub-ULP for entries >= ~1.7 and rounds
+            # away) and per-process unique (see bench._jitter_inputs)
             jit_ctr[0] += 1
-            al.pack = pack0 + jnp.float32(1e-7 * jit_ctr[0])
+            al.pack = pack0 * jnp.float32(
+                1.0 + 1e-6 * (jit_ctr[0] + time.time() % 1.0))
 
         for n in range(4):
             jitter()
