@@ -4,6 +4,10 @@ each measured prefix of the chain ends in a tiny scalar reduction
 FETCHED to host (np.asarray) — real execution, ~4 bytes of transfer.
 Stage cost = difference between consecutive prefixes.
 
+Every rep runs on jittered inputs: the axon backend caches executions
+keyed on (executable, input buffers) ACROSS PROCESSES, so identical
+reps return instantly and time nothing (see bench._jitter_inputs).
+
 Run serially (no other TPU process) — concurrent tunnel use skews
 measurements.
 """
@@ -51,6 +55,7 @@ def main():
             return jnp.sum(x[..., ::17].astype(jnp.float32))
 
         def prefix(depth):
+            b._jitter_inputs(al, b._next_jitter())
             fstack, f_incr, f_lse = pallas_forward_b(
                 al.geom, al.refwin, al.evinit_f, al.evins_f, al.pack,
                 al.lseflag, None, None, WB=WB, T=T, S=S, RB=RB,

@@ -21,7 +21,10 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.experimental.shard_map import shard_map
+try:                                   # jax >= 0.8 moved shard_map to core
+    from jax import shard_map
+except ImportError:                    # pragma: no cover - older jax
+    from jax.experimental.shard_map import shard_map
 from jax.sharding import Mesh, PartitionSpec as PS
 
 from signalalign_tpu.ops import banded_fb as bfb
