@@ -462,7 +462,15 @@ long sa_hdp_gibbs(const double* data, const long* data_dp, long n_data,
                   const double* gamma_alpha, const double* gamma_beta,
                   long tree_depth,
                   double* out_density, unsigned char* out_observed,
-                  double* out_gamma, double* out_w, unsigned char* out_s) {
+                  double* out_gamma, double* out_w, unsigned char* out_s,
+                  // final CRF seating state (nullable): per-datum leaf
+                  // table, per-table dp id / parent table (compacted ids;
+                  // -1 parent at base). Enables serializing the factor
+                  // tree in the reference's .nhdp layout
+                  // (serialize_factor_tree_internal, hdp.c:2868-2916).
+                  long* out_data_table, long* out_table_dp,
+                  long* out_table_parent, long* out_n_tables,
+                  long max_tables) {
     HdpState h;
     h.num_dps = num_dps;
     h.parent.assign(parent, parent + num_dps);
@@ -624,6 +632,27 @@ long sa_hdp_gibbs(const double* data, const long* data_dp, long n_data,
     }
     if (out_w) for (long d = 0; d < num_dps; ++d) out_w[d] = w_aux[d];
     if (out_s) for (long d = 0; d < num_dps; ++d) out_s[d] = s_aux[d];
+    if (out_data_table && out_table_dp && out_table_parent
+        && out_n_tables) {
+        // export the final seating: compact live table ids
+        std::vector<long> remap(h.tables.size(), -1);
+        long nt = 0;
+        for (long d = 0; d < num_dps; ++d)
+            for (long tid : h.dp_tables[d]) {
+                if (nt >= max_tables) return -2;
+                remap[tid] = nt;
+                out_table_dp[nt] = h.tables[tid].dp;
+                ++nt;
+            }
+        for (long d = 0; d < num_dps; ++d)
+            for (long tid : h.dp_tables[d]) {
+                long p = h.tables[tid].parent_table;
+                out_table_parent[remap[tid]] = (p >= 0) ? remap[p] : -1;
+            }
+        for (long i = 0; i < n_data; ++i)
+            out_data_table[i] = remap[assignment[i]];
+        *out_n_tables = nt;
+    }
     return 0;
 }
 
@@ -766,6 +795,337 @@ long sa_sw_align(const char* query, long lq, const char* ref, long lr,
     }
     *out_qs = i; *out_qe = bi;
     *out_rs = j; *out_re = bj;
+    *out_nops = nops;
+    *out_score = best;
+    return 0;
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Seeded guide alignment: minimizer index + anchor chaining + banded SW.
+//
+// Genome-scale replacement for the full-DP sa_sw_align when mapping reads
+// without a BAM record: the reference gets anchors from seed-and-extend
+// lastz (impl/pairwiseAligner.c:1660-1703 getBlastPairs) or an indexed
+// `bwa mem` (src/signalalign/utils/bwaWrapper.py:14-120). Here: (1) an
+// (hash, position)-sorted minimizer index of the forward reference
+// (minimap2-style (k, w) minimizers); (2) query minimizers looked up per
+// strand, chained with a sparse gap-cost DP; (3) the winning chain's
+// diagonal corridor refined by a banded affine-gap Smith-Waterman with
+// traceback. O(lr) index build once, O(lq + chain) per read.
+// ---------------------------------------------------------------------------
+
+#include <algorithm>
+#include <cstdlib>
+
+namespace {
+
+struct MinIdx {
+    int k = 15, w = 10;
+    // minimizers sorted by hash; pos is the kmer start on the fwd strand
+    std::vector<uint64_t> hash;
+    std::vector<int64_t> pos;
+};
+
+static inline uint64_t mix64(uint64_t key, uint64_t mask) {
+    // invertible integer hash (Wang), masked to 2k bits
+    key = (~key + (key << 21)) & mask;
+    key = key ^ (key >> 24);
+    key = ((key + (key << 3)) + (key << 8)) & mask;
+    key = key ^ (key >> 14);
+    key = ((key + (key << 2)) + (key << 4)) & mask;
+    key = key ^ (key >> 28);
+    key = (key + (key << 31)) & mask;
+    return key;
+}
+
+static inline int base2(char c) {
+    switch (c) {
+        case 'A': case 'a': return 0;
+        case 'C': case 'c': return 1;
+        case 'G': case 'g': return 2;
+        case 'T': case 't': case 'U': case 'u': return 3;
+    }
+    return -1;
+}
+
+// (hash, kmer start) minimizers of seq, appended to out_h/out_p.
+static void minimizers(const char* seq, long n, int k, int w,
+                       std::vector<uint64_t>& out_h,
+                       std::vector<int64_t>& out_p) {
+    const uint64_t mask = (k < 32) ? ((1ULL << (2 * k)) - 1) : ~0ULL;
+    uint64_t km = 0;
+    long run = 0;
+    // ring buffer of the last w kmer hashes
+    std::vector<uint64_t> rh(w);
+    std::vector<int64_t> rp(w);
+    long filled = 0;
+    int64_t last_emit = -1;
+    for (long i = 0; i < n; ++i) {
+        int b = base2(seq[i]);
+        if (b < 0) { run = 0; filled = 0; continue; }
+        km = ((km << 2) | (uint64_t)b) & mask;
+        if (++run < k) continue;
+        long kstart = i - k + 1;
+        uint64_t h = mix64(km, mask);
+        rh[(size_t)(filled % w)] = h;
+        rp[(size_t)(filled % w)] = kstart;
+        ++filled;
+        if (filled < w) continue;
+        // window minimum (w is small; linear scan)
+        uint64_t mh = ~0ULL;
+        int64_t mp = -1;
+        for (int j = 0; j < w; ++j)
+            if (rh[j] < mh || (rh[j] == mh && rp[j] > mp)) {
+                mh = rh[j]; mp = rp[j];
+            }
+        if (mp != last_emit) {
+            out_h.push_back(mh);
+            out_p.push_back(mp);
+            last_emit = mp;
+        }
+    }
+}
+
+struct Anchor { int64_t q, r; };
+
+// best chain over anchors (sorted by r then q): minimap2-style DP with a
+// bounded lookback. Returns score; fills [qs, qe), [rs, re) of the chain.
+static double chain(std::vector<Anchor>& a, int k,
+                    int64_t* qs, int64_t* qe, int64_t* rs, int64_t* re) {
+    if (a.empty()) return 0.0;
+    std::sort(a.begin(), a.end(), [](const Anchor& x, const Anchor& y) {
+        return x.r != y.r ? x.r < y.r : x.q < y.q;
+    });
+    const long n = (long)a.size();
+    const long LOOKBACK = 64;
+    const int64_t MAX_GAP = 5000;
+    std::vector<double> f(n);
+    std::vector<long> pre(n, -1);
+    double best = -1.0;
+    long bi = 0;
+    for (long i = 0; i < n; ++i) {
+        f[i] = k;
+        for (long j = i - 1; j >= 0 && j >= i - LOOKBACK; --j) {
+            int64_t dr = a[i].r - a[j].r;
+            int64_t dq = a[i].q - a[j].q;
+            if (dq <= 0 || dr <= 0 || dq > MAX_GAP || dr > MAX_GAP)
+                continue;
+            int64_t dd = dr > dq ? dr - dq : dq - dr;
+            double gain = (double)std::min(std::min(dq, dr), (int64_t)k)
+                          - 0.05 * (double)dd
+                          - 0.01 * (double)std::max(dq, dr);
+            if (f[j] + gain > f[i]) { f[i] = f[j] + gain; pre[i] = j; }
+        }
+        if (f[i] > best) { best = f[i]; bi = i; }
+    }
+    long i = bi;
+    *qe = a[bi].q + k; *re = a[bi].r + k;
+    while (pre[i] >= 0) i = pre[i];
+    *qs = a[i].q; *rs = a[i].r;
+    return best;
+}
+
+}  // namespace
+
+extern "C" {
+
+void* sa_minidx_build(const char* ref, long lr, int k, int w) {
+    auto* idx = new (std::nothrow) MinIdx();
+    if (!idx) return nullptr;
+    idx->k = k; idx->w = w;
+    std::vector<uint64_t> h;
+    std::vector<int64_t> p;
+    minimizers(ref, lr, k, w, h, p);
+    std::vector<size_t> order(h.size());
+    for (size_t i = 0; i < order.size(); ++i) order[i] = i;
+    std::sort(order.begin(), order.end(), [&](size_t x, size_t y) {
+        return h[x] != h[y] ? h[x] < h[y] : p[x] < p[y];
+    });
+    idx->hash.resize(h.size());
+    idx->pos.resize(h.size());
+    for (size_t i = 0; i < order.size(); ++i) {
+        idx->hash[i] = h[order[i]];
+        idx->pos[i] = p[order[i]];
+    }
+    return idx;
+}
+
+void sa_minidx_free(void* handle) {
+    delete static_cast<MinIdx*>(handle);
+}
+
+// Map query against the index; tries both strands (caller passes the
+// reverse-complemented query as query_rc). Reports the best chain's
+// reference window [out_rs, out_re), query window [out_qs, out_qe) (in
+// the ORIGINAL read frame for both strands), strand (0 fwd / 1 rc), the
+// chain score, and the chain's diagonal spread (for the extension band).
+// Returns the number of anchors in the winning chain (0 = no mapping).
+long sa_minidx_map(void* handle, const char* query, const char* query_rc,
+                   long lq, long max_occ,
+                   long* out_rs, long* out_re, long* out_qs, long* out_qe,
+                   int* out_strand, double* out_score, long* out_band) {
+    auto* idx = static_cast<MinIdx*>(handle);
+    if (!idx || lq < idx->k) return 0;
+    double best_score = 0.0;
+    long best_n = 0;
+    for (int strand = 0; strand < 2; ++strand) {
+        const char* q = strand ? query_rc : query;
+        std::vector<uint64_t> qh;
+        std::vector<int64_t> qp;
+        minimizers(q, lq, idx->k, idx->w, qh, qp);
+        std::vector<Anchor> anchors;
+        for (size_t i = 0; i < qh.size(); ++i) {
+            auto lo = std::lower_bound(idx->hash.begin(), idx->hash.end(),
+                                       qh[i]);
+            auto hi = std::upper_bound(lo, idx->hash.end(), qh[i]);
+            if (hi - lo == 0 || hi - lo > max_occ) continue;
+            for (auto it = lo; it != hi; ++it)
+                anchors.push_back({qp[i],
+                                   idx->pos[(size_t)(it - idx->hash.begin())]});
+        }
+        if (anchors.empty()) continue;
+        int64_t qs, qe, rs, re;
+        double sc = chain(anchors, idx->k, &qs, &qe, &rs, &re);
+        if (sc > best_score) {
+            best_score = sc;
+            best_n = (long)anchors.size();
+            // diagonal spread of the chain corridor
+            int64_t dmin = rs - qs, dmax = re - qe;
+            if (dmin > dmax) std::swap(dmin, dmax);
+            *out_band = (long)(dmax - dmin);
+            if (strand) {  // report query coords in the original frame
+                *out_qs = lq - qe; *out_qe = lq - qs;
+            } else {
+                *out_qs = qs; *out_qe = qe;
+            }
+            *out_rs = rs; *out_re = re;
+            *out_strand = strand;
+            *out_score = sc;
+        }
+    }
+    return best_n;
+}
+
+// Banded local alignment with affine gaps + traceback: same scoring and
+// output contract as sa_sw_align, but cells restricted to diagonals
+// j - i in [diag_lo, diag_hi] (j on ref, i on query, both 1-based DP
+// coords). Memory O(lq * band) instead of O(lq * lr).
+long sa_sw_align_banded(const char* query, long lq, const char* ref, long lr,
+                        long diag_lo, long diag_hi,
+                        double match, double mismatch,
+                        double gap_open, double gap_extend,
+                        long* out_qs, long* out_qe, long* out_rs,
+                        long* out_re, int* out_ops, long* out_lens,
+                        long max_ops, long* out_nops, double* out_score) {
+    if (lq <= 0 || lr <= 0 || diag_hi < diag_lo) return -1;
+    const long B = diag_hi - diag_lo + 1;
+    const double NEGV = -1e30;
+    // band-local storage: cell (i, j) lives at (i, d = j - i - diag_lo).
+    // Neighbor offsets in band coords: (i-1, j-1) -> (i-1, d);
+    // (i, j-1) -> (i, d-1); (i-1, j) -> (i-1, d+1).
+    std::vector<double> Hrow((size_t)B, NEGV), Hprev((size_t)B, NEGV);
+    std::vector<double> Erow((size_t)B, NEGV);
+    std::vector<double> Frow((size_t)B, NEGV), Fprev((size_t)B, NEGV);
+    std::vector<unsigned char> tbH((size_t)(lq + 1) * B, 0);
+    std::vector<unsigned char> tbE((size_t)(lq + 1) * B, 0);
+    std::vector<unsigned char> tbF((size_t)(lq + 1) * B, 0);
+
+    double best = 0.0;
+    long bi = 0, bd = -1;
+    for (long i = 1; i <= lq; ++i) {
+        std::fill(Erow.begin(), Erow.end(), NEGV);
+        std::fill(Frow.begin(), Frow.end(), NEGV);
+        for (long d = 0; d < B; ++d) {
+            long j = i + diag_lo + d;
+            if (j < 1 || j > lr) { Hrow[(size_t)d] = NEGV; continue; }
+            size_t idx = (size_t)i * B + (size_t)d;
+            // E: consumes ref -> from (i, j-1), already final this row
+            double e_open = (d > 0 ? Hrow[(size_t)(d - 1)] : NEGV)
+                            + gap_open;
+            double e_ext = (d > 0 ? Erow[(size_t)(d - 1)] : NEGV)
+                           + gap_extend;
+            double Ev = e_open >= e_ext ? e_open : e_ext;
+            Erow[(size_t)d] = Ev;
+            tbE[idx] = e_open >= e_ext ? 0 : 1;
+            // F: consumes query -> from (i-1, j); row 0 is all zeros
+            // (local alignment may start anywhere)
+            double hup = (i == 1) ? 0.0
+                         : ((d + 1 < B) ? Hprev[(size_t)(d + 1)] : NEGV);
+            double fup = (d + 1 < B) ? Fprev[(size_t)(d + 1)] : NEGV;
+            double f_open = hup + gap_open;
+            double f_ext = fup + gap_extend;
+            double Fv = f_open >= f_ext ? f_open : f_ext;
+            Frow[(size_t)d] = Fv;
+            tbF[idx] = f_open >= f_ext ? 0 : 1;
+            double hdiag = (i == 1 || j == 1) ? 0.0 : Hprev[(size_t)d];
+            char qc = query[i - 1], rc = ref[j - 1];
+            double sub = (qc == rc && qc != 'N' && qc != 'n')
+                             ? match : mismatch;
+            double h = hdiag + sub;
+            unsigned char code = 1;
+            if (Ev > h) { h = Ev; code = 2; }
+            if (Fv > h) { h = Fv; code = 3; }
+            if (h <= 0.0) { h = 0.0; code = 0; }
+            Hrow[(size_t)d] = h;
+            tbH[idx] = code;
+            if (h > best) { best = h; bi = i; bd = d; }
+        }
+        std::swap(Hrow, Hprev);
+        std::swap(Frow, Fprev);
+    }
+    if (best <= 0.0 || bd < 0) return -1;
+    long i = bi, d = bd;
+    long nops = 0;
+    int cur_op = -1;
+    long cur_len = 0;
+    int state = 0;
+    auto push = [&](int op) -> bool {
+        if (op == cur_op) { cur_len++; return true; }
+        if (cur_op >= 0) {
+            if (nops >= max_ops) return false;
+            out_ops[nops] = cur_op; out_lens[nops] = cur_len; nops++;
+        }
+        cur_op = op; cur_len = 1;
+        return true;
+    };
+    while (i > 0) {
+        long j = i + diag_lo + d;
+        if (j <= 0) break;
+        size_t idx = (size_t)i * B + (size_t)d;
+        if (state == 0) {
+            unsigned char c = tbH[idx];
+            if (c == 0) break;
+            if (c == 1) { if (!push(0)) return -1; i--; }          // d same
+            else if (c == 2) state = 1;
+            else state = 2;
+        } else if (state == 1) {       // E: gap consumes ref (D)
+            if (!push(2)) return -1;
+            unsigned char ext = tbE[idx];
+            d--;                        // (i, j-1)
+            if (d < 0) break;
+            state = ext ? 1 : 0;
+        } else {                        // F: gap consumes query (I)
+            if (!push(1)) return -1;
+            unsigned char ext = tbF[idx];
+            i--; d++;                   // (i-1, j)
+            if (d >= B) break;
+            state = ext ? 2 : 0;
+        }
+    }
+    if (cur_op >= 0) {
+        if (nops >= max_ops) return -1;
+        out_ops[nops] = cur_op; out_lens[nops] = cur_len; nops++;
+    }
+    for (long a2 = 0, b2 = nops - 1; a2 < b2; ++a2, --b2) {
+        int to = out_ops[a2]; out_ops[a2] = out_ops[b2]; out_ops[b2] = to;
+        long tl = out_lens[a2]; out_lens[a2] = out_lens[b2]; out_lens[b2] = tl;
+    }
+    long j_end = bi + diag_lo + bd;
+    long j_start = i + diag_lo + d;
+    *out_qs = i; *out_qe = bi;
+    *out_rs = j_start; *out_re = j_end;
     *out_nops = nops;
     *out_score = best;
     return 0;

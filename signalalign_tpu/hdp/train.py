@@ -200,6 +200,10 @@ class GibbsResult:
     gamma: np.ndarray           # (tree_depth,) final per-depth gammas
     w_aux: np.ndarray           # (num_dps,) final auxiliary w
     s_aux: np.ndarray           # (num_dps,) final auxiliary s
+    # final CRF seating (for reference-layout factor-tree serialization)
+    data_table: Optional[np.ndarray] = None   # (n_data,) leaf table id
+    table_dp: Optional[np.ndarray] = None     # (n_tables,) dp of table
+    table_parent: Optional[np.ndarray] = None  # (n_tables,) parent, -1 base
 
 
 def gibbs_train(data: np.ndarray, data_dp: np.ndarray, topo: HdpTopology,
@@ -226,6 +230,11 @@ def gibbs_train(data: np.ndarray, data_dp: np.ndarray, topo: HdpTopology,
     out_gamma = np.zeros(tree_depth, dtype=np.float64)
     out_w = np.zeros(num_dps, dtype=np.float64)
     out_s = np.zeros(num_dps, dtype=np.uint8)
+    max_tables = len(data) * max(tree_depth, 1) + num_dps + 16
+    out_data_table = np.full(max(len(data), 1), -1, dtype=np.int64)
+    out_table_dp = np.zeros(max_tables, dtype=np.int64)
+    out_table_parent = np.full(max_tables, -1, dtype=np.int64)
+    out_n_tables = ctypes.c_long(0)
     c = lambda a, t: np.ascontiguousarray(a, dtype=t)
     data = c(data, np.float64)
     data_dp = c(data_dp, np.int64)
@@ -255,11 +264,19 @@ def gibbs_train(data: np.ndarray, data_dp: np.ndarray, topo: HdpTopology,
         out_density.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
         out_observed.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
         dp(out_gamma), dp(out_w),
-        out_s.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)))
+        out_s.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+        out_data_table.ctypes.data_as(ctypes.POINTER(ctypes.c_long)),
+        out_table_dp.ctypes.data_as(ctypes.POINTER(ctypes.c_long)),
+        out_table_parent.ctypes.data_as(ctypes.POINTER(ctypes.c_long)),
+        ctypes.byref(out_n_tables), ctypes.c_long(max_tables))
     if rc != 0:
         raise RuntimeError(f"sa_hdp_gibbs failed: {rc}")
+    nt = out_n_tables.value
     return GibbsResult(out_density, out_observed.astype(bool), out_gamma,
-                       out_w, out_s.astype(bool))
+                       out_w, out_s.astype(bool),
+                       data_table=out_data_table.copy(),
+                       table_dp=out_table_dp[:nt].copy(),
+                       table_parent=out_table_parent[:nt].copy())
 
 
 def spline_slopes(grid: np.ndarray, density: np.ndarray) -> np.ndarray:
@@ -278,6 +295,68 @@ def spline_slopes(grid: np.ndarray, density: np.ndarray) -> np.ndarray:
     return out
 
 
+def _emit_factor_tree(fh, data: np.ndarray, nig, data_table: np.ndarray,
+                      table_dp: np.ndarray, table_parent: np.ndarray):
+    """Serialize the final CRF seating in the reference's factor-tree
+    layout (serialize_factor_tree_internal, hdp.c:2868-2916): pre-order
+    emission, ids assigned in emission order, lines of
+    ``type \\t parent_id \\t payload`` where BASE payload is the ';'-joined
+    cached NIG posterior params (add_update_base_factor_params,
+    hdp.c:430-450 — batch-equivalent computation) and DATA payload is the
+    data index."""
+    from math import lgamma, log
+
+    nt = len(table_dp)
+    tchildren = [[] for _ in range(nt)]
+    for t in range(nt):
+        p = int(table_parent[t])
+        if p >= 0:
+            tchildren[p].append(t)
+    dchildren = [[] for _ in range(nt)]
+    for i, t in enumerate(np.asarray(data_table, dtype=np.int64)):
+        dchildren[int(t)].append(i)
+    mu0, nu0, alpha0, beta0 = (float(v) for v in nig)
+    next_id = [0]
+
+    def subtree_data(t):
+        out = list(dchildren[t])
+        for c_ in tchildren[t]:
+            out.extend(subtree_data(c_))
+        return out
+
+    def emit(t, parent_id):
+        my_id = next_id[0]
+        next_id[0] += 1
+        if table_parent[t] < 0:
+            members = subtree_data(t)
+            xs = data[members]
+            n = float(len(members))
+            nu_post = nu0 + n
+            mu_post = (mu0 * nu0 + xs.sum()) / nu_post
+            two_alpha_post = 2.0 * alpha0 + n
+            mean = float(xs.mean()) if len(members) else 0.0
+            ssd = float(((xs - mean) ** 2).sum())
+            beta_post = beta0 + 0.5 * (
+                ssd + nu0 * n * (mean - mu0) ** 2 / nu_post)
+            lp = lgamma(0.5 * two_alpha_post) \
+                - 0.5 * (log(nu_post) + two_alpha_post * log(beta_post))
+            params = ";".join(f"{v:.17g}" for v in
+                              (mu_post, nu_post, two_alpha_post,
+                               beta_post, lp))
+            fh.write(f"0\t-\t{params}\n")
+        else:
+            fh.write(f"1\t{parent_id}\t{int(table_dp[t])}\n")
+        for c_ in tchildren[t]:
+            emit(c_, my_id)
+        for di in dchildren[t]:
+            fh.write(f"2\t{my_id}\t{di}\n")
+            next_id[0] += 1
+
+    for t in range(nt):
+        if table_parent[t] < 0:
+            emit(t, -1)
+
+
 def write_nhdp(path: str, alphabet: Alphabet, grid: np.ndarray,
                topo: HdpTopology, densities: np.ndarray,
                observed: np.ndarray, nig, data: np.ndarray,
@@ -286,10 +365,14 @@ def write_nhdp(path: str, alphabet: Alphabet, grid: np.ndarray,
                gamma_alpha: Optional[np.ndarray] = None,
                gamma_beta: Optional[np.ndarray] = None,
                w_aux: Optional[np.ndarray] = None,
-               s_aux: Optional[np.ndarray] = None) -> str:
+               s_aux: Optional[np.ndarray] = None,
+               seating: Optional[GibbsResult] = None) -> str:
     """Serialize in the reference .nhdp layout (serialize_nhdp,
-    nanopore_hdp.c:1077 + serialize_hdp, hdp.c:2919); the factor-tree tail
-    is omitted (inference-side readers stop before it).
+    nanopore_hdp.c:1077 + serialize_hdp, hdp.c:2919). With ``seating``
+    (the sampler's final CRF state) the factor-tree tail is written too,
+    making the file consumable by the reference's deserialize_nhdp;
+    without it the tail is omitted (inference-side readers stop before
+    it).
 
     With ``gamma_alpha``/``gamma_beta`` given, the sample_gamma flag is set
     and the per-depth prior params + final auxiliary w/s vectors are
@@ -297,12 +380,27 @@ def write_nhdp(path: str, alphabet: Alphabet, grid: np.ndarray,
     """
     slopes = spline_slopes(grid, densities)
     sample_gamma = gamma_alpha is not None and gamma_beta is not None
+    have_tree = (seating is not None and seating.data_table is not None
+                 and len(seating.table_dp) > 0)
+    num_dps = len(topo.parent)
+    # num_factor_children per dp: total customers of the dp's factors
+    # (incremented per assigned child factor, hdp.c:1368/1720)
+    nfc = np.zeros(num_dps, dtype=np.int64)
+    if have_tree:
+        for t in range(len(seating.table_dp)):
+            p = int(seating.table_parent[t])
+            if p >= 0:
+                nfc[int(seating.table_dp[p])] += 1
+        for t in np.asarray(seating.data_table, dtype=np.int64):
+            nfc[int(seating.table_dp[int(t)])] += 1
+    else:
+        nfc[:] = [1 if observed[i] else 0 for i in range(num_dps)]
     with open(path, "w") as fh:
         fh.write(f"{alphabet.size}\n{alphabet.letters}\n"
                  f"{alphabet.kmer_length}\n")
         # splines, has_data, sample_gamma flags
         fh.write(f"1\n1\n{1 if sample_gamma else 0}\n")
-        fh.write(f"{len(topo.parent)}\n")
+        fh.write(f"{num_dps}\n")
         fh.write("\t".join(f"{v:.17g}" for v in data) + "\n")
         fh.write("\t".join(str(int(v)) for v in data_dp) + "\n")
         fh.write(f"{nig[0]:.17g}\t{nig[1]:.17g}\t{nig[2]:.17g}\t"
@@ -323,7 +421,7 @@ def write_nhdp(path: str, alphabet: Alphabet, grid: np.ndarray,
             fh.write("\t".join(str(int(v)) for v in s) + "\n")
         for i, p in enumerate(topo.parent):
             fh.write(("-" if p < 0 else str(int(p)))
-                     + f"\t{1 if observed[i] else 0}\n")
+                     + f"\t{int(nfc[i])}\n")
         for i in range(len(topo.parent)):
             if observed[i]:
                 fh.write("\t".join(f"{v:.17g}" for v in densities[i]))
@@ -332,6 +430,10 @@ def write_nhdp(path: str, alphabet: Alphabet, grid: np.ndarray,
             if observed[i]:
                 fh.write("\t".join(f"{v:.17g}" for v in slopes[i]))
             fh.write("\n")
+        if have_tree:
+            _emit_factor_tree(fh, np.asarray(data, dtype=np.float64), nig,
+                              seating.data_table, seating.table_dp,
+                              seating.table_parent)
     return path
 
 
@@ -405,4 +507,5 @@ def train_hdp_from_alignment(build_alignment_path: str, model: PoreModel,
                       gamma_params=res.gamma if sample_gamma else None,
                       gamma_alpha=ga, gamma_beta=gb,
                       w_aux=res.w_aux if sample_gamma else None,
-                      s_aux=res.s_aux if sample_gamma else None)
+                      s_aux=res.s_aux if sample_gamma else None,
+                      seating=res)

@@ -1725,6 +1725,42 @@ def _kexp_reduce(kexp_tiles, ids, *, K: int):
     return out.reshape(G, S, 3, K)
 
 
+@functools.partial(jax.jit, static_argnames=("K", "XW"))
+def _kexp_reduce_banked(kexp_tiles, bank, ids_by_x, *, K: int, XW: int):
+    """Segment-sum the per-tile emission moments by kmer id, exploiting
+    the x-frame structure: tile frames are 128-aligned, so each tile's
+    (3, WB, S) block lands at a STATIC 128-granular offset in a per-lane
+    x-aligned accumulator (bank selects + static slice-adds), collapsing
+    the NT-times-overlapping tile windows BEFORE the element scatter.
+    The remaining scatter runs on XW ~ LX slots instead of NT*WB
+    (measured 8x fewer indices; the naive all-tile scatter was 137ms on
+    a Dp1p=4200 stripe — the dominant cost of the whole expect pass).
+
+    kexp_tiles: (G, NT, 3, WB, S); bank: (G, NT, S) i32 — per-lane
+    128-granular tile-frame offset (frame_base[t] - frame_base[0])//128;
+    ids_by_x: (G, XW, S) i32 — kmer id of accumulator slot x (the TO
+    match cell frame_base[0] + x + 1), -1 invalid. Returns (G, S, 3, K).
+    """
+    G, NT, _, WB, S = kexp_tiles.shape
+    NBANK = max((XW - WB) // 128 + 1, 1)
+    parts = []
+    for b in range(NBANK):
+        m = (bank == b)[:, :, None, None, :]          # (G, NT, 1, 1, S)
+        contrib = jnp.sum(jnp.where(m, kexp_tiles, 0.0), axis=1)
+        parts.append(jnp.pad(contrib,
+                             ((0, 0), (0, 0), (b * 128, XW - WB - b * 128),
+                              (0, 0))))
+    xacc = sum(parts)                                  # (G, 3, XW, S)
+    data = jnp.transpose(xacc, (0, 3, 1, 2)).reshape(G * S, 3, XW)
+    idf = jnp.transpose(ids_by_x, (0, 2, 1)).reshape(G * S, XW)
+    idf = jnp.where(idf >= 0, idf, K)
+
+    def one(d, i):
+        return jnp.zeros((3, K + 1), d.dtype).at[:, i].add(d)
+    out = jax.vmap(one)(data, idf)[:, :, :K]
+    return out.reshape(G, S, 3, K)
+
+
 def choose_lanes(n_diag_max: int, W: int, T: int = 24,
                  hbm_budget: Optional[float] = None) -> int:
     """Lane count per dispatch. Mosaic requires the full 128-lane tile
@@ -1941,15 +1977,11 @@ class PallasBatchAligner:
             evm = np.zeros((G, LEmax, S), dtype=np.float32)
             evv = np.zeros((G, LEmax, S), dtype=np.float32)
             j0d = np.zeros((G, Dp1p, S), dtype=np.int32)
-            j0bnd = np.zeros((G, NT, 2, S), dtype=np.int32)
-            kwb = np.full((G, NT, 2, WBe, S), -1, dtype=np.int32)
-            mwb = np.zeros((G, NT, 2, WBe, S), dtype=np.float32)
-            hwb = np.zeros((G, NT, 2, WBe, S), dtype=np.float32)
             varr = np.ones((G, S), dtype=np.float32)
             for idx, (pi, pp_) in enumerate(lane_list):
                 p = problems[pi]
                 gi, si = divmod(idx, S)
-                (kw, mw, hw, em, ev_, j0, j0b, kb, mb, hb, vv) = \
+                (kw, mw, hw, em, ev_, j0, vv) = \
                     host_stream_inputs(p, W, T, pp_, WBe, LEmax)
                 kmerw[gi, :, :, si] = kw
                 muw[gi, :, :, si] = mw
@@ -1957,14 +1989,9 @@ class PallasBatchAligner:
                 evm[gi, :, si] = em
                 evv[gi, :, si] = ev_
                 j0d[gi, :, si] = j0
-                j0bnd[gi, :, :, si] = j0b
-                kwb[gi, :, :, :, si] = kb
-                mwb[gi, :, :, :, si] = mb
-                hwb[gi, :, :, :, si] = hb
                 varr[gi, si] = vv
             self.stream_in = tuple(jnp.asarray(a) for a in (
-                kmerw, muw, mhatw, evm, evv, j0d, j0bnd, kwb, mwb, hwb,
-                varr))
+                kmerw, muw, mhatw, evm, evv, j0d, varr))
             p0 = problems[0]
             self.hdp_dens = jnp.asarray(p0.hdp_dens)
             self.hdp_slopes = jnp.asarray(p0.hdp_slopes)
@@ -1977,31 +2004,44 @@ class PallasBatchAligner:
             # from the compacted posterior pairs)
             self.num_kmers = 0
         if expect and not self.estream:
-            # kmer ids of the TO match cell (x+1) per (tile, sublane,
-            # lane) for the device segment-sum, and per-lane 1/var
-            kid = np.full((G, NT, WB, S), -1, dtype=np.int32)
+            # banked kmer-id tables for the device segment-sum (see
+            # _kexp_reduce_banked): per-lane 128-granular tile-frame
+            # banks + kmer ids by x-aligned accumulator slot (the TO
+            # match cell x+1), and per-lane 1/var
+            lane_tb = np.zeros((G, NT, S), dtype=np.int64)
+            for idx, (pi, pp_) in enumerate(lane_list):
+                p = problems[pi]
+                gi, si = divmod(idx, S)
+                Dp1 = p.x0.shape[0]
+                x0f = np.zeros(Dp1p, dtype=np.int64)
+                x0f[:Dp1] = p.x0
+                x0f[Dp1:] = x0f[Dp1 - 1]
+                lane_tb[gi, :, si] = (x0f[np.arange(NT) * T] // 128) * 128
+            span = (lane_tb[:, -1] - lane_tb[:, 0]).max() if NT else 0
+            XW = int(((span + WB + 127) // 128) * 128)
+            bank = np.zeros((G, NT, S), dtype=np.int32)
+            idx_by_x = np.full((G, XW, S), -1, dtype=np.int32)
             iv = np.ones((G, 1, S), dtype=np.float32)
-            u_ = np.arange(WB)
+            slot = np.arange(XW)
             for idx, (pi, pp_) in enumerate(lane_list):
                 p = problems[pi]
                 gi, si = divmod(idx, S)
                 kids = p.kmer_ids[0].astype(np.int64)
                 inv0 = p.ref_params[1, 0]
                 LXp = kids.shape[0]
-                Dp1 = p.x0.shape[0]
-                x0f = np.zeros(Dp1p, dtype=np.int64)
-                x0f[:Dp1] = p.x0
-                x0f[Dp1:] = x0f[Dp1 - 1]
-                tbf = (x0f[np.arange(NT) * T] // 128) * 128
-                xs = tbf[:, None] + u_[None, :] + 1       # TO cell x+1
+                tb0 = lane_tb[gi, 0, si]
+                bank[gi, :, si] = (lane_tb[gi, :, si] - tb0) // 128
+                xs = tb0 + slot + 1                       # TO cell x+1
                 oob = (xs < 0) | (xs >= LXp)
                 xc = np.clip(xs, 0, LXp - 1)
                 kw_ = kids[xc].copy()
                 kw_[oob] = -1
                 kw_[inv0[xc] <= 0.0] = -1
-                kid[gi, :, :, si] = kw_
+                idx_by_x[gi, :, si] = kw_
                 iv[gi, 0, si] = 1.0 / float(p.var)
-            self.kexp_ids = jnp.asarray(kid)
+            self.kexp_bank = jnp.asarray(bank)
+            self.kexp_ids_x = jnp.asarray(idx_by_x)
+            self.kexp_xw = XW
             self.ivar = jnp.asarray(iv)
             self.num_kmers = max(p.num_kmers for p in problems)
         self.NT = NT
@@ -2211,8 +2251,10 @@ class PallasBatchAligner:
         if kexp_t is None:
             kexp_dev = jnp.zeros((self.G, S, 3, 1), jnp.float32)
         else:
-            kexp_dev = _kexp_reduce(kexp_t, self.kexp_ids,
-                                    K=self.num_kmers)
+            kexp_dev = _kexp_reduce_banked(kexp_t, self.kexp_bank,
+                                           self.kexp_ids_x,
+                                           K=self.num_kmers,
+                                           XW=self.kexp_xw)
             del kexp_t
         # plain host float: a jnp scalar here cost a synchronous
         # ~45ms device fetch per dispatch when the rank path

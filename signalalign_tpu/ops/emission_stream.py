@@ -56,12 +56,18 @@ def _spline_eval_kernel(txs_ref, rowd_ref, rowsl_ref, out_ref, *,
                         NG: int, T: int):
     """Per-cell monotone-cubic spline evaluation with NO per-cell
     gathers: the grid axis (NG=|HDP grid|, ~100) is walked with a
-    fori loop whose scalar index does dynamic dim-0 reads of the
-    per-sublane table rows; each cell picks up its bracketing values
-    (y/slope at il and il+1) via two compares per step. TPU XLA lowers
-    the equivalent take_along_axis to element gathers (~10 cycles/elem
-    — measured 6.6s per 128-lane stripe); this runs as pure VPU
-    selects (~0.1s).
+    FULLY UNROLLED static loop; each cell picks up its bracketing
+    values (y/slope at il and il+1) via one compare per grid point.
+    TPU XLA lowers the equivalent take_along_axis to element gathers
+    (~10 cycles/elem — measured 6.6s per 128-lane stripe); a fori loop
+    with dynamic dim-0 table reads serializes on the per-iteration
+    VMEM loads (measured ~33ms/tile); static unrolling makes every
+    table read a compile-time slice and the body a pipelined stream of
+    compare+FMA vector ops.
+
+    Exactness: exactly one grid point matches per cell, and the
+    accumulate is `acc + mask*row` with mask in {0.0, 1.0}, so each
+    accumulator ends bit-identical to a gather of its table entry.
 
     txs: (T, WBu, S) grid-unit spline argument ((x-g0)/dx), sentinel
          >=1e29 marks invalid cells; rowd/rowsl: (NG, WBu, S) density /
@@ -70,27 +76,22 @@ def _spline_eval_kernel(txs_ref, rowd_ref, rowsl_ref, out_ref, *,
     txs = txs_ref[0]
     valid = txs < 1e29
     tc = jnp.clip(txs, -2.0, float(NG) + 2.0)
-    il = jnp.clip(jnp.floor(tc).astype(jnp.int32), 0, NG - 2)
+    il = jnp.clip(jnp.floor(tc), 0.0, float(NG - 2))
     zero = jnp.zeros(txs.shape, jnp.float32)
 
-    def step(g, acc):
-        yl, yr, sl, sr = acc
-        rd = rowd_ref[0, pl.ds(g, 1)]       # (1, WBu, S)
-        rs = rowsl_ref[0, pl.ds(g, 1)]
-        m0 = il == g
-        m1 = il == g - 1
-        yl = yl + jnp.where(m0, rd[0], 0.0)
-        sl = sl + jnp.where(m0, rs[0], 0.0)
-        yr = yr + jnp.where(m1, rd[0], 0.0)
-        sr = sr + jnp.where(m1, rs[0], 0.0)
-        return yl, yr, sl, sr
-
-    yl, yr, sl, sr = jax.lax.fori_loop(
-        0, NG, step, (zero, zero, zero, zero))
+    yl, yr, sl, sr = zero, zero, zero, zero
+    for g in range(NG - 1):
+        # f32 mask: il is an exact small integer in f32, compare to the
+        # constant is exact; mask*row keeps the accumulation exact
+        m = (il == float(g)).astype(jnp.float32)
+        yl = yl + m * rowd_ref[0, g]
+        yr = yr + m * rowd_ref[0, g + 1]
+        sl = sl + m * rowsl_ref[0, g]
+        sr = sr + m * rowsl_ref[0, g + 1]
     dy = yr - yl
     a = sl - dy                              # slopes pre-scaled by dx
     b = dy - sr
-    tl = tc - il.astype(jnp.float32)
+    tl = tc - il
     tr = 1.0 - tl
     mid = tr * yl + tl * yr + tl * tr * (a * tr + b * tl)
     y0 = rowd_ref[0, 0]
@@ -127,8 +128,8 @@ def _spline_eval_tile(txs, rowd, rowsl, *, interpret: bool = False):
 
 
 @functools.partial(jax.jit, static_argnames=("T", "WBe", "interpret"))
-def hdp_emission_stacks(kmerw, muw, mhatw, evm, evv, j0d, j0bnd, kmerw_bnd,
-                        muw_bnd, mhatw_bnd, var, dens, slopes, grid,
+def hdp_emission_stacks(kmerw, muw, mhatw, evm, evv, j0d, var, dens,
+                        slopes, grid,
                         *, T: int, WBe: int, interpret: bool = False):
     """HDP log-emission stream + backward tile-boundary rows.
 
@@ -138,34 +139,22 @@ def hdp_emission_stacks(kmerw, muw, mhatw, evm, evv, j0d, j0bnd, kmerw_bnd,
     evm/evv:  (G, LE, S) per-lane padded event means / validity.
     j0d:      (G, Dp1p, S) i32 — event index entering sublane 0 of each
         diagonal (lY - d + fp + base), unclipped.
-    j0bnd:    (G, NT, 2, S) i32 — same, for the two re-based boundary
-        rows of each *backward-order* tile block.
-    kmerw_bnd/muw_bnd/mhatw_bnd: (G, NT, 2, WBe, S) boundary-row params
-        in the CONSUMING tile's frame.
     var:      (G, S) per-lane read variance.
     Returns (estack (G, Dp1p, WBe, S) f32, ebnd (G, NT, 2, WBe, S) f32).
+
+    The two re-based boundary rows the backward kernel consumes at the
+    top of block t are diagonals d_start+1+r evaluated in the frame of
+    the tile OWNING d_start = Dp1p-1-t*T — i.e. rows i = T+r of tile
+    NT-1-t in its own frame. Each tile therefore evaluates T+2 rows and
+    the last two become ``ebnd`` (a per-cell gather formulation of the
+    boundary rows measured 200ms/stripe; this costs 2/T extra kernel
+    rows).
     """
     G, NT, WBe_, S = kmerw.shape
     Dp1p = NT * T
     g0 = grid[0]
     dx = grid[1]
     LE = evm.shape[1]
-    NG = dens.shape[1]
-    u = jnp.arange(WBe, dtype=jnp.int32)[None, :, None]
-
-    def row(kw, mu_, mh, j0):
-        # kw/mu_/mh: (G, WBe, S); j0: (G, S)
-        j = j0[:, None, :] + u                      # (G, WBe, S)
-        inb = (j >= 0) & (j < LE)
-        jc = jnp.clip(j, 0, LE - 1)
-        ev = jnp.take_along_axis(evm, jc.reshape(G, -1, S),
-                                 axis=1).reshape(G, WBe, S)
-        ok = jnp.take_along_axis(evv, jc.reshape(G, -1, S),
-                                 axis=1).reshape(G, WBe, S) > 0.5
-        ok = ok & inb & (kw >= 0)
-        x = mu_ + (ev - mh) / var[:, None, :]
-        ld = _hdp_logdensity(x, kw, dens, slopes, g0, dx, ok)
-        return ld - jnp.log(var)[:, None, :]
 
     # Main stream: the naive per-cell formulation (10 random gathers per
     # cell over the flat (K*NG) tables + per-cell event gathers) is
@@ -175,20 +164,21 @@ def hdp_emission_stacks(kmerw, muw, mhatw, evm, evv, j0d, j0bnd, kmerw_bnd,
     #   * the kmer (so the spline ROW) is constant per (tile, sublane):
     #     gather dens/slopes ROWS once per tile (WBe*S row gathers);
     #   * the event index is affine in the diagonal (j = A + u - i):
-    #     per lane ONE contiguous (WBe + T - 1) slice of the event
-    #     array covers the whole tile; per-diagonal rows are shifted
-    #     static views of it;
+    #     per lane ONE contiguous (WBe + T + 1) slice of the event
+    #     array covers the whole tile incl. boundary rows; per-diagonal
+    #     rows are shifted static views of it;
     #   * only the NG-wide minor-axis interpolation lookup stays
-    #     per-cell.
+    #     per-cell (the unrolled Pallas kernel).
     logvar = jnp.log(var)                                   # (G, S)
     # generous pads: dynamic_slice CLAMPS out-of-range starts, which
     # would silently misalign the window against the jwin mask
     # (A can run ~W negative past the read end); out-of-band cells
     # are masked below, so pad contents never matter
-    FP = T - 1 + 1024
+    FP = T + 1 + 1024
     BP = WBe + 1024
     padded = jnp.pad(evm, ((0, 0), (FP, BP), (0, 0)))
     padv = jnp.pad(evv, ((0, 0), (FP, BP), (0, 0)))
+    TE = T + 2     # per-tile rows: T stream diagonals + 2 boundary rows
 
     def tile_fast(tt):
         kw = kmerw[:, tt]                                   # (G, WBe, S)
@@ -198,10 +188,10 @@ def hdp_emission_stacks(kmerw, muw, mhatw, evm, evv, j0d, j0bnd, kmerw_bnd,
         rowd = jnp.take(dens, kc, axis=0)                   # (G, WBe, S, NG)
         rowsl = jnp.take(slopes, kc, axis=0)
         # per-lane event window: j(i, u) = j0d[tt*T] - i + u spans
-        # [A - (T-1), A + WBe - 1], one dynamic slice per lane
+        # [A - (T+1), A + WBe - 1], one dynamic slice per lane
         A = j0d[:, tt * T]                                  # (G, S)
-        start = A - (T - 1)
-        WL = WBe + T - 1
+        start = A - (T + 1)
+        WL = WBe + T + 1
 
         def lane_slice(e, s0):
             return jax.lax.dynamic_slice(e, (s0,), (WL,))
@@ -214,34 +204,26 @@ def hdp_emission_stacks(kmerw, muw, mhatw, evm, evv, j0d, j0bnd, kmerw_bnd,
         okwin = (evvwin > 0.5) & (jwin >= 0) & (jwin < LE)
 
         def diag(i):
-            # row i reads evwin[T-1-i : T-1-i+WBe] (shift by -i)
-            ev = jax.lax.dynamic_slice_in_dim(evwin, T - 1 - i, WBe,
+            # row i reads evwin[T+1-i : T+1-i+WBe] (shift by -i)
+            ev = jax.lax.dynamic_slice_in_dim(evwin, T + 1 - i, WBe,
                                               axis=1)
-            ok = jax.lax.dynamic_slice_in_dim(okwin, T - 1 - i, WBe,
+            ok = jax.lax.dynamic_slice_in_dim(okwin, T + 1 - i, WBe,
                                               axis=1)
             ok = ok & (kw >= 0)
             x = mu_ + (ev - mh) / var[:, None, :]
             # grid-unit argument; sentinel marks masked cells
             return jnp.where(ok, (x - g0) / dx, 3e30)
 
-        txs = jax.vmap(diag, out_axes=1)(jnp.arange(T))   # (G, T, WBe, S)
+        txs = jax.vmap(diag, out_axes=1)(jnp.arange(TE))  # (G, TE, WBe, S)
         rowd_t = jnp.moveaxis(rowd, -1, 1)                # (G, NG, WBe, S)
         rowsl_t = jnp.moveaxis(rowsl * dx, -1, 1)
         ld = _spline_eval_tile(txs, rowd_t, rowsl_t, interpret=interpret)
         return ld - logvar[:, None, None, :]
 
-    est = jax.lax.map(tile_fast, jnp.arange(NT))           # (NT, G, T, ...)
-    estack = jnp.moveaxis(est, 0, 1).reshape(G, Dp1p, WBe, S)
-
-    def bnd(tt):
-        outs = []
-        for r in range(2):
-            outs.append(row(kmerw_bnd[:, tt, r], muw_bnd[:, tt, r],
-                            mhatw_bnd[:, tt, r], j0bnd[:, tt, r]))
-        return jnp.stack(outs, axis=1)                     # (G, 2, WBe, S)
-
-    eb = jax.lax.map(bnd, jnp.arange(NT))
-    ebnd = jnp.moveaxis(eb, 0, 1)                          # (G, NT, 2, ...)
+    est = jax.lax.map(tile_fast, jnp.arange(NT))         # (NT, G, TE, ...)
+    estack = jnp.moveaxis(est[:, :, :T], 0, 1).reshape(G, Dp1p, WBe, S)
+    # ebnd[g, t] = rows (T, T+1) of tile NT-1-t (backward block order)
+    ebnd = jnp.moveaxis(est[::-1, :, T:], 0, 1)          # (G, NT, 2, ...)
     return estack, ebnd
 
 
@@ -250,8 +232,7 @@ def host_stream_inputs(problem: bfb.BandedProblem, W: int, T: int,
     """Per-lane host arrays for ``hdp_emission_stacks``.
 
     Returns (kmerw (NT, WBe), muw, mhatw, evm (LEmax,), evv (LEmax,),
-    j0d (Dp1p,), j0bnd (NT, 2), kmerw_bnd (NT, 2, WBe), muw_bnd,
-    mhatw_bnd, var).
+    j0d (Dp1p,), var).
 
     Reference geometry: banded_fb_pallas.tile_geometry (x-frame).
     """
@@ -300,25 +281,13 @@ def host_stream_inputs(problem: bfb.BandedProblem, W: int, T: int,
     j0d = (lY - d + fp + base_d).astype(np.int32)
 
     # backward-order tile blocks: program t consumes d_start = Dp1p-1-t*T
-    # and needs rows d_start+1, d_start+2 in tile(d_start)'s frame
-    j0bnd = np.zeros((NT, 2), dtype=np.int32)
-    frames = np.zeros(NT, dtype=np.int64)
-    for t in range(NT):
-        d_start = Dp1p - 1 - t * T
-        fb = tb[d_start // T]
-        frames[t] = fb
-        for r in range(2):
-            dd = min(d_start + 1 + r, Dp1p - 1)  # clipped rows are unused
-            j0bnd[t, r] = lY - dd + fp + fb
-    kb, mb, hb = window(frames)
-    kmerw_bnd = np.stack([kb, kb], axis=1)
-    muw_bnd = np.stack([mb, mb], axis=1)
-    mhatw_bnd = np.stack([hb, hb], axis=1)
+    # and needs rows d_start+1, d_start+2 in tile(d_start)'s frame —
+    # those are rows i = T, T+1 of tile NT-1-t, which the device stream
+    # evaluates alongside the tile's own diagonals (no extra inputs).
 
     evm = np.zeros(LEmax, dtype=np.float32)
     evv = np.zeros(LEmax, dtype=np.float32)
     LE = problem.ev_params.shape[1]
     evm[:LE] = problem.ev_params[0]
     evv[:LE] = problem.ev_params[3]
-    return (kmerw, muw, mhatw, evm, evv, j0d, j0bnd, kmerw_bnd, muw_bnd,
-            mhatw_bnd, float(problem.var))
+    return (kmerw, muw, mhatw, evm, evv, j0d, float(problem.var))

@@ -63,6 +63,16 @@ def _load():
             ctypes.POINTER(ctypes.c_double), ctypes.c_long,
             ctypes.POINTER(ctypes.c_long), ctypes.POINTER(ctypes.c_long),
             ctypes.POINTER(ctypes.c_double)]
+        # seeded guide alignment (minimizer index + chain + banded SW);
+        # restype of the build MUST be c_void_p (the default c_int
+        # truncates 64-bit heap pointers)
+        lib.sa_minidx_build.restype = ctypes.c_void_p
+        lib.sa_minidx_build.argtypes = [
+            ctypes.c_char_p, ctypes.c_long, ctypes.c_int, ctypes.c_int]
+        lib.sa_minidx_free.restype = None
+        lib.sa_minidx_free.argtypes = [ctypes.c_void_p]
+        lib.sa_minidx_map.restype = ctypes.c_long
+        lib.sa_sw_align_banded.restype = ctypes.c_long
         _lib = lib
         return _lib
 

@@ -73,3 +73,32 @@ def test_no_hit(ref):
     reference, _ = ref
     g = generate_guide_alignment("T" * 15, reference, min_score=50.0)
     assert g is None
+
+
+def test_seeded_genome_scale():
+    """Seeded path (minimizer index + chain + banded extension): map a
+    bundled 1D read against the full 4.6Mb reconstructed E. coli
+    reference WITHOUT its BAM record and recover the BAM's window.
+    reference: utils/bwaWrapper.py (indexed bwa mem guide generation)."""
+    import time
+
+    import bench
+    from signalalign_tpu.io.sam import read_bam
+    from signalalign_tpu.utils import native
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+    reference = ProcessedReference(bench._ecoli_fasta())
+    _, records = read_bam(
+        "/root/reference/tests/minion_test_reads/1D/1D.bam")
+    rec = next(iter(records))
+    t0 = time.time()
+    g = generate_guide_alignment(rec.seq, reference)
+    dt = time.time() - t0
+    assert g is not None and g.forward
+    span = rec.reference_span()
+    assert abs(g.window_start - rec.pos) < 50
+    assert abs(g.window_end - (rec.pos + span)) < 50
+    assert g.validate(len(rec.seq))
+    # the point of seeding: well under the multi-minute full-DP cost
+    assert dt < 10.0
