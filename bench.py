@@ -98,6 +98,7 @@ def build_workload():
         for (_, problem, W, Dpad, P) in tasks:
             buckets[(W, Dpad, P)].append(problem)
 
+    from signalalign_tpu.ops.packing import pack_problems
     out = []
     for (W, Dpad, P), probs in sorted(buckets.items()):
         # the runner's kernel gate: lane-batched v2 for W <= 768 (VMEM),
@@ -105,6 +106,11 @@ def build_workload():
         # v1 wide-band blocks batch 32 grid rows.
         kind = "v2" if W <= 1024 else "v1"
         lanes = 128 if kind == "v2" else 32
+        if kind == "v2" and len(probs) > 1 and os.environ.get(
+                "SIGNALALIGN_TPU_PROB_KERNELS") != "1":
+            # production lane packing (runner.run_alignment_batch)
+            probs, _ = pack_problems(
+                probs, d_target=-(-(Dpad + 1) // 120) * 120 - 1)
         padded = []
         i = 0
         while len(padded) < lanes or len(padded) % lanes:
@@ -135,8 +141,10 @@ def build_expect_workload():
                              max_segment_diagonals=3200)
     pairs = filter_reads(os.path.join(ONED, "1D.bam"),
                          os.path.join(ONED, "1D.fastq.index.readdb"), [ONED])
+    from signalalign_tpu.ops.packing import pack_problems
     buckets = defaultdict(list)
-    for f5, rec in pairs:
+    keys = defaultdict(list)
+    for ridx, (f5, rec) in enumerate(pairs):
         read = NanoporeReadData.from_fast5(f5)
         guide = guide_from_sam_record(rec)
         _, _, _, _, tasks = prepare_read(read, guide, reference, model,
@@ -144,8 +152,15 @@ def build_expect_workload():
         for (_, problem, W, Dpad, P) in tasks:
             if W <= 512 and P == 1:
                 buckets[(W, Dpad)].append(problem)
+                keys[(W, Dpad)].append(ridx)
     out = []
     for (W, Dpad), probs in sorted(buckets.items()):
+        if len(probs) > 1:
+            # production lane packing: EM lanes co-pack same-read only
+            # (the Gaussian moment accumulator's 1/var is per-lane)
+            probs, _ = pack_problems(
+                probs, d_target=-(-(Dpad + 1) // 120) * 120 - 1,
+                same_read_keys=keys[(W, Dpad)])
         padded = []
         i = 0
         while len(padded) < 128 or len(padded) % 128:
@@ -198,10 +213,16 @@ def build_methyl_workload():
                         buckets[(W, Dpad, P)].append(problem)
             except Exception:
                 continue
+    from signalalign_tpu.ops.packing import pack_problems
     out = []
     for (W, Dpad, P), probs in sorted(buckets.items()):
         PP = {1: 1, 2: 2, 3: 4, 4: 4}[P]
         lanes = 128 // PP        # problems per 128-lane stripe
+        if len(probs) > 1:
+            # production lane packing (cross-read: HDP emission lanes
+            # carry per-position 1/var)
+            probs, _ = pack_problems(
+                probs, d_target=-(-(Dpad + 1) // 120) * 120 - 1)
         padded = []
         i = 0
         while len(padded) < lanes or len(padded) % lanes:
@@ -416,8 +437,9 @@ def main():
                                    or inflight + nb > HBM_PIPE):
                     finish_one()
                 if kind == "v2":
-                    pending.append((al.execute_async(compact_k=K,
-                                                     as_arrays=True), nb))
+                    pending.append((al.execute_async(
+                        compact_k=K, as_arrays=True,
+                        delta_pairs=True), nb))
                 else:
                     res = al.execute(compact_k=K, as_arrays=True)
                     pending.append((lambda r_=res: r_, 0))
@@ -464,6 +486,21 @@ def main():
         assert np.isfinite(tf).all()
     comp_events_per_s = v2_events * reps / comp_s
 
+    # ---- roofline accounting for the compute-only pipeline ----
+    # cell-updates: every (diagonal, band-slot, lane) cell is touched by
+    # the forward sweep, the fused backward+posterior sweep, and the
+    # compaction scan; ~40 f32 VPU ops per DP cell-update (7 logaddexp
+    # of 2 + emission + rescale math, DESIGN.md §3). Stack DMA: f32
+    # match rows out+in plus the u16 posterior rows out+in.
+    cells = sum(al.Dp1p * al.WB * al.S
+                for al, _, kind in aligners if kind == "v2")
+    sweep_ops = cells * (2 * 40 + 10)          # fwd + bwd/post + compact
+    stack_io = cells * (2 * 4 + 2 * 2)
+    VPU_PEAK = 3.85e12                          # 8x128 lanes x 4 ALUs @.94G
+    HBM_PEAK = 8.19e11                          # v5e ~819 GB/s
+    vpu_util = sweep_ops * reps / comp_s / VPU_PEAK
+    dma_rate = stack_io * reps / comp_s
+
     # ---- flagship workloads: EM expectations + HDP/P=2 methylation ----
     # (device-only: training/calling compute throughput; skippable for
     # quick runs)
@@ -496,6 +533,15 @@ def main():
         # r03+ runs jittered inputs with data-dependency forcing
         "measurement_notes": "honest since r03 (cache-busted, "
                              "dependency-forced; see BASELINE.md)",
+        # roofline visibility (VERDICT r03 weak #7): estimated DP-cell
+        # update rate, VPU utilization and stack-DMA bandwidth of the
+        # compute-only pipeline, so kernel work moves a visible needle
+        "cell_updates_per_s": round(2 * cells * reps / comp_s, 1),
+        "vpu_util_est": round(vpu_util, 4),
+        "stack_dma_bytes_per_s": round(dma_rate, 1),
+        "stack_dma_vs_hbm_peak": round(dma_rate / HBM_PEAK, 4),
+        "stage_s": {"e2e": round(e2e_s / reps, 4),
+                    "compute_only": round(comp_s / reps, 4)},
     }
     if expect_eps is not None:
         out["expect_events_per_s"] = round(expect_eps, 1)

@@ -54,8 +54,20 @@ def main():
         def probe(x):
             return jnp.sum(x[..., ::17].astype(jnp.float32))
 
+        # pre-generated jittered packs: the jitter dispatch (device
+        # multiply + fresh buffer) must stay OUTSIDE the timed region so
+        # absolute per-stage times exclude it (advisor r03); swapping a
+        # prebuilt buffer in costs nothing
+        pack0 = al.pack
+        import itertools as _it
+        _packs = [pack0 * jnp.float32(1.0 + 1e-6 * b._next_jitter())
+                  for _ in range(17)]
+        for _p in _packs:
+            _p.block_until_ready()
+        _pack_iter = _it.cycle(_packs)
+
         def prefix(depth):
-            b._jitter_inputs(al, b._next_jitter())
+            al.pack = next(_pack_iter)
             fstack, f_incr, f_lse = pallas_forward_b(
                 al.geom, al.refwin, al.evinit_f, al.evins_f, al.pack,
                 al.lseflag, None, None, WB=WB, T=T, S=S, RB=RB,

@@ -115,6 +115,12 @@ class BandedProblem:
     kmer_len: int = 0
     path_kmers: Optional[List[List[str]]] = None  # per position path kmers
                                                   # (None for canonical P==1)
+    # lane-packing (ops/packing.pack_problems): per packed sub-segment
+    # (orig_problem, ox, oy, d_start, d_end) with the sub-problem's cell
+    # (x', y') at global (x'+ox, y'+oy); None for ordinary problems
+    segments: Optional[List[Tuple]] = None
+    # per-x 1/var (cross-read packing; scalar ``var`` otherwise)
+    ivar_by_x: Optional[np.ndarray] = None
 
     def path_kmer_at(self, x: int, p: int) -> Optional[str]:
         """Path k-mer string for cell x (1-based), path slot p."""

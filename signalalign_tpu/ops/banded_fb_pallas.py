@@ -50,7 +50,7 @@ from signalalign_tpu.ops.banded_fb import (GAP_X, GAP_Y, MATCH, NEG, T_MM,
                                            T_YY)
 
 NGEOM = 8
-G_XOFF, G_WIDTH, G_JINS, G_DK, G_ISEND, G_JINSB, G_DKB, G_SPARE = range(8)
+G_XOFF, G_WIDTH, G_JINS, G_DK, G_ISEND, G_JINSB, G_DKB, G_ISSTART = range(8)
 PACK_TRANS = 0
 PACK_START = 9
 PACK_END = 12
@@ -145,9 +145,18 @@ def tile_geometry(problem: bfb.BandedProblem, W: int, T: int,
     geom[:, G_WIDTH] = width
     geom[:, G_JINS] = jins
     geom[::T, G_DK] = dk
-    geom[problem.n_diag, G_ISEND] = 1
     geom[:, G_JINSB] = jins_b
     geom[start_ds, G_DKB] = dkb
+    # per-segment boundary injections: lane-packed problems
+    # (ops/packing.py) carry several (start, end) pairs; ordinary
+    # problems start at 0 and end at n_diag
+    if problem.segments is not None:
+        for (_, _, _, d0, dend) in problem.segments:
+            geom[d0, G_ISSTART] = 1
+            geom[dend, G_ISEND] = 1
+    else:
+        geom[0, G_ISSTART] = 1
+        geom[problem.n_diag, G_ISEND] = 1
     geom_t = geom.reshape(NT, T, NGEOM)
 
     # per-step event-insert scalars (mean, valid), forward & backward order

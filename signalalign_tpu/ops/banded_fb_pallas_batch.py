@@ -43,7 +43,8 @@ from signalalign_tpu.ops import banded_fb as bfb
 from signalalign_tpu.ops.banded_fb import (NEG, T_MM, T_MX, T_MY, T_XM,
                                            T_XX, T_YM, T_YY)
 from signalalign_tpu.ops.banded_fb_pallas import (G_DK, G_DKB, G_ISEND,
-                                                  G_JINS, G_JINSB, G_WIDTH,
+                                                  G_ISSTART, G_JINS,
+                                                  G_JINSB, G_WIDTH,
                                                   G_XOFF, NGEOM,
                                                   tile_geometry)
 
@@ -712,13 +713,17 @@ def _fwd_kernel_log(geom_ref, refwin_ref, evinit_ref, evins_ref,
         mm = (src_m - m_prev) + e_match
         gy = jnp.logaddexp(p1_m_up + t_my, p1_y_up + t_yy) + e_stay
 
-        is_init = d == 0
-        cell0 = sub == 0
-        mm = jnp.where(is_init, jnp.where(cell0, start_m, NEG),
+        # per-(diagonal, lane) start injection: geometry marks each
+        # segment's first diagonal (several per lane when segments are
+        # lane-packed, ops/packing.py); the start cell is the band's
+        # single in-band cell there (sub == xoff; xoff == 0 at d == 0)
+        is_start = geom_ref[0, 0, G_ISSTART, pl.ds(i, 1), :] == 1
+        cell0 = sub == xoff
+        mm = jnp.where(is_start, jnp.where(cell0, start_m, NEG),
                        jnp.where(inband, mm, NEG))
-        gx = jnp.where(is_init, jnp.where(cell0, start_x, NEG),
+        gx = jnp.where(is_start, jnp.where(cell0, start_x, NEG),
                        jnp.where(inband, gx, NEG))
-        gy = jnp.where(is_init, jnp.where(cell0, start_y, NEG),
+        gy = jnp.where(is_start, jnp.where(cell0, start_y, NEG),
                        jnp.where(inband, gy, NEG))
 
         mx = jnp.maximum(jnp.max(mm, axis=0, keepdims=True),
@@ -1030,6 +1035,12 @@ def _bwd_kernel_log(geom_ref, refwin_ref, evinit_ref, evins_ref,
             mprev[2:3, :] = mprev[2:3, :] + ((bo - (s_ - v_))
                                              + (m - v_))
             mprev[1:2, :] = s_
+            # lane packing: backward offsets telescope per segment, so
+            # the running sum restarts at each per-lane end-injection
+            # row (the expectation normalizer stream is built before
+            # the backward offsets exist and cannot carry them)
+            mprev[1:2, :] = jnp.where(is_end, 0.0, mprev[1:2, :])
+            mprev[2:3, :] = jnp.where(is_end, 0.0, mprev[2:3, :])
 
         buf = i % 2
         if expect:
@@ -1057,8 +1068,13 @@ def _bwd_kernel_log(geom_ref, refwin_ref, evinit_ref, evins_ref,
         out_dma(buf, d).start()
         out_fmax_ref[0, pl.ds(row, 1), :] = m2
 
-        # the start-weighted logsumexp is consumed only at diagonal 0
-        @pl.when(d == 0)
+        # the start-weighted logsumexp is consumed only at segment-start
+        # diagonals (diagonal 0, plus each packed segment's d0 — the
+        # geometry marks them per lane); lanes without a start here get
+        # a garbage row that the segment-aware totals scan never reads
+        is_start = geom_ref[0, 0, G_ISSTART, pl.ds(row, 1), :] == 1
+
+        @pl.when(jnp.any(is_start))
         def _lse():
             lse = jnp.log(
                 jnp.sum(jnp.exp(bm + start_m), axis=0, keepdims=True)
@@ -1572,6 +1588,68 @@ def _compact_topk(postlog, cvec, xoffs, widths, n_diag, log_thr, *,
     return jnp.concatenate(parts, axis=-1), counts
 
 
+@jax.jit
+def _delta_encode_pairs(buf, counts):
+    """Delta-compress the packed pair prefix for slow host links.
+
+    The compaction emits 4 B/pair ([p_u8, cell_lo, cell_mid, cell_hi],
+    the little-endian bytes of the ascending-sorted u32 key) — at ~1.08
+    pairs/event that is what binds the end-to-end rate on PCIe-less
+    links. Survivors are cell-sorted, so consecutive cell ids differ by
+    small deltas: emit (a) a 2 B/pair stream [p_u8, delta_u8] with 255
+    flagging an escape, and (b) an ascending stream of the escaped
+    ABSOLUTE cell ids (escapes appear in cell order in both streams, so
+    a plain sort aligns them — no rank machinery needed). Lossless.
+
+    Returns (A (G, S, K, 2) u8, B (G, S, K) u32 escape prefix,
+    n_escape (G, S) i32)."""
+    G, S, K, _ = buf.shape
+    # u8 (G,S,K,4) -> u32 (G,S,K): bitcast absorbs the byte axis
+    key = jax.lax.bitcast_convert_type(buf, jnp.uint32)
+    cells = key >> jnp.uint32(8)
+    p8 = (key & jnp.uint32(0xFF)).astype(jnp.uint8)
+    valid = (jnp.arange(K, dtype=jnp.int32)[None, None, :]
+             < counts[:, :, None])
+    prev = jnp.concatenate(
+        [jnp.zeros((G, S, 1), jnp.uint32), cells[:, :, :-1]], axis=2)
+    delta = cells - prev
+    esc = (delta > jnp.uint32(254)) & valid
+    d8 = jnp.where(esc, jnp.uint32(255), delta).astype(jnp.uint8)
+    A = jnp.stack([p8, d8], axis=-1)
+    B = jax.lax.sort(jnp.where(esc, cells, jnp.uint32(0xFFFFFFFF)),
+                     dimension=2)
+    nesc = jnp.sum(esc.astype(jnp.int32), axis=2)
+    return A, B, nesc
+
+
+def _delta_decode_pairs(a_h, b_h, counts_h, nesc_h):
+    """Host inverse of _delta_encode_pairs -> (p_u8 f64/255, cell u32),
+    shaped like the direct-fetch decode inputs."""
+    G, S, K, _ = a_h.shape
+    p_h = a_h[..., 0].astype(np.float64) / 255.0
+    d = a_h[..., 1].astype(np.int64)
+    idx = np.arange(K)[None, None, :]
+    valid = idx < counts_h[:, :, None]
+    esc = (d == 255) & valid
+    d_noesc = np.where(esc, 0, np.where(valid, d, 0))
+    cs = np.cumsum(d_noesc, axis=2)
+    # escape j of a lane replaces the running cell with b_h[j]; the
+    # offset (absolute - inclusive-cumsum-at-escape) forward-fills
+    eidx = np.cumsum(esc, axis=2) - 1            # escape ordinal at >= pos
+    eclip = np.clip(eidx, 0, b_h.shape[2] - 1 if b_h.shape[2] else 0)
+    absv = (np.take_along_axis(b_h.astype(np.int64), eclip, axis=2)
+            if b_h.shape[2] else np.zeros_like(d))
+    # offset as of the LATEST escape at-or-before each position:
+    # offsets (absolute - cumsum) are strictly increasing across a
+    # lane's escapes (each escape jumps the cell by more than the
+    # intervening deltas), so a running max forward-fills them
+    off = np.maximum.accumulate(
+        np.where(esc, absv - cs, np.int64(-1) << 62), axis=2)
+    off = np.where(off <= (np.int64(-1) << 61), 0, off)  # before 1st esc
+    cell_h = (cs + off).astype(np.uint32)
+    return p_h, cell_h
+
+
 @functools.partial(jax.jit, static_argnames=("T", "PP"))
 def _totals_cvec_df(f_incr, b_incr, f_lse, b_lse, n_diag, *, T: int,
                     PP: int = 1):
@@ -1666,6 +1744,186 @@ def _totals_cvec_df(f_incr, b_incr, f_lse, b_lse, n_diag, *, T: int,
             + b_intra.reshape(G, NT, T, S)
             + c_tile[:, :, None, :]).reshape(G, Dp1p, S)
     return cvec, tf_hi, tf_lo, tb_hi, tb_lo
+
+
+@functools.partial(jax.jit, static_argnames=("T", "PP", "SEGMAX"))
+def _totals_cvec_df_seg(f_incr, b_incr, f_lse, b_lse, seg_start, seg_end,
+                        seg_valid, *, T: int, PP: int = 1, SEGMAX: int = 1):
+    """Segment-aware generalization of ``_totals_cvec_df`` for
+    lane-packed problems (ops/packing.py): per-diagonal rescale offsets
+    telescope per segment, so
+
+      total_f(seg) = f_lse[e] + O_f(e) - O_f(s) + f_incr[s]
+      total_b(seg) = b_lse[s] + O_b(s) - O_b(e) + b_incr[e]
+      cvec[d]      = O_f(d) + O_b(d)
+                     - (O_f(s)-f_incr[s] + O_b(e)-b_incr[e] + total_f)
+
+    with O_f/O_b the inclusive double-float forward/backward prefix sums
+    of the rescale increments and (s, e) the diagonal's segment bounds.
+    seg_start/seg_end: (G, SEGMAX, S) i32 (gather-safe, i.e. < Dp1p);
+    seg_valid: same shape, 0 marks padding slots. Returns
+    (cvec (G,Dp1p,S), tf_hi, tf_lo, tb_hi, tb_lo each (G, SEGMAX, S)).
+    For SEGMAX == 1 with (0, n_diag) bounds this reproduces
+    ``_totals_cvec_df`` (O_f(0)-f_incr[0] == 0; O_b past a lane's is_end
+    row is 0 — width-0 rows and end injections force zero increments).
+    """
+    G, Dp1p, S = f_incr.shape
+    NT = Dp1p // T
+    ft = f_incr.reshape(G, NT, T, S)
+    bt = b_incr.reshape(G, NT, T, S)
+    f_intra = jnp.cumsum(ft, axis=2).reshape(G, Dp1p, S)
+    b_intra = jnp.cumsum(bt[:, :, ::-1], axis=2)[:, :, ::-1] \
+        .reshape(G, Dp1p, S)
+    fsum = jnp.sum(ft, axis=2)
+    bsum = jnp.sum(bt, axis=2)
+
+    def two_sum(a, b):
+        srt = a + b
+        v = srt - a
+        e = (a - (srt - v)) + (b - v)
+        return srt, e
+
+    def dd_add(a, b):
+        s, e = two_sum(a[0], b[0])
+        return s, e + a[1] + b[1]
+
+    def df_exclusive_scan(x, reverse):
+        xs = x[:, ::-1, :] if reverse else x
+        his, los = jax.lax.associative_scan(
+            dd_add, (xs, jnp.zeros_like(xs)), axis=1)
+        his = jnp.concatenate([jnp.zeros_like(his[:, :1]), his[:, :-1]],
+                              axis=1)
+        los = jnp.concatenate([jnp.zeros_like(los[:, :1]), los[:, :-1]],
+                              axis=1)
+        if reverse:
+            his, los = his[:, ::-1], los[:, ::-1]
+        return his, los
+
+    fb_hi, fb_lo = df_exclusive_scan(fsum, False)
+    bb_hi, bb_lo = df_exclusive_scan(bsum, True)
+    rep = lambda a: jnp.broadcast_to(a[:, :, None, :],
+                                     (G, NT, T, S)).reshape(G, Dp1p, S)
+    fbh_d, fbl_d = rep(fb_hi), rep(fb_lo)
+    bbh_d, bbl_d = rep(bb_hi), rep(bb_lo)
+
+    ga = lambda A, idx: jnp.take_along_axis(A, idx, axis=1)
+
+    def of_at(idx):      # inclusive O_f at diagonals idx -> df pair
+        return dd_add((ga(fbh_d, idx), ga(fbl_d, idx)),
+                      (ga(f_intra, idx), jnp.zeros_like(idx, jnp.float32)))
+
+    def ob_at(idx):      # inclusive O_b at diagonals idx
+        return dd_add((ga(bbh_d, idx), ga(bbl_d, idx)),
+                      (ga(b_intra, idx), jnp.zeros_like(idx, jnp.float32)))
+
+    zs = lambda x: jnp.zeros_like(x)
+    s_, e_ = seg_start, seg_end
+    of_e = of_at(e_)
+    of_s = of_at(s_)
+    ob_s = ob_at(s_)
+    ob_e = ob_at(e_)
+    f_incr_s = ga(f_incr, s_)
+    b_incr_e = ga(b_incr, e_)
+    # O_f(s-1) = O_f(s) - f_incr[s]; O_b(e+1) = O_b(e) - b_incr[e]
+    of_sm1 = dd_add(of_s, (-f_incr_s, zs(f_incr_s)))
+    ob_ep1 = dd_add(ob_e, (-b_incr_e, zs(b_incr_e)))
+    tf = dd_add(of_e, dd_add((ga(f_lse, e_), zs(f_incr_s)),
+                             ((-of_sm1[0], -of_sm1[1]))))
+    tb = dd_add(ob_s, dd_add((ga(b_lse, s_), zs(f_incr_s)),
+                             ((-ob_ep1[0], -ob_ep1[1]))))
+    tf_hi, tf_lo = tf
+    tb_hi, tb_lo = tb
+
+    if PP > 1:
+        # joint total over each read's PP path-lanes, per segment
+        # (packed path-lanes of one read carry identical segment maps)
+        fin = jnp.isfinite(tf_hi + tf_lo) & (seg_valid > 0)
+        hi = jnp.where(fin, tf_hi, -jnp.inf).reshape(G, SEGMAX,
+                                                     S // PP, PP)
+        lo = jnp.where(fin, tf_lo, 0.0).reshape(G, SEGMAX, S // PP, PP)
+        m = jnp.max(hi, axis=3, keepdims=True)
+        mok = jnp.where(jnp.isfinite(m), m, 0.0)
+        rel = (hi - mok) + lo
+        jv = jnp.log(jnp.maximum(jnp.sum(jnp.exp(rel), axis=3), 1e-37))
+        tfn_hi = jnp.repeat(mok[..., 0], PP, axis=2)
+        tfn_lo = jnp.repeat(jv, PP, axis=2)
+    else:
+        tfn_hi, tfn_lo = tf_hi, tf_lo
+
+    # per-segment posterior constant, expanded over the segment's
+    # diagonal range (padding slots masked; glue/padding diagonals get
+    # whatever fell through — their band widths are 0 so compaction
+    # never reads them)
+    c_seg = dd_add(dd_add(of_sm1, ob_ep1), (tfn_hi, tfn_lo))
+    d_idx = jnp.arange(Dp1p, dtype=jnp.int32)[None, :, None]
+    ch = jnp.zeros((G, Dp1p, S), jnp.float32)
+    cl = jnp.zeros((G, Dp1p, S), jnp.float32)
+    for i in range(SEGMAX):
+        m_i = ((d_idx >= s_[:, i:i + 1, :]) & (d_idx <= e_[:, i:i + 1, :])
+               & (seg_valid[:, i:i + 1, :] > 0))
+        ch = ch + jnp.where(m_i, c_seg[0][:, i:i + 1, :], 0.0)
+        cl = cl + jnp.where(m_i, c_seg[1][:, i:i + 1, :], 0.0)
+
+    h1, e1 = two_sum(fbh_d, bbh_d)
+    h2, e2 = two_sum(h1, -ch)
+    c_d = h2 + (e1 + e2 + fbl_d + bbl_d - cl)
+    cvec = f_intra + b_intra + c_d
+    return cvec, tf_hi, tf_lo, tb_hi, tb_lo
+
+
+@functools.partial(jax.jit, static_argnames=("T", "SEGMAX"))
+def _cvecf_expect_seg(f_incr, f_lse, seg_start, seg_end, seg_valid, *,
+                      T: int, SEGMAX: int = 1):
+    """Segment-aware ``_cvecf_expect``: per-diagonal
+    Fo(d) - Fo(s-1) - total_f(seg(d)) for the expectation kernel's
+    normalizer stream."""
+    G, Dp1p, S = f_incr.shape
+    NT = Dp1p // T
+    ft = f_incr.reshape(G, NT, T, S)
+    intra = jnp.cumsum(ft, axis=2)
+
+    def two_sum(a, b):
+        s = a + b
+        v = s - a
+        return s, (a - (s - v)) + (b - v)
+
+    def dd_add(x, y):
+        s, e = two_sum(x[0], y[0])
+        return s, e + x[1] + y[1]
+
+    tsum = jnp.sum(ft, axis=2)
+    bh, bl = jax.lax.associative_scan(
+        dd_add, (tsum, jnp.zeros_like(tsum)), axis=1)
+    bh = jnp.concatenate([jnp.zeros_like(bh[:, :1]), bh[:, :-1]], axis=1)
+    bl = jnp.concatenate([jnp.zeros_like(bl[:, :1]), bl[:, :-1]], axis=1)
+    fo_hi = (bh[:, :, None, :] + intra).reshape(G, Dp1p, S)
+    fo_lo = jnp.broadcast_to(bl[:, :, None, :],
+                             (G, NT, T, S)).reshape(G, Dp1p, S)
+
+    ga = lambda A, idx: jnp.take_along_axis(A, idx, axis=1)
+    s_, e_ = seg_start, seg_end
+    zs = jnp.zeros_like(s_, dtype=jnp.float32)
+    of = lambda idx: dd_add((ga(fo_hi, idx), ga(fo_lo, idx)),
+                            (ga(f_incr, idx) * 0.0, zs))
+    of_e = dd_add((ga(fo_hi, e_), ga(fo_lo, e_)), (zs, zs))
+    of_s = dd_add((ga(fo_hi, s_), ga(fo_lo, s_)), (zs, zs))
+    f_incr_s = ga(f_incr, s_)
+    of_sm1 = dd_add(of_s, (-f_incr_s, zs))
+    total = dd_add(of_e, dd_add((ga(f_lse, e_), zs),
+                                (-of_sm1[0], -of_sm1[1])))
+    # C2(seg) = O_f(s-1) + total_f(seg); cvecf[d] = O_f(d) - C2(seg(d))
+    c2 = dd_add(of_sm1, total)
+    d_idx = jnp.arange(Dp1p, dtype=jnp.int32)[None, :, None]
+    ch = jnp.zeros((G, Dp1p, S), jnp.float32)
+    cl = jnp.zeros((G, Dp1p, S), jnp.float32)
+    for i in range(SEGMAX):
+        m_i = ((d_idx >= s_[:, i:i + 1, :]) & (d_idx <= e_[:, i:i + 1, :])
+               & (seg_valid[:, i:i + 1, :] > 0))
+        ch = ch + jnp.where(m_i, c2[0][:, i:i + 1, :], 0.0)
+        cl = cl + jnp.where(m_i, c2[1][:, i:i + 1, :], 0.0)
+    cv = (fo_hi - ch) + (fo_lo - cl)
+    cv = jnp.where(jnp.isfinite(cv), jnp.maximum(cv, NEG), NEG)
+    return cv.reshape(G, NT, T, S)
 
 
 @functools.partial(jax.jit, static_argnames=("T",))
@@ -1787,7 +2045,7 @@ class PallasBatchAligner:
     def __init__(self, problems: Sequence[bfb.BandedProblem], W: int,
                  T: int = 240, S: int = 32, RB: int = 256,
                  interpret: bool = False, log_space: bool = False,
-                 P: int = 1, expect: bool = False):
+                 P: int = 1, expect: bool = False, device=None):
         """``log_space=True`` selects the log-domain kernel bodies:
         exact for unbounded within-band dynamic range (real bundled
         reads need up to ~4700 nats below the diagonal ridge) at ~0.7x
@@ -1936,69 +2194,104 @@ class PallasBatchAligner:
                     or gflat[:, G_DKB].max() * 128 > RB):
                 raise ValueError("tile re-base exceeds RB")
 
+        import jax
         import jax.numpy as jnp
-        self.geom = jnp.asarray(geom)
-        self.refwin = jnp.asarray(refwin)
+
+        # multi-chip dispatch: place every persistent array on the
+        # target device; all downstream jits then execute there (the
+        # runner round-robins stripes across jax.local_devices())
+        self.device = device
+
+        def _dev(a):
+            x = jnp.asarray(a)
+            return jax.device_put(x, device) if device is not None else x
+        self.geom = _dev(geom)
+        self.refwin = _dev(refwin)
         if self.estream:
             # the stream branch never reads the Gaussian event windows:
             # allocate zeros device-side instead of shipping ~100MB of
             # host arrays per stripe over the host link
-            self.evinit_f = jnp.zeros(evinit_f.shape, jnp.float32)
+            self.evinit_f = _dev(jnp.zeros(evinit_f.shape, jnp.float32))
             self.evinit_b = self.evinit_f
-            self.evins_f = jnp.zeros(evins_f.shape, jnp.float32)
+            self.evins_f = _dev(jnp.zeros(evins_f.shape, jnp.float32))
             self.evins_b = self.evins_f
         else:
-            self.evinit_f = jnp.asarray(evinit_f)
-            self.evinit_b = jnp.asarray(evinit_b)
-            self.evins_f = jnp.asarray(evins_f)
-            self.evins_b = jnp.asarray(evins_b)
-        self.pack = jnp.asarray(pack)
-        self.xoffs = jnp.asarray(xoffs)
-        self.widths = jnp.asarray(widths)
+            self.evinit_f = _dev(evinit_f)
+            self.evinit_b = _dev(evinit_b)
+            self.evins_f = _dev(evins_f)
+            self.evins_b = _dev(evins_b)
+        self.pack = _dev(pack)
+        self.xoffs = _dev(xoffs)
+        self.widths = _dev(widths)
         self.bases_h = bases
         self.ev_off = ev_off
-        self.n_diag = jnp.asarray(n_diag)
+        self.n_diag = _dev(n_diag)
         self.n_diag_h = n_diag
+        # lane packing (ops/packing.py): per-lane segment tables for the
+        # segment-aware totals scan + per-segment decode
+        self.packed = problems[0].segments is not None
+        assert all((p.segments is not None) == self.packed
+                   for p in problems), "mixed packed/unpacked stripe"
+        if self.packed:
+            assert log_space, "lane packing requires the log-space kernels"
+            SEGMAX = max(len(p.segments) for p in problems)
+            self.SEGMAX = SEGMAX
+            seg_s = np.zeros((G, SEGMAX, S), dtype=np.int32)
+            seg_e = np.zeros((G, SEGMAX, S), dtype=np.int32)
+            seg_v = np.zeros((G, SEGMAX, S), dtype=np.int32)
+            for idx, (pi, pp_) in enumerate(lane_list):
+                p = problems[pi]
+                gi, si = divmod(idx, S)
+                for k_, (_, _, _, d0, dend) in enumerate(p.segments):
+                    seg_s[gi, k_, si] = d0
+                    seg_e[gi, k_, si] = min(dend, Dp1p - 1)
+                    seg_v[gi, k_, si] = 1
+            self.seg_start = _dev(seg_s)
+            self.seg_end = _dev(seg_e)
+            self.seg_valid = _dev(seg_v)
         # per-tile lse flags: tile t of group g computes the forward
-        # end-logsumexp only if some lane's final diagonal lies in it
+        # end-logsumexp only if some lane has a segment-final diagonal
+        # in it
         lsef = np.zeros((G, NT), dtype=np.int32)
         for gi in range(G):
             for ti in np.unique(np.asarray(n_diag[gi]) // T):
                 lsef[gi, min(int(ti), NT - 1)] = 1
-        self.lseflag = jnp.asarray(lsef)
+        if self.packed:
+            for p in problems:
+                for (_, _, _, _, dend) in p.segments:
+                    lsef[:, min(dend // T, NT - 1)] = 1
+        self.lseflag = _dev(lsef)
         if self.estream:
             from signalalign_tpu.ops.emission_stream import \
                 host_stream_inputs
             WBe = WB + 8
             LEmax = max(p.ev_params.shape[1] for p in problems)
             kmerw = np.full((G, NT, WBe, S), -1, dtype=np.int32)
-            muw = np.zeros((G, NT, WBe, S), dtype=np.float32)
-            mhatw = np.zeros((G, NT, WBe, S), dtype=np.float32)
+            aw = np.zeros((G, NT, WBe, S), dtype=np.float32)
+            ivw = np.ones((G, NT, WBe, S), dtype=np.float32)
             evm = np.zeros((G, LEmax, S), dtype=np.float32)
             evv = np.zeros((G, LEmax, S), dtype=np.float32)
             j0d = np.zeros((G, Dp1p, S), dtype=np.int32)
-            varr = np.ones((G, S), dtype=np.float32)
             for idx, (pi, pp_) in enumerate(lane_list):
                 p = problems[pi]
                 gi, si = divmod(idx, S)
-                (kw, mw, hw, em, ev_, j0, vv) = \
+                (kw, a_, iv_, em, ev_, j0) = \
                     host_stream_inputs(p, W, T, pp_, WBe, LEmax)
                 kmerw[gi, :, :, si] = kw
-                muw[gi, :, :, si] = mw
-                mhatw[gi, :, :, si] = hw
+                aw[gi, :, :, si] = a_
+                ivw[gi, :, :, si] = iv_
                 evm[gi, :, si] = em
                 evv[gi, :, si] = ev_
                 j0d[gi, :, si] = j0
-                varr[gi, si] = vv
-            self.stream_in = tuple(jnp.asarray(a) for a in (
-                kmerw, muw, mhatw, evm, evv, j0d, varr))
+            self.stream_in = tuple(_dev(a) for a in (
+                kmerw, aw, ivw, evm, evv, j0d))
             p0 = problems[0]
-            self.hdp_dens = jnp.asarray(p0.hdp_dens)
-            self.hdp_slopes = jnp.asarray(p0.hdp_slopes)
-            self.hdp_grid = jnp.asarray(p0.hdp_grid)
+            self.hdp_dens = _dev(p0.hdp_dens)
+            self.hdp_slopes = _dev(p0.hdp_slopes)
+            self.hdp_grid = _dev(p0.hdp_grid)
             self.WBe = WBe
-        self.legf = jnp.asarray(legf) if PP > 1 else None
-        self.legb = jnp.asarray(legb) if PP > 1 else None
+        self.legf = _dev(legf) if PP > 1 else None
+        self.legb = _dev(legb) if PP > 1 else None
         if expect and self.estream:
             # HDP EM: no Gaussian moment accumulator (assignments come
             # from the compacted posterior pairs)
@@ -2039,24 +2332,53 @@ class PallasBatchAligner:
                 kw_[inv0[xc] <= 0.0] = -1
                 idx_by_x[gi, :, si] = kw_
                 iv[gi, 0, si] = 1.0 / float(p.var)
-            self.kexp_bank = jnp.asarray(bank)
-            self.kexp_ids_x = jnp.asarray(idx_by_x)
+            self.kexp_bank = _dev(bank)
+            self.kexp_ids_x = _dev(idx_by_x)
             self.kexp_xw = XW
-            self.ivar = jnp.asarray(iv)
+            self.ivar = _dev(iv)
             self.num_kmers = max(p.num_kmers for p in problems)
         self.NT = NT
 
+    def _totals(self, f_incr, b_incr, f_lse, b_lse):
+        """Per-diagonal cvec + totals: per lane, or per packed segment."""
+        if self.packed:
+            return _totals_cvec_df_seg(
+                f_incr, b_incr, f_lse, b_lse, self.seg_start, self.seg_end,
+                self.seg_valid, T=self.T, PP=self.PP, SEGMAX=self.SEGMAX)
+        return _totals_cvec_df(f_incr, b_incr, f_lse, b_lse, self.n_diag,
+                               T=self.T, PP=self.PP)
+
+    def _totals_stack(self, tf_hi, tf_lo, tb_hi, tb_lo, counts, overflow,
+                      nesc=None):
+        """(6|7, G, S) stack, or for packed lanes a ((4, G, SEGMAX, S),
+        (2|3, G, S)) pair — per-segment totals have an extra axis;
+        ``nesc`` (delta-pair escape counts) rides as a trailing row."""
+        rows = [counts.astype(jnp.float32), overflow.astype(jnp.float32)]
+        if nesc is not None:
+            rows.append(nesc.astype(jnp.float32))
+        cnt = jnp.stack(rows)
+        if self.packed:
+            return (jnp.stack([tf_hi, tf_lo, tb_hi, tb_lo]), cnt)
+        return jnp.concatenate(
+            [jnp.stack([tf_hi, tf_lo, tb_hi, tb_lo]), cnt])
+
     def execute(self, compact_k: int = 4096, threshold: float = 0.01,
-                as_arrays: bool = False, pack16: bool = False) -> List[Dict]:
+                as_arrays: bool = False, pack16: bool = False,
+                delta_pairs: bool = False) -> List[Dict]:
         """Run the full pipeline and fetch results (blocking)."""
-        return self.execute_async(compact_k, threshold, as_arrays, pack16)()
+        return self.execute_async(compact_k, threshold, as_arrays, pack16,
+                                  delta_pairs)()
 
     def execute_async(self, compact_k: int = 4096, threshold: float = 0.01,
-                      as_arrays: bool = False, pack16: bool = False):
+                      as_arrays: bool = False, pack16: bool = False,
+                      delta_pairs: bool = False):
         """Dispatch all device work; returns a zero-arg ``finish`` closure
         that fetches + decodes. Calling ``execute_async`` for the next
         batch BEFORE finishing the previous one overlaps the (dominant)
-        device->host result transfer with the next batch's kernels."""
+        device->host result transfer with the next batch's kernels.
+        ``delta_pairs=True`` swaps the 4 B/pair fetch for the lossless
+        2 B/pair delta stream (_delta_encode_pairs) — the production
+        default on slow host links."""
         T, WB, S, RB = self.T, self.WB, self.S, self.RB
         estack = ebnd = None
         if self.estream:
@@ -2083,8 +2405,8 @@ class PallasBatchAligner:
         # the (G, S) totals/counts cross the host link. The per-diagonal
         # fused-row max folds into the normalizer (the stack rows are
         # quantized relative to it).
-        cvec, tf_hi, tf_lo, tb_hi, tb_lo = _totals_cvec_df(
-            f_incr, b_incr, f_lse, b_lse, self.n_diag, T=T, PP=self.PP)
+        cvec, tf_hi, tf_lo, tb_hi, tb_lo = self._totals(f_incr, b_incr,
+                                                        f_lse, b_lse)
         cvec = cvec + fmax
         del fstack  # free the forward stack before compaction peaks
         C = max(T, 1)
@@ -2095,16 +2417,20 @@ class PallasBatchAligner:
         buf, counts, overflow = _compact_chunked(
             postlog, cvec, self.xoffs, self.widths, self.n_diag, log_thr,
             K=compact_k, C=C, pack16=pack16, interpret=self.interpret)
+        nesc = None
+        if delta_pairs and not pack16 and buf.shape[-1] == 4:
+            bufA, bufB, nesc = _delta_encode_pairs(buf, counts)
+            buf = (bufA, bufB)
         # one small fetch: totals + counts + overflow together (counts
         # < 2^24 are exact in f32)
-        totals = jnp.stack([tf_hi, tf_lo, tb_hi, tb_lo,
-                            counts.astype(jnp.float32),
-                            overflow.astype(jnp.float32)])
+        totals = self._totals_stack(tf_hi, tf_lo, tb_hi, tb_lo, counts,
+                                    overflow, nesc)
         # start the tiny totals D2H as soon as the device reaches it:
         # its ~45ms tunnel round-trip then overlaps the remaining queue
         # instead of serializing inside finish()
         try:
-            totals.copy_to_host_async()
+            for t_ in (totals if isinstance(totals, tuple) else (totals,)):
+                t_.copy_to_host_async()
         except Exception:
             pass
 
@@ -2143,8 +2469,8 @@ class PallasBatchAligner:
             fuse_post=True,
             interpret=self.interpret, log_space=self.log_space,
             PP=self.PP, estream=self.estream)
-        cvec, tf_hi, tf_lo, tb_hi, tb_lo = _totals_cvec_df(
-            f_incr, b_incr, f_lse, b_lse, self.n_diag, T=T, PP=self.PP)
+        cvec, tf_hi, tf_lo, tb_hi, tb_lo = self._totals(f_incr, b_incr,
+                                                        f_lse, b_lse)
         cvec = cvec + fmax
         del fstack
         # plain host float: a jnp scalar here cost a synchronous
@@ -2159,7 +2485,8 @@ class PallasBatchAligner:
 
         def finish():
             th = np.asarray(totals, dtype=np.float64)
-            return th[0] + th[1] + self.ev_off, np.asarray(counts)
+            off = 0.0 if self.packed else self.ev_off
+            return th[0] + th[1] + off, np.asarray(counts)
         # the tiny result arrays, exposed so callers can block on device
         # completion without paying a host round-trip per dispatch (the
         # tunnel RTT here is ~45ms; PCIe-attached production hosts pay
@@ -2167,22 +2494,51 @@ class PallasBatchAligner:
         finish.device_arrays = (totals, counts)
         return finish
 
+    def _fetch_totals(self, totals):
+        """-> (total_f, total_b, counts, overflow, nesc); totals have a
+        SEGMAX axis for packed lanes ((G, SEGMAX, S)) and are per-lane
+        (G, S) otherwise; nesc is None unless the delta-pair stream is
+        active."""
+        if isinstance(totals, tuple):
+            seg_tot, cnt = totals
+            th = np.asarray(seg_tot, dtype=np.float64)
+            ch = np.asarray(cnt, dtype=np.float64)
+            nesc = ch[2].astype(np.int64) if ch.shape[0] > 2 else None
+            return (th[0] + th[1], th[2] + th[3],
+                    ch[0].astype(np.int64), ch[1] > 0.5, nesc)
+        th = np.asarray(totals, dtype=np.float64)
+        nesc = th[6].astype(np.int64) if th.shape[0] > 6 else None
+        # kernels run on event-normalized emissions; restore the
+        # per-problem normalizer in the reported totals
+        return (th[0] + th[1] + self.ev_off, th[2] + th[3] + self.ev_off,
+                th[4].astype(np.int64), th[5] > 0.5, nesc)
+
     def _fetch_packed(self, totals, buf, compact_k, pack16=False):
         """Fetch the totals stack + the counts-bounded packed prefix and
         unpack to (total_f, total_b, counts, overflow, p, cell) — shared
-        by the inference and expectation finish paths."""
-        th = np.asarray(totals, dtype=np.float64)
-        # kernels run on event-normalized emissions; restore the
-        # per-problem normalizer in the reported totals
-        total_f = th[0] + th[1] + self.ev_off
-        total_b = th[2] + th[3] + self.ev_off
-        counts_h = th[4].astype(np.int64)
-        overflow_h = th[5] > 0.5
+        by the inference and expectation finish paths. ``buf`` is the
+        4|5|6 B/pair direct buffer, or an (A, B) delta-stream pair
+        (2 B/pair + escaped absolutes; see _delta_encode_pairs)."""
+        (total_f, total_b, counts_h, overflow_h,
+         nesc_h) = self._fetch_totals(totals)
         # fetch only the (128-granular) K-prefix that holds survivors:
         # the compaction sorted them to the front. This is the single
         # biggest transfer of the pipeline.
         kmax = int(counts_h.max()) if counts_h.size else 0
         kf = min(max((kmax + 127) // 128 * 128, 128), compact_k)
+        if isinstance(buf, tuple):
+            bufA, bufB = buf
+            a_h = np.asarray(bufA[:, :, :kf] if kf < compact_k else bufA)
+            ne = int(nesc_h.max()) if nesc_h is not None and nesc_h.size \
+                else 0
+            ke = min(max((ne + 127) // 128 * 128, 128), compact_k) \
+                if ne else 0
+            b_h = (np.asarray(bufB[:, :, :ke]) if ke
+                   else np.zeros(a_h.shape[:2] + (0,), np.uint32))
+            p_h, cell_h = _delta_decode_pairs(
+                a_h, b_h, counts_h,
+                nesc_h if nesc_h is not None else np.zeros_like(counts_h))
+            return total_f, total_b, counts_h, overflow_h, p_h, cell_h
         bh = np.asarray(buf[:, :, :kf] if kf < compact_k else buf)
         if pack16:
             p_h = (bh[..., 0:2].copy().view(np.uint16)[..., 0]
@@ -2231,7 +2587,12 @@ class PallasBatchAligner:
             self.lseflag, None, estack, WB=WB, T=T, S=S, RB=RB,
             interpret=self.interpret, log_space=True,
             estream=self.estream, expect=True)
-        cvecf = _cvecf_expect(f_incr, f_lse, self.n_diag, T=T)
+        if self.packed:
+            cvecf = _cvecf_expect_seg(f_incr, f_lse, self.seg_start,
+                                      self.seg_end, self.seg_valid, T=T,
+                                      SEGMAX=self.SEGMAX)
+        else:
+            cvecf = _cvecf_expect(f_incr, f_lse, self.n_diag, T=T)
         bouts = pallas_backward_b(
             self.geom, self.refwin, self.evinit_b, self.evins_b, self.pack,
             fstack, None, estack, ebnd, cvecf,
@@ -2244,8 +2605,8 @@ class PallasBatchAligner:
             kexp_t = None
         else:
             postlog, b_incr, b_lse, fmax, texp8, kexp_t = bouts
-        cvec, tf_hi, tf_lo, tb_hi, tb_lo = _totals_cvec_df(
-            f_incr, b_incr, f_lse, b_lse, self.n_diag, T=T)
+        cvec, tf_hi, tf_lo, tb_hi, tb_lo = self._totals(f_incr, b_incr,
+                                                        f_lse, b_lse)
         cvec = cvec + fmax
         del fstack
         if kexp_t is None:
@@ -2263,11 +2624,11 @@ class PallasBatchAligner:
         buf, counts, overflow = _compact_chunked(
             postlog, cvec, self.xoffs, self.widths, self.n_diag, log_thr,
             K=compact_k, C=max(T, 1), interpret=self.interpret)
-        totals = jnp.stack([tf_hi, tf_lo, tb_hi, tb_lo,
-                            counts.astype(jnp.float32),
-                            overflow.astype(jnp.float32)])
+        totals = self._totals_stack(tf_hi, tf_lo, tb_hi, tb_lo, counts,
+                                    overflow)
         try:
-            totals.copy_to_host_async()     # overlap the D2H round-trip
+            for t_ in (totals if isinstance(totals, tuple) else (totals,)):
+                t_.copy_to_host_async()     # overlap the D2H round-trip
             texp8.copy_to_host_async()
             kexp_dev.copy_to_host_async()
         except Exception:
@@ -2278,13 +2639,11 @@ class PallasBatchAligner:
                 (total_f, total_b, counts_h, overflow_h, p_h,
                  cell_h) = self._fetch_packed(totals, buf, compact_k)
             else:
-                th = np.asarray(totals, dtype=np.float64)
-                total_f = th[0] + th[1] + self.ev_off
-                total_b = th[2] + th[3] + self.ev_off
-                counts_h = np.zeros(total_f.shape, dtype=np.int64)
-                overflow_h = th[5] > 0.5
-                p_h = np.zeros(total_f.shape + (0,))
-                cell_h = np.zeros(total_f.shape + (0,), dtype=np.uint32)
+                total_f, total_b, counts_h, overflow_h = \
+                    self._fetch_totals(totals)
+                counts_h = np.zeros(counts_h.shape, dtype=np.int64)
+                p_h = np.zeros(counts_h.shape + (0,))
+                cell_h = np.zeros(counts_h.shape + (0,), dtype=np.uint32)
             texp_h = np.asarray(texp8, dtype=np.float64)
             kexp_h = np.asarray(kexp_dev, dtype=np.float64)
             results = self._decode_packed(p_h, cell_h, counts_h,
@@ -2293,16 +2652,112 @@ class PallasBatchAligner:
             # texp rows: (mx, xx, mm, xm, ym, my, yy)
             rows = ((0, 1), (1, 1), (0, 0), (1, 0), (2, 0), (0, 2),
                     (2, 2))
+            # packed lanes accumulate expectations across their whole
+            # lane; attribute the lane's sums to its FIRST segment's
+            # result (EM consumes global sums — zero-filling the other
+            # segments keeps them exact)
+            seen_lanes = set()
             for idx, r in enumerate(results):
-                gi, si = divmod(idx, S)
+                if self.packed:
+                    gi, si = self._result_lanes[idx]
+                    first = (gi, si) not in seen_lanes
+                    seen_lanes.add((gi, si))
+                else:
+                    gi, si = divmod(idx, S)
+                    first = True
                 te = np.zeros((3, 3))
-                for r_, (a, b) in enumerate(rows):
-                    te[a, b] = texp_h[gi, r_, si]
+                if first:
+                    for r_, (a, b) in enumerate(rows):
+                        te[a, b] = texp_h[gi, r_, si]
                 r["texp"] = te
-                r["kexp"] = kexp_h[gi, si]          # (3, K)
+                r["kexp"] = (kexp_h[gi, si] if first
+                             else np.zeros_like(kexp_h[gi, si]))  # (3, K)
             return results
-        finish.device_arrays = (totals, texp8, kexp_dev)
+        finish.device_arrays = (
+            (totals if isinstance(totals, tuple) else (totals,))
+            + (texp8, kexp_dev))
         return finish
+
+    def _decode_lane_packed(self, p_h, cell_h, counts_h, total_f, total_b,
+                            as_arrays, overflow_h):
+        """Decode for lane-packed problems: one result entry per
+        (problem, segment), in segment order — callers re-associate via
+        the pack groups. Totals carry a SEGMAX axis (G, SEGMAX, S);
+        pairs split by each segment's diagonal range and shift back to
+        the segment's local (x, y) frame."""
+        S, WB, PP = self.S, self.WB, self.PP
+        results = []
+        self._result_lanes = []
+
+        def _lse_h(vals):
+            v = np.asarray(vals, dtype=np.float64)
+            v = v[np.isfinite(v)]
+            if v.size == 0:
+                return float("-inf")
+            m = v.max()
+            return float(m + np.log(np.exp(v - m).sum()))
+
+        for pi, p in enumerate(self.problems):
+            lanes = [divmod(pi * PP + j, S) for j in range(PP)]
+            # per-lane decoded arrays once, then split per segment
+            lane_cells = []
+            for (gi, si) in lanes:
+                n = min(int(counts_h[gi, si]), p_h.shape[2])
+                pk = p_h[gi, si, :n]
+                c = cell_h[gi, si, :n]
+                d = (c // WB).astype(np.int64)
+                wb = (c % WB).astype(np.int64)
+                x = self.bases_h[gi, d, si] + wb
+                lane_cells.append((pk, d, x))
+            for k_, (orig, ox, oy, d0, dend) in enumerate(p.segments):
+                tf = _lse_h([total_f[gi, k_, si] for gi, si in lanes])
+                tb = _lse_h([total_b[gi, k_, si] for gi, si in lanes])
+                over = any(bool(overflow_h[gi, si]) for gi, si in lanes) \
+                    if overflow_h is not None else False
+                entry = {"total_f": tf, "total_b": tb,
+                         "numerics_suspect": (not abs(tf - tb) < 1.0)
+                         or over}
+                if PP > 1:
+                    pairs = []
+                    for j, (pk, d, x) in enumerate(lane_cells):
+                        sel = (d >= d0) & (d <= dend)
+                        xs = x[sel] - ox
+                        ys = (d[sel] - x[sel]) - oy
+                        pks = pk[sel]
+                        ok = (xs > 0) & (ys > 0) & (xs <= orig.lX) \
+                            & (ys <= orig.lY)
+                        for pr, xi, yi in zip(pks[ok], xs[ok], ys[ok]):
+                            kmer = orig.path_kmer_at(int(xi), j)
+                            if kmer is None:
+                                continue
+                            pairs.append((int(pr * 10000000), int(xi) - 1,
+                                          int(yi) - 1, kmer))
+                    pairs.sort(key=lambda r: (r[1] + r[2], r[1]))
+                    entry["pairs"] = pairs
+                    if as_arrays:
+                        raise ValueError("as_arrays unsupported for P > 1")
+                else:
+                    pk, d, x = lane_cells[0]
+                    sel = (d >= d0) & (d <= dend)
+                    xs = x[sel] - ox
+                    ys = (d[sel] - x[sel]) - oy
+                    pks = pk[sel]
+                    ok = (xs > 0) & (ys > 0) & (xs <= orig.lX) \
+                        & (ys <= orig.lY)
+                    arrs = ((pks[ok] * 10000000).astype(np.int64),
+                            xs[ok] - 1, ys[ok] - 1)
+                    if as_arrays:
+                        entry["pairs_arrays"] = arrs
+                    else:
+                        kk = orig.kmer_len
+                        seq = orig.seq
+                        entry["pairs"] = [
+                            (int(pr), int(xi), int(yi),
+                             seq[xi:xi + kk])
+                            for pr, xi, yi in zip(*arrs)]
+                results.append(entry)
+                self._result_lanes.append(lanes[0])
+        return results
 
     def _decode_packed(self, p_h, cell_h, counts_h, total_f, total_b,
                        as_arrays, overflow_h=None):
@@ -2310,6 +2765,11 @@ class PallasBatchAligner:
         # by (diagonal, band offset) == the (x+y, x) output order, and
         # prefix-packed: decode is pure slicing, no host sort/filter
         S, WB, PP = self.S, self.WB, self.PP
+
+        if self.packed:
+            return self._decode_lane_packed(p_h, cell_h, counts_h,
+                                            total_f, total_b, as_arrays,
+                                            overflow_h)
 
         def lane_arrays(p, gi, si):
             n = min(int(counts_h[gi, si]), p_h.shape[2])

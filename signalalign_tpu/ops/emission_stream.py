@@ -52,44 +52,68 @@ def _hdp_logdensity(x, kmer, dens, slopes, g0, dx, valid):
                      jnp.log(jnp.maximum(v, 1e-37)), NEG)
 
 
-def _spline_eval_kernel(txs_ref, rowd_ref, rowsl_ref, out_ref, *,
-                        NG: int, T: int):
-    """Per-cell monotone-cubic spline evaluation with NO per-cell
-    gathers: the grid axis (NG=|HDP grid|, ~100) is walked with a
-    FULLY UNROLLED static loop; each cell picks up its bracketing
-    values (y/slope at il and il+1) via one compare per grid point.
-    TPU XLA lowers the equivalent take_along_axis to element gathers
-    (~10 cycles/elem — measured 6.6s per 128-lane stripe); a fori loop
-    with dynamic dim-0 table reads serializes on the per-iteration
-    VMEM loads (measured ~33ms/tile); static unrolling makes every
-    table read a compile-time slice and the body a pipelined stream of
-    compare+FMA vector ops.
+def _spline_eval_fused_kernel(evw_ref, aw_ref, ivw_ref, rowd_ref,
+                              rowsl_ref, out_ref, *, NG: int, TT: int,
+                              TSHIFT: int):
+    """Fused spline-argument + evaluation kernel: builds each row's
+    grid-unit argument in-register from the per-tile event window (the
+    XLA per-diagonal dynamic-slice formulation of txs cost ~35ms/stripe
+    in fusion overhead alone).
 
-    Exactness: exactly one grid point matches per cell, and the
-    accumulate is `acc + mask*row` with mask in {0.0, 1.0}, so each
-    accumulator ends bit-identical to a gather of its table entry.
-
-    txs: (T, WBu, S) grid-unit spline argument ((x-g0)/dx), sentinel
-         >=1e29 marks invalid cells; rowd/rowsl: (NG, WBu, S) density /
-         dx-prescaled slope rows per sublane; out: (T, WBu, S)
-         log-density (caller subtracts log var)."""
-    txs = txs_ref[0]
+    evw: (WLp, S) sentinel-encoded event stream in grid units' source
+         (invalid events = 1e35); row i, sublane-block w reads
+         evw[TSHIFT - i + 8w : +8].
+    aw/ivw: (8, S) per-sublane affine params, pre-divided by dx and
+         grid-shifted (invalid positions: aw = 4e30, ivw = 0) so
+         txs = aw + ivw * ev directly; sentinel >= 1e29 marks invalid.
+    rowd/rowsl: (NG, 8, S) density / dx- and 1/var-prescaled slope rows.
+    out: (TT, 8, S) log-density.
+    """
+    w8 = pl.program_id(1) * 8
+    aw = aw_ref[0]
+    ivw = ivw_ref[0]
+    rows = []
+    for i in range(TT):
+        ev = evw_ref[0, pl.ds(TSHIFT - i + w8, 8), :]
+        rows.append(aw + ivw * ev)
+    txs = jnp.stack(rows, axis=0)                    # (TT, 8, S)
     valid = txs < 1e29
     tc = jnp.clip(txs, -2.0, float(NG) + 2.0)
     il = jnp.clip(jnp.floor(tc), 0.0, float(NG - 2))
     zero = jnp.zeros(txs.shape, jnp.float32)
 
-    yl, yr, sl, sr = zero, zero, zero, zero
-    for g in range(NG - 1):
-        # f32 mask: il is an exact small integer in f32, compare to the
-        # constant is exact; mask*row keeps the accumulation exact
-        m = (il == float(g)).astype(jnp.float32)
-        yl = yl + m * rowd_ref[0, g]
-        yr = yr + m * rowd_ref[0, g + 1]
-        sl = sl + m * rowsl_ref[0, g]
-        sr = sr + m * rowsl_ref[0, g + 1]
+    # quad-grouped 1-of-NG selection: one mask per 4-interval group
+    # gathers the group's 5 bracketing rows per table (vs one mask per
+    # interval) — ~NG*3 masked FMAs per cell instead of ~NG*6; a final
+    # 4-way select tree on the low bits picks the interval
+    il4 = jnp.floor(il * 0.25)
+    NJ = (NG - 2) // 4 + 1
+    accd = [zero] * 5
+    accs = [zero] * 5
+    for j in range(NJ):
+        m = (il4 == float(j)).astype(jnp.float32)
+        for r in range(5):
+            g = min(4 * j + r, NG - 1)
+            accd[r] = accd[r] + m * rowd_ref[0, g]
+            accs[r] = accs[r] + m * rowsl_ref[0, g]
+    b = il - il4 * 4.0
+    m1 = b < 0.5
+    m2 = b < 1.5
+    m3 = b < 2.5
+
+    def pick(acc, lo):
+        return jnp.where(m2, jnp.where(m1, acc[lo], acc[lo + 1]),
+                         jnp.where(m3, acc[lo + 2], acc[lo + 3]))
+
+    yl = pick(accd, 0)
+    sl = pick(accs, 0)
+    # right neighbor = interval + 1
+    yr = jnp.where(m2, jnp.where(m1, accd[1], accd[2]),
+                   jnp.where(m3, accd[3], accd[4]))
+    sr = jnp.where(m2, jnp.where(m1, accs[1], accs[2]),
+                   jnp.where(m3, accs[3], accs[4]))
     dy = yr - yl
-    a = sl - dy                              # slopes pre-scaled by dx
+    a = sl - dy
     b = dy - sr
     tl = tc - il
     tr = 1.0 - tl
@@ -107,39 +131,48 @@ def _spline_eval_kernel(txs_ref, rowd_ref, rowsl_ref, out_ref, *,
                            jnp.log(jnp.maximum(v, 1e-37)), NEG)
 
 
-def _spline_eval_tile(txs, rowd, rowsl, *, interpret: bool = False):
-    """txs (G, T, WBe, S) grid-unit args; rowd/rowsl (G, NG, WBe, S)
-    per-sublane table rows -> (G, T, WBe, S) log-densities."""
-    G, T, WBe, S = txs.shape
+def _spline_eval_fused(evw, aw, ivw, rowd, rowsl, *, TT: int,
+                       TSHIFT: int, interpret: bool = False):
+    """evw (G, WLp, S); aw/ivw (G, WBe, S); rowd/rowsl (G, NG, WBe, S)
+    -> (G, TT, WBe, S) log-densities."""
+    G, WLp, S = evw.shape
+    WBe = aw.shape[1]
     NG = rowd.shape[1]
     WBu = 8
     return pl.pallas_call(
-        functools.partial(_spline_eval_kernel, NG=NG, T=T),
+        functools.partial(_spline_eval_fused_kernel, NG=NG, TT=TT,
+                          TSHIFT=TSHIFT),
         grid=(G, WBe // WBu),
         in_specs=[
-            pl.BlockSpec((1, T, WBu, S), lambda g, w: (g, 0, w, 0)),
+            pl.BlockSpec((1, WLp, S), lambda g, w: (g, 0, 0)),
+            pl.BlockSpec((1, WBu, S), lambda g, w: (g, w, 0)),
+            pl.BlockSpec((1, WBu, S), lambda g, w: (g, w, 0)),
             pl.BlockSpec((1, NG, WBu, S), lambda g, w: (g, 0, w, 0)),
             pl.BlockSpec((1, NG, WBu, S), lambda g, w: (g, 0, w, 0)),
         ],
-        out_specs=pl.BlockSpec((1, T, WBu, S), lambda g, w: (g, 0, w, 0)),
-        out_shape=jax.ShapeDtypeStruct((G, T, WBe, S), jnp.float32),
+        out_specs=pl.BlockSpec((1, TT, WBu, S), lambda g, w: (g, 0, w, 0)),
+        out_shape=jax.ShapeDtypeStruct((G, TT, WBe, S), jnp.float32),
         interpret=interpret,
-    )(txs, rowd, rowsl)
+    )(evw, aw, ivw, rowd, rowsl)
 
 
 @functools.partial(jax.jit, static_argnames=("T", "WBe", "interpret"))
-def hdp_emission_stacks(kmerw, muw, mhatw, evm, evv, j0d, var, dens,
+def hdp_emission_stacks(kmerw, aw, ivw, evm, evv, j0d, dens,
                         slopes, grid,
                         *, T: int, WBe: int, interpret: bool = False):
     """HDP log-emission stream + backward tile-boundary rows.
 
-    kmerw/muw/mhatw: (G, NT, WBe, S) per-tile kmer table rows and
-        Gaussian location params (mu, scale*mu+shift) for x = base + u;
-        kmer < 0 marks invalid cells.
+    kmerw/aw/ivw: (G, NT, WBe, S) per-tile kmer table rows and the
+        affine spline-argument params for x = base + u: the descaled
+        argument is a(u) + iv(u)*event with a = mu - m_hat/var and
+        iv = 1/var (per POSITION, so lane-packed segments from different
+        reads carry their own scaling; kmer < 0 marks invalid cells).
+        The 1/var density prefactor rides the gathered table rows
+        (iv * spline is exact under linear interpolation), replacing the
+        former per-lane log-var subtraction.
     evm/evv:  (G, LE, S) per-lane padded event means / validity.
     j0d:      (G, Dp1p, S) i32 — event index entering sublane 0 of each
         diagonal (lY - d + fp + base), unclipped.
-    var:      (G, S) per-lane read variance.
     Returns (estack (G, Dp1p, WBe, S) f32, ebnd (G, NT, 2, WBe, S) f32).
 
     The two re-based boundary rows the backward kernel consumes at the
@@ -169,7 +202,6 @@ def hdp_emission_stacks(kmerw, muw, mhatw, evm, evv, j0d, var, dens,
     #     rows are shifted static views of it;
     #   * only the NG-wide minor-axis interpolation lookup stays
     #     per-cell (the unrolled Pallas kernel).
-    logvar = jnp.log(var)                                   # (G, S)
     # generous pads: dynamic_slice CLAMPS out-of-range starts, which
     # would silently misalign the window against the jwin mask
     # (A can run ~W negative past the read end); out-of-band cells
@@ -182,16 +214,18 @@ def hdp_emission_stacks(kmerw, muw, mhatw, evm, evv, j0d, var, dens,
 
     def tile_fast(tt):
         kw = kmerw[:, tt]                                   # (G, WBe, S)
-        mu_ = muw[:, tt]
-        mh = mhatw[:, tt]
+        a_ = aw[:, tt]
+        iv = ivw[:, tt]
         kc = jnp.maximum(kw, 0)
-        rowd = jnp.take(dens, kc, axis=0)                   # (G, WBe, S, NG)
-        rowsl = jnp.take(slopes, kc, axis=0)
+        rowd = jnp.take(dens, kc, axis=0) * iv[..., None]   # (G, WBe, S, NG)
+        rowsl = jnp.take(slopes, kc, axis=0) * (iv * dx)[..., None]
         # per-lane event window: j(i, u) = j0d[tt*T] - i + u spans
-        # [A - (T+1), A + WBe - 1], one dynamic slice per lane
+        # [A - (T+1), A + WBe - 1], one dynamic slice per lane; rows are
+        # built in-kernel (dynamic sublane slices) by the fused kernel
         A = j0d[:, tt * T]                                  # (G, S)
         start = A - (T + 1)
         WL = WBe + T + 1
+        WLp = ((WL + 7) // 8) * 8
 
         def lane_slice(e, s0):
             return jax.lax.dynamic_slice(e, (s0,), (WL,))
@@ -202,23 +236,19 @@ def hdp_emission_stacks(kmerw, muw, mhatw, evm, evv, j0d, var, dens,
         jwin = (start[:, None, :]
                 + jnp.arange(WL, dtype=jnp.int32)[None, :, None])
         okwin = (evvwin > 0.5) & (jwin >= 0) & (jwin < LE)
-
-        def diag(i):
-            # row i reads evwin[T+1-i : T+1-i+WBe] (shift by -i)
-            ev = jax.lax.dynamic_slice_in_dim(evwin, T + 1 - i, WBe,
-                                              axis=1)
-            ok = jax.lax.dynamic_slice_in_dim(okwin, T + 1 - i, WBe,
-                                              axis=1)
-            ok = ok & (kw >= 0)
-            x = mu_ + (ev - mh) / var[:, None, :]
-            # grid-unit argument; sentinel marks masked cells
-            return jnp.where(ok, (x - g0) / dx, 3e30)
-
-        txs = jax.vmap(diag, out_axes=1)(jnp.arange(TE))  # (G, TE, WBe, S)
+        # sentinel encoding folds every mask into the argument stream:
+        # invalid events / positions push txs past the 1e29 cutoff
+        evs = jnp.where(okwin, evwin, 1e35)
+        evs = jnp.pad(evs, ((0, 0), (0, WLp - WL), (0, 0)),
+                      constant_values=1e35)
+        validu = kw >= 0
+        awg = jnp.where(validu, (a_ - g0) / dx, 4e30)
+        ivg = jnp.where(validu, iv / dx, 0.0)
         rowd_t = jnp.moveaxis(rowd, -1, 1)                # (G, NG, WBe, S)
-        rowsl_t = jnp.moveaxis(rowsl * dx, -1, 1)
-        ld = _spline_eval_tile(txs, rowd_t, rowsl_t, interpret=interpret)
-        return ld - logvar[:, None, None, :]
+        rowsl_t = jnp.moveaxis(rowsl, -1, 1)
+        return _spline_eval_fused(evs, awg, ivg, rowd_t, rowsl_t,
+                                  TT=TE, TSHIFT=T + 1,
+                                  interpret=interpret)
 
     est = jax.lax.map(tile_fast, jnp.arange(NT))         # (NT, G, TE, ...)
     estack = jnp.moveaxis(est[:, :, :T], 0, 1).reshape(G, Dp1p, WBe, S)
@@ -231,8 +261,8 @@ def host_stream_inputs(problem: bfb.BandedProblem, W: int, T: int,
                        path: int, WBe: int, LEmax: int):
     """Per-lane host arrays for ``hdp_emission_stacks``.
 
-    Returns (kmerw (NT, WBe), muw, mhatw, evm (LEmax,), evv (LEmax,),
-    j0d (Dp1p,), var).
+    Returns (kmerw (NT, WBe), aw, ivw, evm (LEmax,), evv (LEmax,),
+    j0d (Dp1p,)).
 
     Reference geometry: banded_fb_pallas.tile_geometry (x-frame).
     """
@@ -259,6 +289,15 @@ def host_stream_inputs(problem: bfb.BandedProblem, W: int, T: int,
     # invalid path slots carry zeroed params; mark via inv_m == 0
     inv_m = problem.ref_params[1,
                                min(path, problem.ref_params.shape[1] - 1)]
+    # per-POSITION 1/var (lane-packed segments carry their own read
+    # scaling; uniform otherwise). The spline argument is a + iv*event
+    # with a = mu - m_hat*iv; the 1/var density prefactor scales the
+    # gathered table rows device-side.
+    if problem.ivar_by_x is not None:
+        iv_x = np.asarray(problem.ivar_by_x, dtype=np.float64)[:LX]
+    else:
+        iv_x = np.full(LX, 1.0 / max(float(problem.var), 1e-30))
+    a_x = mu - m_hat * iv_x
 
     u = np.arange(WBe)
 
@@ -271,10 +310,10 @@ def host_stream_inputs(problem: bfb.BandedProblem, W: int, T: int,
         kw[inv_m[xc] <= 0.0] = -1
         if path >= kmer_ids.shape[0]:
             kw[:] = -1
-        return (kw.astype(np.int32), mu[xc].astype(np.float32),
-                m_hat[xc].astype(np.float32))
+        return (kw.astype(np.int32), a_x[xc].astype(np.float32),
+                iv_x[xc].astype(np.float32))
 
-    kmerw, muw, mhatw = window(tb)
+    kmerw, aw, ivw = window(tb)
 
     d = np.arange(Dp1p)
     base_d = tb[d // T]
@@ -290,4 +329,4 @@ def host_stream_inputs(problem: bfb.BandedProblem, W: int, T: int,
     LE = problem.ev_params.shape[1]
     evm[:LE] = problem.ev_params[0]
     evv[:LE] = problem.ev_params[3]
-    return (kmerw, muw, mhatw, evm, evv, j0d, float(problem.var))
+    return (kmerw, aw, ivw, evm, evv, j0d)

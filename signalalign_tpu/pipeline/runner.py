@@ -211,14 +211,43 @@ def run_alignment_batch(
         buckets[(t.W, t.Dpad, t.P)].append(i)
 
     seg_results: List[Optional[dict]] = [None] * len(seg_tasks)
-    pending: List[Tuple[List[int], int, object]] = []  # (idxs, n, finish)
+    # multi-chip dispatch: stripes round-robin across this process's
+    # local devices (the TPU-native replacement for the reference's 96
+    # worker processes, utils/multithread.py:79-236); each device keeps
+    # its own in-flight queue + HBM stack accounting
+    try:
+        import jax as _jax
+        _devices = _jax.local_devices()
+    except Exception:
+        _devices = [None]
+    if not _devices:
+        _devices = [None]
+    # (idxs, n, finish, dev_slot, stack_bytes)
+    pending: List[Tuple[List[int], int, object, int, int]] = []
+    dev_inflight = [0.0] * len(_devices)
+    dev_depth = [0] * len(_devices)
 
-    def drain(limit: int):
+    def drain(limit: int, dev_slot: Optional[int] = None):
+        """Finish queued stripes until every device (or one device) is
+        at most ``limit`` deep."""
         t0 = time.perf_counter()
-        while len(pending) > limit:
-            p_idxs, n, fin = pending.pop(0)
+
+        def over():
+            if dev_slot is not None:
+                return dev_depth[dev_slot] > limit
+            return any(d > limit for d in dev_depth)
+
+        while pending and over():
+            if dev_slot is None:
+                k = 0
+            else:
+                k = next(i for i, e in enumerate(pending)
+                         if e[3] == dev_slot)
+            p_idxs, n, fin, ds, sb = pending.pop(k)
             for i, r in zip(p_idxs, fin()[:n]):
                 seg_results[i] = r
+            dev_depth[ds] -= 1
+            dev_inflight[ds] -= sb
         stage_s["fetch+decode"] += time.perf_counter() - t0
 
     for (W, Dpad, P), idxs in buckets.items():
@@ -277,6 +306,37 @@ def run_alignment_batch(
                 else:
                     from signalalign_tpu.ops.banded_fb_pallas_batch import (
                         PallasBatchAligner, choose_lanes)
+                    from signalalign_tpu.ops.packing import pack_problems
+
+                    # lane packing: time-multiplex short segments into
+                    # full-Dpad lanes (ops/packing.py) so mixed-length
+                    # buckets stop paying for per-lane diagonal padding.
+                    # The probability-space kernels don't support the
+                    # per-lane start injections — log-space only.
+                    prob_ok0 = (P == 1 and W <= 512 and not hdp_mode
+                                and not expect
+                                and os.environ.get(
+                                    "SIGNALALIGN_TPU_PROB_KERNELS")
+                                == "1")
+                    if not prob_ok0 and len(probs) > 1:
+                        # EM lanes restrict co-packing to one read (the
+                        # Gaussian moment accumulator's 1/var is
+                        # per-lane); HDP EM has no such accumulator
+                        keys = ([seg_tasks[i].read_idx for i in idxs]
+                                if (expect and not hdp_mode) else None)
+                        # the aligner tiles lanes to T=120-diagonal
+                        # multiples; pack to the post-tiling capacity
+                        d_t = -(-(Dpad + 1) // 120) * 120 - 1
+                        packed, groups = pack_problems(
+                            probs, d_target=d_t, same_read_keys=keys)
+                    else:
+                        packed = list(probs)
+                        groups = [[i] for i in range(len(probs))]
+                    # seg_flat[j] = position in `probs` of the j-th
+                    # decoded segment result
+                    seg_flat = [i for g in groups for i in g]
+                    seg_counts = [len(g) for g in groups]
+
                     # lane-batched kernel wants full S-lane stripes; S
                     # shrinks below 128 when long reads' DP stacks would
                     # exceed HBM. One aligner dispatch per stripe keeps
@@ -286,12 +346,23 @@ def run_alignment_batch(
                     # interpret mode (CPU tests) runs the same dispatch
                     # with small stripes: Mosaic's 128-lane tile rule
                     # only binds on real hardware
+                    # packed lanes hold more events/diagonals: re-size
+                    # the survivor budget and lane count to the packed
+                    # shapes
+                    K = max(((3 * max(p.lY for p in packed)
+                              + 127) // 128) * 128, 1024)
+                    S_lanes = _choose_lanes(
+                        max(p.n_diag for p in packed), W)
                     S = (8 * PP) if pallas_interpret else S_lanes
                     S_eff = S // PP         # problems per stripe
-                    for c0 in range(0, len(probs), S_eff):
-                        chunk = probs[c0:c0 + S_eff]
-                        cidx = idxs[c0:c0 + S_eff]
-                        n_real = len(chunk)
+                    seg_cursor = 0
+                    for c0 in range(0, len(packed), S_eff):
+                        chunk = packed[c0:c0 + S_eff]
+                        nseg = sum(seg_counts[c0:c0 + len(chunk)])
+                        cidx = [idxs[seg_flat[j]] for j in
+                                range(seg_cursor, seg_cursor + nseg)]
+                        seg_cursor += nseg
+                        n_real = nseg
                         while len(chunk) % S_eff:
                             chunk.append(chunk[-1])
                         # log-space kernels are the production default:
@@ -312,29 +383,37 @@ def run_alignment_batch(
                                    and os.environ.get(
                                        "SIGNALALIGN_TPU_PROB_KERNELS")
                                    == "1")
-                        aligner = PallasBatchAligner(chunk, W=W, T=120,
-                                                     S=S, RB=256,
-                                                     log_space=not prob_ok,
-                                                     P=P, expect=expect,
-                                                     interpret=
-                                                     pallas_interpret)
-                        # pipeline: overlap this stripe's kernels with the
-                        # previous stripe's result fetch — only when two
-                        # stripes' DP stacks fit the HBM budget together
                         from signalalign_tpu.ops.banded_fb_pallas_batch \
                             import stack_bytes
                         sb = stack_bytes(max(p.n_diag for p in chunk),
                                          W, S, 120)
                         if expect:
                             sb = sb * 14 // 6   # 3-state f32 fwd stack
+                        # least-loaded local device takes the stripe;
+                        # finish its queue until this stripe's stacks fit
+                        devi = min(range(len(_devices)),
+                                   key=lambda i_: dev_inflight[i_])
+                        while dev_depth[devi] and (
+                                dev_depth[devi] > 1
+                                or dev_inflight[devi] + sb > 12e9):
+                            drain(dev_depth[devi] - 1, dev_slot=devi)
+                        aligner = PallasBatchAligner(chunk, W=W, T=120,
+                                                     S=S, RB=256,
+                                                     log_space=not prob_ok,
+                                                     P=P, expect=expect,
+                                                     interpret=
+                                                     pallas_interpret,
+                                                     device=_devices[devi])
                         if expect:
                             fin = aligner.execute_expect(
                                 compact_k=K, threshold=config.threshold)
                         else:
                             fin = aligner.execute_async(
-                                compact_k=K, threshold=config.threshold)
-                        pending.append((cidx, n_real, fin))
-                        drain(1 if 2 * sb < 12e9 else 0)
+                                compact_k=K, threshold=config.threshold,
+                                delta_pairs=True)
+                        pending.append((cidx, n_real, fin, devi, sb))
+                        dev_depth[devi] += 1
+                        dev_inflight[devi] += sb
                 continue
             except Exception as exc:
                 # geometry constraints raise ValueError; device compile
