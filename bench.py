@@ -328,14 +328,17 @@ def bench_expect(reps):
                                 log_space=True, expect=True)
         aligners.append((al, K,
                          lambda a=al, k=K: a.execute_expect(
-                             compact_k=k, fetch_pairs=False)))
+                             compact_k=k, fetch_pairs=False,
+                             host_async=False)))
         ev += sum(p.lY for p in probs)
     dt = _pipelined_device_only(aligners, reps)
     return ev * reps / dt, ev
 
 
 def bench_methyl(reps):
-    """HDP + P<=4 methylation-calling throughput (device-only).
+    """HDP + P<=4 methylation-calling throughput (device-only), plus
+    the device site-marginal calling path (per-site posterior sums on
+    device; only (sites, lanes) f32 cross the link).
 
     Counts READ events (not path-expanded lanes): a P=4 CpG workload
     does 4x the DP work per event, and the bundled zymo reads are short
@@ -346,7 +349,9 @@ def bench_methyl(reps):
         PallasBatchAligner
     wl = build_methyl_workload()
     aligners = []
+    site_aligners = []
     ev = 0
+    site_bytes = 0
     for W, P, probs in wl:
         K = max(((3 * max(p.lY for p in probs) + 127) // 128) * 128, 1024)
         al = PallasBatchAligner(probs, W=W, T=120, S=128, RB=256,
@@ -355,8 +360,20 @@ def bench_methyl(reps):
                          lambda a=al, k=K:
                          a.execute_device_only(compact_k=k)))
         ev += sum(p.lY for p in probs)
+        # site lists per decode entry (per segment of each packed lane)
+        sites = []
+        for p in probs:
+            segs = p.segments or [(p, 0, 0, 0, p.n_diag)]
+            for (orig, *_rest) in segs:
+                sites.append(np.flatnonzero(
+                    orig.n_paths[:orig.lX + 1] > 1))
+        site_bytes += sum(len(s_) for s_ in sites) * al.PP * 4
+        site_aligners.append((al, K,
+                              lambda a=al, s_=sites:
+                              a.execute_site_marginals(s_)))
     dt = _pipelined_device_only(aligners, reps)
-    return ev * reps / dt, ev
+    dt_sites = _pipelined_device_only(site_aligners, reps)
+    return ev * reps / dt, ev, ev * reps / dt_sites, site_bytes / ev
 
 
 def main():
@@ -504,14 +521,15 @@ def main():
     # ---- flagship workloads: EM expectations + HDP/P=2 methylation ----
     # (device-only: training/calling compute throughput; skippable for
     # quick runs)
-    expect_eps = methyl_eps = None
+    expect_eps = methyl_eps = methyl_site_eps = vc_bpe = None
     if os.environ.get("BENCH_FLAGSHIP", "1") == "1":
         try:
             expect_eps, _ = bench_expect(max(reps // 2, 2))
         except Exception as exc:
             print(f"# expect bench failed: {exc}", file=sys.stderr)
         try:
-            methyl_eps, _ = bench_methyl(max(reps // 2, 2))
+            methyl_eps, _, methyl_site_eps, vc_bpe = bench_methyl(
+                max(reps // 2, 2))
         except Exception as exc:
             print(f"# methyl bench failed: {exc}", file=sys.stderr)
 
@@ -547,6 +565,11 @@ def main():
         out["expect_events_per_s"] = round(expect_eps, 1)
     if methyl_eps is not None:
         out["methyl_events_per_s"] = round(methyl_eps, 1)
+    if methyl_site_eps is not None:
+        # device site-marginal calling path: per-site posterior sums on
+        # device, (sites, lanes) f32 fetch (< 1 B/event at CpG density)
+        out["methyl_site_marginal_events_per_s"] = round(methyl_site_eps, 1)
+        out["vc_fetch_bytes_per_event"] = round(vc_bpe, 3)
     print(json.dumps(out))
 
 

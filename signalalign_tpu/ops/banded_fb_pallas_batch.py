@@ -1588,6 +1588,50 @@ def _compact_topk(postlog, cvec, xoffs, widths, n_diag, log_thr, *,
     return jnp.concatenate(parts, axis=-1), counts
 
 
+@functools.partial(jax.jit, static_argnames=("T", "XW", "log_thr"))
+def _site_marginals(postlog, cvec, n_diag, bank, site_slot, *, T: int,
+                    XW: int, log_thr: float):
+    """Per-(reference position, lane) posterior sums, on device.
+
+    Variant/methylation calling only needs per-SITE posterior mass
+    (variantCaller.py:123-187 sums each site's event posteriors before
+    normalizing across candidate bases) — fetching per-pair streams to
+    compute host-side sums wastes the host link. Sum the u16 posterior
+    stack over events per x instead: one pass reduces each tile's
+    diagonals (frame base is constant within a tile), a 128-granular
+    bank combine aligns tiles into a per-lane x-axis (the kexp
+    structure), and a gather picks the requested site slots. Only
+    (n_sites, lanes) f32 cross the link: < 1 B/event for CpG-scale site
+    densities.
+
+    postlog: (G, Dp1p, WB, S) u16; cvec: (G, Dp1p, S) absolute
+    normalizer; bank: (G, NT, S) per-lane 128-granular tile-frame
+    offsets; site_slot: (G, NS, S) i32 accumulator slots
+    (global x - frame_base0), -1 invalid. Returns (G, NS, S) f32.
+    """
+    G, Dp1p, WB, S = postlog.shape
+    NT = Dp1p // T
+    d_idx = jnp.arange(Dp1p, dtype=jnp.int32)[None, :, None]
+    cvecm = jnp.where(d_idx <= n_diag[:, None, :], cvec,
+                      jnp.float32(-3e38))
+    lp = (postlog.astype(jnp.float32) * jnp.float32(-1.0 / QSCALE)
+          + cvecm[:, :, None, :])
+    # same report threshold as the pair stream (signalMachine's output
+    # cutoff), so site sums equal summing the reported pairs
+    p = jnp.where(lp >= jnp.float32(log_thr), jnp.exp(lp), 0.0)
+    tile_sum = p.reshape(G, NT, T, WB, S).sum(axis=2)     # (G, NT, WB, S)
+    NBANK = max((XW - WB) // 128 + 1, 1)
+    xacc = jnp.zeros((G, XW, S), jnp.float32)
+    for b in range(NBANK):
+        m = (bank == b)[:, :, None, :]
+        contrib = jnp.sum(jnp.where(m, tile_sum, 0.0), axis=1)
+        xacc = xacc + jnp.pad(
+            contrib, ((0, 0), (b * 128, XW - WB - b * 128), (0, 0)))
+    slot = jnp.clip(site_slot, 0, XW - 1)
+    out = jnp.take_along_axis(xacc, slot, axis=1)
+    return jnp.where(site_slot >= 0, out, 0.0)
+
+
 @jax.jit
 def _delta_encode_pairs(buf, counts):
     """Delta-compress the packed pair prefix for slow host links.
@@ -1595,13 +1639,16 @@ def _delta_encode_pairs(buf, counts):
     The compaction emits 4 B/pair ([p_u8, cell_lo, cell_mid, cell_hi],
     the little-endian bytes of the ascending-sorted u32 key) — at ~1.08
     pairs/event that is what binds the end-to-end rate on PCIe-less
-    links. Survivors are cell-sorted, so consecutive cell ids differ by
-    small deltas: emit (a) a 2 B/pair stream [p_u8, delta_u8] with 255
-    flagging an escape, and (b) an ascending stream of the escaped
-    ABSOLUTE cell ids (escapes appear in cell order in both streams, so
-    a plain sort aligns them — no rank machinery needed). Lossless.
+    links. Survivors are cell-sorted with cell = d*WB + band-slot, so
+    consecutive cells differ by < ~2*WB (a diagonal hop) essentially
+    always: emit (a) a 3 B/pair stream [p_u8, delta_lo, delta_hi]
+    (16-bit delta, 0xFFFF flagging an escape — deltas over 65535 mean a
+    >= ~60-diagonal survivor gap, which only packing glue or sparse
+    tiles produce) and (b) an ascending stream of the escaped ABSOLUTE
+    cell ids (escapes appear in cell order in both streams, so a plain
+    sort aligns them). Lossless.
 
-    Returns (A (G, S, K, 2) u8, B (G, S, K) u32 escape prefix,
+    Returns (A (G, S, K, 3) u8, B (G, S, K) u32 escape prefix,
     n_escape (G, S) i32)."""
     G, S, K, _ = buf.shape
     # u8 (G,S,K,4) -> u32 (G,S,K): bitcast absorbs the byte axis
@@ -1613,9 +1660,11 @@ def _delta_encode_pairs(buf, counts):
     prev = jnp.concatenate(
         [jnp.zeros((G, S, 1), jnp.uint32), cells[:, :, :-1]], axis=2)
     delta = cells - prev
-    esc = (delta > jnp.uint32(254)) & valid
-    d8 = jnp.where(esc, jnp.uint32(255), delta).astype(jnp.uint8)
-    A = jnp.stack([p8, d8], axis=-1)
+    esc = (delta > jnp.uint32(0xFFFE)) & valid
+    d16 = jnp.where(esc, jnp.uint32(0xFFFF), delta)
+    A = jnp.stack([p8,
+                   (d16 & jnp.uint32(0xFF)).astype(jnp.uint8),
+                   (d16 >> jnp.uint32(8)).astype(jnp.uint8)], axis=-1)
     B = jax.lax.sort(jnp.where(esc, cells, jnp.uint32(0xFFFFFFFF)),
                      dimension=2)
     nesc = jnp.sum(esc.astype(jnp.int32), axis=2)
@@ -1624,29 +1673,32 @@ def _delta_encode_pairs(buf, counts):
 
 def _delta_decode_pairs(a_h, b_h, counts_h, nesc_h):
     """Host inverse of _delta_encode_pairs -> (p_u8 f64/255, cell u32),
-    shaped like the direct-fetch decode inputs."""
+    shaped like the direct-fetch decode inputs. All-int32 vectorized
+    (cells fit 24 bits): ~4 passes over the prefix."""
     G, S, K, _ = a_h.shape
     p_h = a_h[..., 0].astype(np.float64) / 255.0
-    d = a_h[..., 1].astype(np.int64)
-    idx = np.arange(K)[None, None, :]
-    valid = idx < counts_h[:, :, None]
-    esc = (d == 255) & valid
-    d_noesc = np.where(esc, 0, np.where(valid, d, 0))
-    cs = np.cumsum(d_noesc, axis=2)
+    d16 = (a_h[..., 1].astype(np.int32)
+           | (a_h[..., 2].astype(np.int32) << 8))
+    valid = (np.arange(K, dtype=np.int32)[None, None, :]
+             < counts_h[:, :, None].astype(np.int32))
+    esc = (d16 == 0xFFFF) & valid
+    d_noesc = np.where(esc | ~valid, np.int32(0), d16)
+    cs = np.cumsum(d_noesc, axis=2, dtype=np.int32)
     # escape j of a lane replaces the running cell with b_h[j]; the
-    # offset (absolute - inclusive-cumsum-at-escape) forward-fills
-    eidx = np.cumsum(esc, axis=2) - 1            # escape ordinal at >= pos
-    eclip = np.clip(eidx, 0, b_h.shape[2] - 1 if b_h.shape[2] else 0)
-    absv = (np.take_along_axis(b_h.astype(np.int64), eclip, axis=2)
-            if b_h.shape[2] else np.zeros_like(d))
-    # offset as of the LATEST escape at-or-before each position:
-    # offsets (absolute - cumsum) are strictly increasing across a
-    # lane's escapes (each escape jumps the cell by more than the
-    # intervening deltas), so a running max forward-fills them
-    off = np.maximum.accumulate(
-        np.where(esc, absv - cs, np.int64(-1) << 62), axis=2)
-    off = np.where(off <= (np.int64(-1) << 61), 0, off)  # before 1st esc
-    cell_h = (cs + off).astype(np.uint32)
+    # offset (absolute - inclusive-cumsum-at-escape) strictly increases
+    # across a lane's escapes (each escape jumps the cell by more than
+    # the intervening deltas), so a running max forward-fills it
+    NEGS = np.int32(-(1 << 30))
+    eidx = np.cumsum(esc, axis=2, dtype=np.int32)
+    eidx -= 1
+    if b_h.shape[2]:
+        np.clip(eidx, 0, b_h.shape[2] - 1, out=eidx)
+        absv = np.take_along_axis(b_h.astype(np.int32), eidx, axis=2)
+        off = np.maximum.accumulate(
+            np.where(esc, absv - cs, NEGS), axis=2)
+        off = np.where(off <= NEGS, np.int32(0), off)
+        cs += off
+    cell_h = cs.astype(np.uint32)
     return p_h, cell_h
 
 
@@ -2420,7 +2472,28 @@ class PallasBatchAligner:
         nesc = None
         if delta_pairs and not pack16 and buf.shape[-1] == 4:
             bufA, bufB, nesc = _delta_encode_pairs(buf, counts)
-            buf = (bufA, bufB)
+            # pre-slice a conservative survivor prefix AT DISPATCH TIME
+            # and start its D2H copy now: any device op issued at finish
+            # time queues behind the next batch's kernels (FIFO) and
+            # serializes the pipeline, and a blocking fetch costs a full
+            # link round-trip. Survivors run ~1.1/event, so 1.6x lY
+            # covers essentially always; the exact-slice path remains as
+            # the overflow fallback.
+            lYmax = max(p.lY for p in self.problems)
+            kfix = min(max((int(1.5 * lYmax) + 127) // 128 * 128, 128),
+                       compact_k)
+            kefix = min(max(kfix // 32, 128), compact_k)
+            G_, S_ = bufA.shape[:2]
+            ab_pre = jnp.concatenate(
+                [bufA[:, :, :kfix].reshape(G_, S_, 3 * kfix),
+                 jax.lax.bitcast_convert_type(
+                     bufB[:, :, :kefix],
+                     jnp.uint8).reshape(G_, S_, 4 * kefix)], axis=2)
+            try:
+                ab_pre.copy_to_host_async()
+            except Exception:
+                pass
+            buf = (bufA, bufB, ab_pre, kfix, kefix)
         # one small fetch: totals + counts + overflow together (counts
         # < 2^24 are exact in f32)
         totals = self._totals_stack(tf_hi, tf_lo, tb_hi, tb_lo, counts,
@@ -2494,6 +2567,118 @@ class PallasBatchAligner:
         finish.device_arrays = (totals, counts)
         return finish
 
+    def execute_site_marginals(self, sites, threshold: float = 0.01):
+        """Variant/methylation fast path: per-site posterior sums
+        computed ON DEVICE (_site_marginals) — only (n_sites, lanes)
+        f32 + totals cross the host link (< 1 B/event at CpG site
+        density), instead of the per-pair stream.
+
+        ``sites``: per decode-result entry (per segment for packed
+        lanes), a sequence of 1-based cell x positions whose k-mers
+        report at an ambiguous site (the caller's site cells). Returns a
+        finish closure -> list of dicts (decode order) with
+        ``site_probs`` (P, n_sites) posterior sums (threshold-masked
+        like the pair stream) + totals/numerics flags.
+        """
+        T, WB, S, RB = self.T, self.WB, self.S, self.RB
+        PP = self.PP
+        B = len(self.problems)
+        # entry list mirrors the decode order
+        if self.packed:
+            entries = [(pi, k_) for pi in range(B)
+                       for k_ in range(len(self.problems[pi].segments))]
+        else:
+            entries = [(pi, 0) for pi in range(B)]
+        assert len(sites) == len(entries), \
+            f"need one site list per result entry ({len(entries)})"
+        NS = max([len(s_) for s_ in sites] + [1])
+        G, NT = self.G, self.NT
+        bank = np.zeros((G, NT, S), dtype=np.int32)
+        tb0 = self.bases_h[:, 0, :]
+        for t in range(NT):
+            bank[:, t, :] = (self.bases_h[:, t * T, :] - tb0) // 128
+        span = int((self.bases_h[:, -1, :] - tb0).max()) if NT else 0
+        XW = int(((span + WB + 127) // 128) * 128)
+        site_slot = np.full((G, NS, S), -1, dtype=np.int32)
+        ent_lane = []
+        for ei, (pi, k_) in enumerate(entries):
+            p = self.problems[pi]
+            ox = p.segments[k_][1] if self.packed else 0
+            xs = np.asarray(sites[ei], dtype=np.int64)
+            for j in range(PP):
+                idx = pi * PP + j
+                gi, si = divmod(idx, S)
+                if len(xs):
+                    site_slot[gi, :len(xs), si] = \
+                        (xs + ox - tb0[gi, si]).astype(np.int32)
+            ent_lane.append((pi * PP, len(xs)))
+
+        estack = ebnd = None
+        if self.estream:
+            from signalalign_tpu.ops.emission_stream import \
+                hdp_emission_stacks
+            estack, ebnd = hdp_emission_stacks(
+                *self.stream_in, self.hdp_dens, self.hdp_slopes,
+                self.hdp_grid, T=T, WBe=self.WBe,
+                interpret=self.interpret)
+        fstack, f_incr, f_lse = pallas_forward_b(
+            self.geom, self.refwin, self.evinit_f, self.evins_f, self.pack,
+            self.lseflag, self.legf, estack, WB=WB, T=T, S=S, RB=RB,
+            interpret=self.interpret,
+            log_space=self.log_space, PP=PP, estream=self.estream)
+        postlog, b_incr, b_lse, fmax = pallas_backward_b(
+            self.geom, self.refwin, self.evinit_b, self.evins_b, self.pack,
+            fstack, self.legb, estack, ebnd, WB=WB, T=T, S=S, RB=RB,
+            fuse_post=True, interpret=self.interpret,
+            log_space=self.log_space, PP=PP, estream=self.estream)
+        cvec, tf_hi, tf_lo, tb_hi, tb_lo = self._totals(f_incr, b_incr,
+                                                        f_lse, b_lse)
+        cvec = cvec + fmax
+        del fstack
+        log_thr = float(np.log(max(threshold, 1e-300)))
+        marg = _site_marginals(
+            postlog, cvec, self.n_diag, jnp.asarray(bank),
+            jnp.asarray(site_slot), T=T, XW=XW, log_thr=log_thr)
+        totals = self._totals_stack(tf_hi, tf_lo, tb_hi, tb_lo,
+                                    jnp.zeros_like(tf_hi[..., 0, :]
+                                                   if self.packed
+                                                   else tf_hi),
+                                    jnp.zeros_like(tf_hi[..., 0, :]
+                                                   if self.packed
+                                                   else tf_hi))
+        try:
+            marg.copy_to_host_async()
+            for t_ in (totals if isinstance(totals, tuple) else (totals,)):
+                t_.copy_to_host_async()
+        except Exception:
+            pass
+
+        def finish():
+            (total_f, total_b, _c, _o, _n) = self._fetch_totals(totals)
+            mh = np.asarray(marg, dtype=np.float64)
+            out = []
+            for ei, ((pi, k_), (lane0, nx)) in enumerate(
+                    zip(entries, ent_lane)):
+                probs = np.zeros((PP, nx))
+                for j in range(PP):
+                    gi, si = divmod(lane0 + j, S)
+                    probs[j] = mh[gi, :nx, si]
+                if self.packed:
+                    tf = total_f[divmod(lane0, S)[0], k_,
+                                 divmod(lane0, S)[1]]
+                    tb = total_b[divmod(lane0, S)[0], k_,
+                                 divmod(lane0, S)[1]]
+                else:
+                    gi, si = divmod(lane0, S)
+                    tf, tb = total_f[gi, si], total_b[gi, si]
+                out.append({"site_probs": probs,
+                            "total_f": float(tf), "total_b": float(tb)})
+            return out
+        finish.device_arrays = ((marg,)
+                                + (totals if isinstance(totals, tuple)
+                                   else (totals,)))
+        return finish
+
     def _fetch_totals(self, totals):
         """-> (total_f, total_b, counts, overflow, nesc); totals have a
         SEGMAX axis for packed lanes ((G, SEGMAX, S)) and are per-lane
@@ -2527,14 +2712,30 @@ class PallasBatchAligner:
         kmax = int(counts_h.max()) if counts_h.size else 0
         kf = min(max((kmax + 127) // 128 * 128, 128), compact_k)
         if isinstance(buf, tuple):
-            bufA, bufB = buf
-            a_h = np.asarray(bufA[:, :, :kf] if kf < compact_k else bufA)
+            bufA, bufB, ab_pre, kfix, kefix = buf
+            G_, S_ = bufA.shape[:2]
             ne = int(nesc_h.max()) if nesc_h is not None and nesc_h.size \
                 else 0
-            ke = min(max((ne + 127) // 128 * 128, 128), compact_k) \
-                if ne else 0
-            b_h = (np.asarray(bufB[:, :, :ke]) if ke
-                   else np.zeros(a_h.shape[:2] + (0,), np.uint32))
+            if kmax <= kfix and ne <= kefix:
+                # fast path: the dispatch-time prefix (already streaming
+                # to the host) covers every lane — no finish-time device
+                # work, no extra round-trip
+                abh = np.asarray(ab_pre)
+                a_h = abh[:, :, :3 * kfix].reshape(G_, S_, kfix, 3)
+                b_h = abh[:, :, 3 * kfix:].copy().view(np.uint32)
+            else:
+                ke = min(max((ne + 127) // 128 * 128, 128), compact_k) \
+                    if ne else 0
+                parts = [bufA[:, :, :kf].reshape(G_, S_, 3 * kf)]
+                if ke:
+                    parts.append(jax.lax.bitcast_convert_type(
+                        bufB[:, :, :ke],
+                        jnp.uint8).reshape(G_, S_, 4 * ke))
+                abh = np.asarray(jnp.concatenate(parts, axis=2)
+                                 if len(parts) > 1 else parts[0])
+                a_h = abh[:, :, :3 * kf].reshape(G_, S_, kf, 3)
+                b_h = (abh[:, :, 3 * kf:].copy().view(np.uint32)
+                       if ke else np.zeros((G_, S_, 0), np.uint32))
             p_h, cell_h = _delta_decode_pairs(
                 a_h, b_h, counts_h,
                 nesc_h if nesc_h is not None else np.zeros_like(counts_h))
@@ -2557,7 +2758,8 @@ class PallasBatchAligner:
 
     def execute_expect(self, compact_k: int = 4096,
                        threshold: float = 0.01,
-                       fetch_pairs: bool = True):
+                       fetch_pairs: bool = True,
+                       host_async: bool = True):
         """EM expectation pass on the lane kernels: one fwd+bwd sweep
         pair returns aligned pairs AND the (3,3) transition posterior
         sums + per-kmer emission moments, accumulated in the backward
@@ -2627,10 +2829,16 @@ class PallasBatchAligner:
         totals = self._totals_stack(tf_hi, tf_lo, tb_hi, tb_lo, counts,
                                     overflow)
         try:
-            for t_ in (totals if isinstance(totals, tuple) else (totals,)):
-                t_.copy_to_host_async()     # overlap the D2H round-trip
-            texp8.copy_to_host_async()
-            kexp_dev.copy_to_host_async()
+            # overlap the D2H transfers with the remaining device queue;
+            # callers measuring pure device throughput (bench) pass
+            # host_async=False so the (multi-MB kexp) copies don't ride
+            # the link inside their timed region
+            if host_async:
+                for t_ in (totals if isinstance(totals, tuple)
+                           else (totals,)):
+                    t_.copy_to_host_async()
+                texp8.copy_to_host_async()
+                kexp_dev.copy_to_host_async()
         except Exception:
             pass
 
@@ -2639,7 +2847,7 @@ class PallasBatchAligner:
                 (total_f, total_b, counts_h, overflow_h, p_h,
                  cell_h) = self._fetch_packed(totals, buf, compact_k)
             else:
-                total_f, total_b, counts_h, overflow_h = \
+                total_f, total_b, counts_h, overflow_h, _ = \
                     self._fetch_totals(totals)
                 counts_h = np.zeros(counts_h.shape, dtype=np.int64)
                 p_h = np.zeros(counts_h.shape + (0,))
@@ -2699,7 +2907,9 @@ class PallasBatchAligner:
 
         for pi, p in enumerate(self.problems):
             lanes = [divmod(pi * PP + j, S) for j in range(PP)]
-            # per-lane decoded arrays once, then split per segment
+            # per-lane decoded arrays once, then split per segment by
+            # searchsorted on the (sorted) diagonal — no per-segment
+            # boolean masks over the whole lane
             lane_cells = []
             for (gi, si) in lanes:
                 n = min(int(counts_h[gi, si]), p_h.shape[2])
@@ -2709,6 +2919,14 @@ class PallasBatchAligner:
                 wb = (c % WB).astype(np.int64)
                 x = self.bases_h[gi, d, si] + wb
                 lane_cells.append((pk, d, x))
+            seg_slices = []
+            for (orig, ox, oy, d0, dend) in p.segments:
+                sl_ = []
+                for (pk, d, x) in lane_cells:
+                    lo = np.searchsorted(d, d0, side="left")
+                    hi = np.searchsorted(d, dend, side="right")
+                    sl_.append((lo, hi))
+                seg_slices.append(sl_)
             for k_, (orig, ox, oy, d0, dend) in enumerate(p.segments):
                 tf = _lse_h([total_f[gi, k_, si] for gi, si in lanes])
                 tb = _lse_h([total_b[gi, k_, si] for gi, si in lanes])
@@ -2720,10 +2938,10 @@ class PallasBatchAligner:
                 if PP > 1:
                     pairs = []
                     for j, (pk, d, x) in enumerate(lane_cells):
-                        sel = (d >= d0) & (d <= dend)
-                        xs = x[sel] - ox
-                        ys = (d[sel] - x[sel]) - oy
-                        pks = pk[sel]
+                        lo, hi = seg_slices[k_][j]
+                        xs = x[lo:hi] - ox
+                        ys = (d[lo:hi] - x[lo:hi]) - oy
+                        pks = pk[lo:hi]
                         ok = (xs > 0) & (ys > 0) & (xs <= orig.lX) \
                             & (ys <= orig.lY)
                         for pr, xi, yi in zip(pks[ok], xs[ok], ys[ok]):
@@ -2738,10 +2956,10 @@ class PallasBatchAligner:
                         raise ValueError("as_arrays unsupported for P > 1")
                 else:
                     pk, d, x = lane_cells[0]
-                    sel = (d >= d0) & (d <= dend)
-                    xs = x[sel] - ox
-                    ys = (d[sel] - x[sel]) - oy
-                    pks = pk[sel]
+                    lo, hi = seg_slices[k_][0]
+                    xs = x[lo:hi] - ox
+                    ys = (d[lo:hi] - x[lo:hi]) - oy
+                    pks = pk[lo:hi]
                     ok = (xs > 0) & (ys > 0) & (xs <= orig.lX) \
                         & (ys <= orig.lY)
                     arrs = ((pks[ok] * 10000000).astype(np.int64),

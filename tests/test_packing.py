@@ -179,3 +179,53 @@ def test_delta_pairs_lossless(model):
     r3 = al2.execute(compact_k=4096, delta_pairs=True)
     for a, b in zip(r2, r3):
         assert a["pairs"] == b["pairs"]
+
+
+def test_site_marginals_device(model):
+    """Device per-site posterior sums == summing the decoded pair
+    stream per (path, site cell), within quantization noise (u16 device
+    stack vs u8 pair bytes)."""
+    from collections import defaultdict
+
+    from signalalign_tpu.models.hdp_model import load_nhdp
+    from signalalign_tpu.ops.banded_fb_pallas_batch import PallasBatchAligner
+
+    r73 = PoreModel.from_file(
+        "/root/reference/models/testModelR73_acegot_template.model")
+    hdp = load_nhdp(
+        "/root/reference/models/templateSingleLevelFixed.nhdp")
+    amb = {"P": "CE"}
+    problems = _problems(r73, 4, mode=bfb.MODE_HDP, P=2, hdp=hdp,
+                         amb=amb, seed=11)
+    packed, groups = pack_problems(problems, d_target=768)
+    al = PallasBatchAligner(packed, W=128, T=48, S=4, RB=256,
+                            interpret=True, log_space=True, P=2)
+    res = al.execute(compact_k=4096, pack16=True)
+    order = _flat_expected(problems, groups)
+    # sites: every ambiguous-path cell of each segment
+    sites = []
+    for orig_i in order:
+        p = problems[orig_i]
+        sites.append(np.flatnonzero(p.n_paths[:p.lX + 1] > 1))
+    sm = al.execute_site_marginals(sites)()
+    for res_i, sm_i, orig_i, site_x in zip(res, sm, order, sites):
+        p = problems[orig_i]
+        # pair-stream sums per (path kmer, x)
+        by_x = defaultdict(float)
+        for pr, x, y, kmer in res_i["pairs"]:
+            by_x[(x + 1, kmer)] += pr / 1e7
+        probs = sm_i["site_probs"]          # (PP, n_sites)
+        for si_, x in enumerate(site_x):
+            dev_total = probs[:, si_].sum()
+            ref_total = sum(v for (xx, _), v in by_x.items() if xx == x)
+            assert abs(dev_total - ref_total) < 0.05 + 0.02 * ref_total, \
+                (x, dev_total, ref_total)
+        # per-path check: each path lane's sum matches its kmer's mass
+        for j in range(al.PP):
+            for si_, x in enumerate(site_x):
+                kmer = p.path_kmer_at(int(x), j)
+                if kmer is None:
+                    continue
+                ref = by_x.get((int(x), kmer), 0.0)
+                assert abs(probs[j, si_] - ref) < 0.05 + 0.02 * ref, \
+                    (j, x, probs[j, si_], ref)
