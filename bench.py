@@ -367,7 +367,7 @@ def bench_methyl(reps):
             for (orig, *_rest) in segs:
                 sites.append(np.flatnonzero(
                     orig.n_paths[:orig.lX + 1] > 1))
-        site_bytes += sum(len(s_) for s_ in sites) * al.PP * 4
+        site_bytes += sum(len(s_) for s_ in sites) * al.PP * 2
         site_aligners.append((al, K,
                               lambda a=al, s_=sites:
                               a.execute_site_marginals(s_)))

@@ -2639,6 +2639,9 @@ class PallasBatchAligner:
         marg = _site_marginals(
             postlog, cvec, self.n_diag, jnp.asarray(bank),
             jnp.asarray(site_slot), T=T, XW=XW, log_thr=log_thr)
+        # f16 halves the per-site fetch; sums are O(events/site) with
+        # ~5e-4 relative error — far inside calling tolerances
+        marg = marg.astype(jnp.float16)
         totals = self._totals_stack(tf_hi, tf_lo, tb_hi, tb_lo,
                                     jnp.zeros_like(tf_hi[..., 0, :]
                                                    if self.packed
