@@ -294,6 +294,72 @@ def split_segment_by_width(
     return out
 
 
+def split_segment_by_paths(
+        anchor_pairs: Sequence[Tuple[int, int]], lX: int, lY: int,
+        hot_mask: np.ndarray, merge_gap: int = 64,
+) -> List[Tuple[int, int, int, int, List[Tuple[int, int]]]]:
+    """Cut runs of high-path-expansion positions (``hot_mask`` True at
+    kmer starts whose degenerate expansion exceeds the cheap class) into
+    their own blocks.
+
+    TPU-native policy (no reference counterpart): paths-in-lanes costs
+    PP lanes per read segment, padded to the SEGMENT max — on the
+    bundled CpG workloads only ~4% of positions carry adjacent-CpG
+    (P=4) windows, yet they forced 4 path-lanes on whole segments.
+    Isolating each hot cluster at its flanking anchors lets the ~96%
+    bulk run at PP=2 (double the reads per stripe); clusters closer
+    than ``merge_gap`` merge to bound fragmentation. Cuts pin the path
+    at an anchor like every other split.
+    """
+    anchors = list(anchor_pairs)
+    whole = [(0, 0, lX, lY, anchors)]
+    hot = np.nonzero(np.asarray(hot_mask))[0]
+    if hot.size == 0 or not anchors or lX <= 0 or lY <= 0:
+        return whole
+    clusters = []
+    c0 = prev = int(hot[0])
+    for h in hot[1:]:
+        if int(h) - prev > merge_gap:
+            clusters.append((c0, prev))
+            c0 = int(h)
+        prev = int(h)
+    clusters.append((c0, prev))
+    cuts: List[Tuple[int, int]] = []
+    for (h0, h1) in clusters:
+        before = [a for a in anchors if a[0] + 1 <= h0]
+        after = [a for a in anchors if a[0] >= h1 + 1]
+        if before:
+            cuts.append((before[-1][0] + 1, before[-1][1] + 1))
+        if after:
+            cuts.append((after[0][0] + 1, after[0][1] + 1))
+    cuts = [(cx, cy) for cx, cy in cuts if 0 < cx < lX and 0 < cy < lY]
+    cuts = sorted(set(cuts), key=lambda c: (c[0] + c[1], c[0]))
+    # drop non-monotone cut sequences (clusters sharing flank anchors)
+    mono: List[Tuple[int, int]] = []
+    for c in cuts:
+        if not mono or (c[0] > mono[-1][0] and c[1] >= mono[-1][1]):
+            mono.append(c)
+    if not mono:
+        return whole
+    out: List[Tuple[int, int, int, int, List[Tuple[int, int]]]] = []
+    px = py = 0
+    j = 0
+    for (cx, cy) in mono + [(lX, lY)]:
+        if cx <= px or cy < py:
+            continue
+        sub: List[Tuple[int, int]] = []
+        while j < len(anchors):
+            ax, ay = anchors[j]
+            if ax + ay >= cx + cy:
+                break
+            sub.append((ax - px, ay - py))
+            j += 1
+        out.append((px, py, cx - px, cy - py, sub))
+        px, py = cx, cy
+    # convert (x1, y1, w, h, anchors) -> (x1, y1, x2, y2, anchors)
+    return [(x1, y1, x1 + w, y1 + h, a) for (x1, y1, w, h, a) in out]
+
+
 def remap_anchors_to_events(anchor_pairs: Sequence[Tuple[int, int]],
                             event_map: np.ndarray, map_offset: int) -> List[Tuple[int, int]]:
     """Map (ref_pos, read_pos) anchors to (ref_pos, event_index) anchors via

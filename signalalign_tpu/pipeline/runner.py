@@ -32,13 +32,15 @@ from signalalign_tpu.ops import banded_fb as bfb
 from signalalign_tpu.ops.band_geometry import (band_widths, build_band,
                                                get_split_points,
                                                remap_anchors_to_events,
+                                               split_segment_by_paths,
                                                split_segment_by_width)
 from signalalign_tpu.ops.scaling import (adjust_events_for_drift,
                                          estimate_nanopore_params)
 from signalalign_tpu.pipeline.signal_align import (AlignmentConfig,
                                                    ReadAlignment, _bucket_d,
                                                    _bucket_w)
-from signalalign_tpu.utils.alphabet import max_paths_per_kmer
+from signalalign_tpu.utils.alphabet import (max_paths_per_kmer,
+                                            paths_per_kmer)
 
 
 @dataclasses.dataclass
@@ -126,23 +128,45 @@ def prepare_read(read: NanoporeReadData, guide: GuideAlignment,
                 seg_anchors, x2 - x1, y2 - y1,
                 config.diagonal_expansion, config.max_band_width,
                 config.max_segment_diagonals):
-            seg_chars = target[x1 + sx1:x1 + sx2 + k - 1]
-            seg_events = window_events[y1 + sy1:y1 + sy2]
-            slX = len(seg_chars) - k + 1
-            slY = len(seg_events)
-            xmyL, xmyR = build_band(sub_anchors, slX, slY,
-                                    config.diagonal_expansion)
-            W = _bucket_w(int(band_widths(xmyL, xmyR).max()))
-            Dpad = _bucket_d(slX + slY)
-            P = max_paths_per_kmer(seg_chars, k, config.ambig_map)
-            problem = bfb.prepare_problem(
-                seg_chars, seg_events, model, params, config.ambig_map,
-                W=W, Dpad=Dpad, P=P, mode=config.emission_mode,
-                anchor_pairs=sub_anchors,
-                expansion=config.diagonal_expansion,
-                scale_noise=(config.emission_mode == bfb.MODE_FULL_DESCALED),
-                hdp=hdp)
-            tasks.append(((x1 + sx1, y1 + sy1), problem, W, Dpad, P))
+            w_chars = target[x1 + sx1:x1 + sx2 + k - 1]
+            # path-class sub-splitting: isolate adjacent-degenerate
+            # (P>2) windows so the bulk runs at 2 path-lanes per read
+            # (on bundled CpG workloads only ~4% of positions are P=4,
+            # but they halved every stripe's read capacity)
+            blocks = [(0, 0, sx2 - sx1, sy2 - sy1, sub_anchors)]
+            if config.path_split and \
+                    max_paths_per_kmer(w_chars, k, config.ambig_map) > 2:
+                ppk = paths_per_kmer(w_chars, k, config.ambig_map)
+                hot = ppk > 2
+                # only worth fragmenting when the expensive class is a
+                # small minority (CpG-dense references with adjacent
+                # sites everywhere gain nothing from isolation)
+                if len(hot) and hot.mean() <= 0.25:
+                    blocks = split_segment_by_paths(
+                        sub_anchors, sx2 - sx1, sy2 - sy1, hot)
+            for (px1, py1, px2, py2, p_anchors) in blocks:
+                ax1, ay1 = sx1 + px1, sy1 + py1
+                ax2, ay2 = sx1 + px2, sy1 + py2
+                seg_chars = target[x1 + ax1:x1 + ax2 + k - 1]
+                seg_events = window_events[y1 + ay1:y1 + ay2]
+                slX = len(seg_chars) - k + 1
+                slY = len(seg_events)
+                if slX < 1 or slY < 1:
+                    continue
+                xmyL, xmyR = build_band(p_anchors, slX, slY,
+                                        config.diagonal_expansion)
+                W = _bucket_w(int(band_widths(xmyL, xmyR).max()))
+                Dpad = _bucket_d(slX + slY)
+                P = max_paths_per_kmer(seg_chars, k, config.ambig_map)
+                problem = bfb.prepare_problem(
+                    seg_chars, seg_events, model, params, config.ambig_map,
+                    W=W, Dpad=Dpad, P=P, mode=config.emission_mode,
+                    anchor_pairs=p_anchors,
+                    expansion=config.diagonal_expansion,
+                    scale_noise=(config.emission_mode
+                                 == bfb.MODE_FULL_DESCALED),
+                    hdp=hdp)
+                tasks.append(((x1 + ax1, y1 + ay1), problem, W, Dpad, P))
     return target, params, events, ev_start, tasks
 
 

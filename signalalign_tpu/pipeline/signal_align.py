@@ -49,6 +49,13 @@ class AlignmentConfig:
         default_factory=lambda: dict(DEFAULT_AMBIG_BASES))
     compute_expectations: bool = False
     assignment_threshold: float = 0.1  # signalMachine ASSIGNMENT_THRESHOLD
+    # TPU-native: isolate sparse adjacent-degenerate (P>2) windows into
+    # their own segments so the bulk runs at 2 path-lanes per read
+    # (band_geometry.split_segment_by_paths). Wins on large workloads
+    # where every shape bucket fills; on few-read batches the extra
+    # buckets' fixed stripe costs outweigh the lane savings, so off by
+    # default.
+    path_split: bool = False
 
 
 @dataclasses.dataclass

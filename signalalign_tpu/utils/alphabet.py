@@ -175,14 +175,23 @@ def find_degenerate_positions(kmer: str, ambig_map: Dict[str, str]) -> List[int]
 
 def max_paths_per_kmer(seq: str, kmer_length: int, ambig_map: Dict[str, str]) -> int:
     """Maximum number of path k-mers any window of ``seq`` expands into."""
-    best = 1
-    for i in range(max(0, len(seq) - kmer_length + 1)):
-        n = 1
-        for c in seq[i:i + kmer_length]:
-            if c in ambig_map:
-                n *= len(ambig_map[c])
-        best = max(best, n)
-    return best
+    p = paths_per_kmer(seq, kmer_length, ambig_map)
+    return int(p.max()) if len(p) else 1
+
+
+def paths_per_kmer(seq: str, kmer_length: int, ambig_map: Dict[str, str]):
+    """Per-window path-expansion counts (length len(seq) - k + 1)."""
+    import numpy as np
+    lX = max(0, len(seq) - kmer_length + 1)
+    per_char = np.array([len(ambig_map[c]) if c in ambig_map else 1
+                         for c in seq], dtype=np.int64)
+    if lX == 0:
+        return np.ones(0, dtype=np.int64)
+    # product over each window via cumulative products
+    logs = np.log(per_char)
+    cs = np.concatenate([[0.0], np.cumsum(logs)])
+    return np.rint(np.exp(cs[kmer_length:kmer_length + lX]
+                          - cs[:lX])).astype(np.int64)
 
 
 _COMPLEMENT = str.maketrans(

@@ -159,3 +159,68 @@ def test_runner_p2_pallas_interpret_matches_xla(tmp_path, capfd):
             assert abs(dx[key] - dp[key]) <= 4e-3 * 1e7
         n_checked += 1
     assert n_checked == 8
+
+
+def test_runner_path_split_matches_xla(tmp_path, capfd):
+    """path_split=True (isolating sparse P=4 windows into their own
+    segments, band_geometry.split_segment_by_paths) reproduces the
+    unsplit XLA results on a reference with sparse adjacent CpGs."""
+    from signalalign_tpu.io.guide import GuideAlignment
+    from signalalign_tpu.models.pore_model import ScalingParams
+
+    model = PoreModel.from_file(MODEL)
+    rng = np.random.default_rng(13)
+    core = list("".join(rng.choice(list("ACGT"), size=760))
+                .replace("CG", "CA"))
+    # sparse CpGs, one adjacent pair (P=4 window) mid-sequence
+    for pos in (120, 260, 404, 600):
+        core[pos:pos + 2] = "CG"
+    core[404:408] = "CGCG"
+    genome = "ACGT" * 20 + "".join(core) + "ACGT" * 20
+    fasta = tmp_path / "ref.fa"
+    with open(fasta, "w") as fh:
+        fh.write(">chr\n" + genome + "\n")
+    reference = ProcessedReference(str(fasta), motifs=[("CG", "YG")])
+
+    rgs = []
+    for ri in range(4):
+        start = 40 + 29 * ri
+        seq_len = 500
+        read_seq = genome[start:start + seq_len]
+        ids = model.alphabet.seq_to_kmer_ids(read_seq)
+        events, event_map = [], []
+        for kid in ids:
+            event_map.append(len(events))
+            events.append([rng.normal(model.level_mean[kid],
+                                      model.level_sd[kid]),
+                           1.0, .002, len(events) * .002])
+        event_map.extend([len(events) - 1] * (model.kmer_length - 1))
+        read = NanoporeReadData(
+            read_label=f"ps{ri}", template_read=read_seq,
+            events=np.array(events), event_map=np.array(event_map),
+            model_states=None, p_model_state=None, kmer_length=model.kmer_length,
+            params=ScalingParams(), rna=False)
+        guide = GuideAlignment(
+            contig="chr", forward=True, window_start=start,
+            window_end=start + seq_len, query_start=0, query_end=seq_len,
+            ops=[(seq_len, "M")])
+        rgs.append((read, guide))
+
+    cfg0 = AlignmentConfig(ambig_map={"Y": "CT"})
+    cfg1 = AlignmentConfig(ambig_map={"Y": "CT"}, path_split=True)
+    base = run_alignment_batch(rgs, reference, model, cfg0,
+                               use_pallas=False)
+    split = run_alignment_batch(rgs, reference, model, cfg1,
+                                use_pallas=False)
+    for b, s_ in zip(base, split):
+        db = {(x, y, k_): p for p, x, y, k_ in b.aligned_pairs}
+        ds = {(x, y, k_): p for p, x, y, k_ in s_.aligned_pairs}
+        common = set(db) & set(ds)
+        # splits pin the path at an anchor, which perturbs posteriors
+        # NEAR each cut (the reference's own >3000x3000 splits do the
+        # same): demand distribution-level equivalence — same pair set,
+        # sub-quantization median, and a bounded perturbed tail
+        assert len(common) > 0.95 * max(len(db), len(ds))
+        diffs = np.array([abs(db[k_] - ds[k_]) for k_ in common])
+        assert np.median(diffs) < 0.005 * 1e7
+        assert (diffs > 0.05 * 1e7).mean() < 0.03
