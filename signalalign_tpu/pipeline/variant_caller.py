@@ -156,3 +156,41 @@ def generate_labels(predicted: pd.DataFrame, positions: pd.DataFrame,
             out.loc[i, true_char + "_label"] = 1
             keep.append(i)
     return out.loc[keep].reset_index(drop=True)
+
+
+def marginals_from_site_probs(site_cells, site_probs, problem,
+                              variants: str, seg_x_offset: int = 0
+                              ) -> Dict[int, Dict[str, float]]:
+    """Per-site normalized variant probabilities from DEVICE site sums.
+
+    The fast calling path: ``PallasBatchAligner.execute_site_marginals``
+    returns, per path-lane, the posterior mass at each requested site
+    cell (summed over events on device — only (sites, lanes) f16 cross
+    the host link). This folds the path lanes onto their called base at
+    the site (path_kmer[k-1], exactly MarginalizeFullVariants'
+    aggregation key, variantCaller.py:123-187) and normalizes per site.
+
+    site_cells: 1-based segment cell x positions whose k-mer reports at
+    the site (the site sits at the k-mer's LAST base);
+    site_probs: (PP, n_sites) device sums; problem: the segment's
+    BandedProblem (for path k-mers). Returns
+    {segment position (0-based ref index + seg_x_offset): {base: p}}.
+    """
+    k1 = problem.kmer_len - 1
+    out: Dict[int, Dict[str, float]] = {}
+    vs = sorted(variants)
+    for si, x in enumerate(site_cells):
+        acc = {v: 0.0 for v in vs}
+        for j in range(site_probs.shape[0]):
+            kmer = problem.path_kmer_at(int(x), j)
+            if kmer is None:
+                continue
+            base = kmer[k1]
+            if base in acc:
+                acc[base] += float(site_probs[j, si])
+        total = sum(acc.values())
+        if total <= 0:
+            continue
+        pos = (int(x) - 1) + k1 + seg_x_offset
+        out[pos] = {v: p / total for v, p in acc.items()}
+    return out

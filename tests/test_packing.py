@@ -229,3 +229,58 @@ def test_site_marginals_device(model):
                 ref = by_x.get((int(x), kmer), 0.0)
                 assert abs(probs[j, si_] - ref) < 0.05 + 0.02 * ref, \
                     (j, x, probs[j, si_], ref)
+
+
+def test_site_marginals_to_variant_calls(model):
+    """Device site sums folded per called base equal the pair-stream
+    caller's per-site marginals (marginalize_full_variants semantics)."""
+    from collections import defaultdict
+
+    from signalalign_tpu.models.hdp_model import load_nhdp
+    from signalalign_tpu.ops.banded_fb_pallas_batch import PallasBatchAligner
+    from signalalign_tpu.pipeline.variant_caller import \
+        marginals_from_site_probs
+
+    r73 = PoreModel.from_file(
+        "/root/reference/models/testModelR73_acegot_template.model")
+    hdp = load_nhdp(
+        "/root/reference/models/templateSingleLevelFixed.nhdp")
+    amb = {"P": "CE"}
+    problems = _problems(r73, 3, mode=bfb.MODE_HDP, P=2, hdp=hdp,
+                         amb=amb, seed=17)
+    packed, groups = pack_problems(problems, d_target=768)
+    al = PallasBatchAligner(packed, W=128, T=48, S=4, RB=256,
+                            interpret=True, log_space=True, P=2)
+    res = al.execute(compact_k=4096, pack16=True)
+    order = _flat_expected(problems, groups)
+    k = r73.kmer_length
+    sites = []
+    for orig_i in order:
+        p = problems[orig_i]
+        # cells whose k-mer's LAST base sits on a degenerate position
+        cells = [x for x in range(1, p.lX + 1)
+                 if (p.path_kmers is not None
+                     and len(p.path_kmers[x - 1]) > 1
+                     and p.path_kmers[x - 1][0][k - 1]
+                     != p.path_kmers[x - 1][1][k - 1])]
+        sites.append(np.asarray(cells))
+    sm = al.execute_site_marginals(sites)()
+    for res_i, sm_i, orig_i, cells in zip(res, sm, order, sites):
+        p = problems[orig_i]
+        calls = marginals_from_site_probs(cells, sm_i["site_probs"], p,
+                                          "CE")
+        # pair-stream reference: sum by called base per site cell
+        ref = defaultdict(lambda: {"C": 0.0, "E": 0.0})
+        for pr, x, y, kmer in res_i["pairs"]:
+            if (x + 1) in set(int(c) for c in cells):
+                b = kmer[k - 1]
+                if b in ("C", "E"):
+                    ref[x + 1][b] += pr / 1e7
+        for x in cells:
+            pos = (int(x) - 1) + (k - 1)
+            tot = sum(ref[int(x)].values())
+            if tot <= 0 or pos not in calls:
+                continue
+            for b in "CE":
+                assert abs(calls[pos][b] - ref[int(x)][b] / tot) < 0.02, \
+                    (x, b, calls[pos][b], ref[int(x)][b] / tot)
