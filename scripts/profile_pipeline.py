@@ -111,11 +111,11 @@ def main():
             print(f"  {names[n]:10s} {dt*1e3:9.2f} ms (+{(dt-prev)*1e3:7.2f})"
                   f"  [{ev/dt/1e6:.2f} Mev/s cumulative]", flush=True)
             prev = dt
-        tot[W] = (ev, prev, stages)
-    print("\nsummary: W  events  total_ms  fwd/bwd/tot/comp ms")
+        tot[(W, al.Dp1p)] = (ev, prev, stages)
+    print("\nsummary: W/Dp1p  events  total_ms  fwd/bwd/tot/comp ms")
     tev = tt = 0.0
-    for W, (ev, t, st) in sorted(tot.items()):
-        print(f"  {W:5d} {ev:9d} {t*1e3:9.2f}  "
+    for (W, Dp1p), (ev, t, st) in sorted(tot.items()):
+        print(f"  {W:5d}/{Dp1p:5d} {ev:9d} {t*1e3:9.2f}  "
               + "/".join(f"{s*1e3:.1f}" for s in st))
         tev += ev; tt += t
     if tt:
