@@ -1312,7 +1312,7 @@ K_LANE = 16
 
 def _compact_chunked(postlog, cvec, xoffs, widths, n_diag, log_thr, *,
                      K: int, C: int, pack16: bool = False,
-                     interpret: bool = False):
+                     interpret: bool = False, R: int = 5):
     """Survivor compaction dispatcher: Pallas-mapped rank-select path
     (fast, u8 packing) when the cell id fits 24 bits and the band
     offset fits 11 (XLA rank-select behind
@@ -1329,7 +1329,7 @@ def _compact_chunked(postlog, cvec, xoffs, widths, n_diag, log_thr, *,
         if os.environ.get("SIGNALALIGN_TPU_XLA_COMPACT") == "1":
             return _compact_rank(postlog, cvec, xoffs, widths, n_diag,
                                  log_thr, K=K, C=C)
-        return _compact_rank_pl(postlog, cvec, n_diag, K=K,
+        return _compact_rank_pl(postlog, cvec, n_diag, K=K, R=R,
                                 log_thr=float(log_thr),
                                 interpret=interpret)
     buf, counts = _compact_topk(postlog, cvec, xoffs, widths, n_diag,
@@ -2017,24 +2017,6 @@ def _cvecf_expect(f_incr, f_lse, n_diag, *, T: int):
     return cv.reshape(G, NT, T, S)
 
 
-@functools.partial(jax.jit, static_argnames=("K",))
-def _kexp_reduce(kexp_tiles, ids, *, K: int):
-    """Segment-sum the per-tile per-sublane emission moments by kmer id.
-
-    kexp_tiles: (G, NT, 3, WB, S); ids: (G, NT, WB, S) i32, -1 invalid.
-    Returns (G, S, 3, K)."""
-    G, NT, _, WB, S = kexp_tiles.shape
-    data = jnp.transpose(kexp_tiles, (0, 4, 2, 1, 3)).reshape(
-        G * S, 3, NT * WB)
-    idf = jnp.transpose(ids, (0, 3, 1, 2)).reshape(G * S, NT * WB)
-    idf = jnp.where(idf >= 0, idf, K)
-
-    def one(d, i):
-        return jnp.zeros((3, K + 1), d.dtype).at[:, i].add(d)
-    out = jax.vmap(one)(data, idf)[:, :, :K]
-    return out.reshape(G, S, 3, K)
-
-
 @functools.partial(jax.jit, static_argnames=("K", "XW"))
 def _kexp_reduce_banked(kexp_tiles, bank, ids_by_x, *, K: int, XW: int):
     """Segment-sum the per-tile emission moments by kmer id, exploiting
@@ -2468,7 +2450,8 @@ class PallasBatchAligner:
         log_thr = float(np.log(max(threshold, 1e-300)))
         buf, counts, overflow = _compact_chunked(
             postlog, cvec, self.xoffs, self.widths, self.n_diag, log_thr,
-            K=compact_k, C=C, pack16=pack16, interpret=self.interpret)
+            K=compact_k, C=C, pack16=pack16, interpret=self.interpret,
+            R=5 if self.PP == 1 else 8)
         nesc = None
         if delta_pairs and not pack16 and buf.shape[-1] == 4:
             bufA, bufB, nesc = _delta_encode_pairs(buf, counts)
@@ -2553,7 +2536,8 @@ class PallasBatchAligner:
         _, counts, _ = _compact_chunked(postlog, cvec, self.xoffs,
                                         self.widths, self.n_diag, log_thr,
                                         K=compact_k, C=max(T, 1),
-                                        interpret=self.interpret)
+                                        interpret=self.interpret,
+                                        R=5 if self.PP == 1 else 8)
         totals = jnp.stack([tf_hi, tf_lo])
 
         def finish():
@@ -2828,7 +2812,8 @@ class PallasBatchAligner:
         log_thr = float(np.log(max(threshold, 1e-300)))
         buf, counts, overflow = _compact_chunked(
             postlog, cvec, self.xoffs, self.widths, self.n_diag, log_thr,
-            K=compact_k, C=max(T, 1), interpret=self.interpret)
+            K=compact_k, C=max(T, 1), interpret=self.interpret,
+            R=5 if self.PP == 1 else 8)
         totals = self._totals_stack(tf_hi, tf_lo, tb_hi, tb_lo, counts,
                                     overflow)
         try:
