@@ -86,14 +86,6 @@ def _dequant_rows(q):
             * jnp.float32(-1.0 / QSCALE))
 
 
-def _quant_prob_rows(p):
-    """u16 log-quantize a SCALE-centered probability row (true value
-    p*INV_SCALE); 0 -> QMAX sentinel."""
-    q = jnp.minimum(jnp.round(jnp.maximum(
-        (LOG_SCALE - jnp.log(p)), 0.0) * QSCALE), QMAX)
-    return q.astype(jnp.int32).astype(jnp.uint16)
-
-
 def _m_row(slot):
     return slot * 3
 
@@ -2166,10 +2158,6 @@ class PallasBatchAligner:
                 f"forward-stack DMA offsets exceed 32 bits "
                 f"(Dp1p={Dp1p}, WB={WB}: {fstack_b / 1e9:.2f}GB > 4GB); "
                 f"split segments shorter")
-
-        def stack_lane(build_one, shape):
-            out = np.zeros((G,) + shape + (S,), dtype=np.float32)
-            return out
 
         geom = np.zeros((G, NT, NGEOM, T, S), dtype=np.int32)
         refwin = np.zeros((G, NT, NREF, WB + 2, S), dtype=np.float32)

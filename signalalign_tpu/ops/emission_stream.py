@@ -42,16 +42,6 @@ from signalalign_tpu.ops import banded_fb as bfb
 NEG = bfb.NEG
 
 
-def _hdp_logdensity(x, kmer, dens, slopes, g0, dx, valid):
-    """Log of the shared spline density (banded_fb.hdp_spline_density —
-    one implementation for the XLA emissions and this stream precompute
-    so the two paths cannot drift apart); var division upstream."""
-    v = bfb.hdp_spline_density(x, jnp.maximum(kmer, 0), dens, slopes,
-                               g0, dx)
-    return jnp.where(valid & (v > 0),
-                     jnp.log(jnp.maximum(v, 1e-37)), NEG)
-
-
 def _spline_eval_fused_kernel(evw_ref, aw_ref, ivw_ref, rowd_ref,
                               rowsl_ref, out_ref, *, NG: int, TT: int,
                               TSHIFT: int):
