@@ -120,7 +120,8 @@ def cmd_run(args) -> int:
                         .TargetRegions(args.target_regions)
                         if args.target_regions else None),
         quality_threshold=float(cfg.get("filter_reads", 7.0) or 7.0),
-        distributed=bool(getattr(args, "distributed", False)))
+        distributed=bool(getattr(args, "distributed", False)),
+        variants=getattr(args, "variants", None))
     print(f"[signalalign_tpu] wrote {len(written)} output files to "
           f"{output_dir}")
     return 0
@@ -635,7 +636,11 @@ def main(argv=None) -> int:
     runp.add_argument("--output_dir")
     runp.add_argument("--output_format", default="full",
                       choices=["full", "variantCaller", "both",
-                               "assignments"])
+                               "assignments", "variants"])
+    runp.add_argument("--variants",
+                      help="candidate bases for --output_format=variants "
+                           "(e.g. CE for CpG methylation); derived from "
+                           "the ambiguity map when omitted")
     runp.add_argument("--threshold", default=0.01)
     runp.add_argument("--diagonal_expansion", default=50)
     runp.add_argument("--constraint_trim", default=14)

@@ -776,10 +776,20 @@ def _bwd_kernel_log(geom_ref, refwin_ref, evinit_ref, evins_ref,
                 pack_ref, *rest,
                 T: int, WB: int, S: int, RB: int, Dpad: int,
                 fuse_post: bool, PP: int = 1, estream: bool = False,
-                expect: bool = False):
+                expect: bool = False, fuse_compact: bool = False,
+                rslot: int = 5, log_thr: float = float(np.log(0.01))):
     """Backward sweep tile (descending diagonals); optionally fuses the
     forward match rows (DMA-prefetched from hbm_fin_ref) into an
     unnormalized log-posterior output.
+
+    ``fuse_compact`` moves survivor extraction INTO this sweep: the
+    fused row is normalized in-register (the expectation path's
+    Fo(d)-total stream + a compensated running backward offset),
+    thresholded, and rank-compacted to ``rslot`` slots per diagonal —
+    the u16 posterior stack is never written OR re-read (it was ~22%
+    of single-chip compute plus 4 B/cell of stack DMA, round-4
+    profile). Only the tiny slot/count outputs leave the kernel; the
+    global prefix-pack (_compact_from_slots) stays XLA.
 
     ring data sits at [SUBPAD + RB, ...): backward re-base reads at -128k.
     PP > 1: paths-in-lanes legality reduces (see the forward kernel).
@@ -788,28 +798,39 @@ def _bwd_kernel_log(geom_ref, refwin_ref, evinit_ref, evins_ref,
         legb_ref = rest[0]
         rest = rest[1:]
     gauss_exp = expect and not estream   # Gaussian kexp moments apply
-    if estream and expect:
+    # input order: [ebnd][cvecf][ivar] fin [estack]; outputs:
+    # post incr lse fmax [texp][kexp][slots cnt]; then scratch
+    if estream:
+        ebnd_ref = rest[0]
+        rest = rest[1:]
+    if expect or fuse_compact:
         # HDP EM: transition expectations only (emissions train via the
         # Gibbs sampler on thresholded assignments; there is no Gaussian
         # moment accumulator — banded_fb._expectations_core num_kmers=0)
-        ebnd_ref, cvecf_ref, hbm_fin_ref, hbm_e_ref = rest[0:4]
-        (hbm_post_ref, out_incr_ref, out_lse_ref, out_fmax_ref,
-         out_texp_ref,
-         ring, evw, mprev, obuf, osem, ibuf, isem,
-         ering, esem3) = rest[4:]
-    elif estream:
-        ebnd_ref, hbm_fin_ref, hbm_e_ref = rest[0], rest[1], rest[2]
-        (hbm_post_ref, out_incr_ref, out_lse_ref, out_fmax_ref,
-         ring, evw, mprev, obuf, osem, ibuf, isem,
-         ering, esem3) = rest[3:]
-    elif expect:
-        cvecf_ref, ivar_ref, hbm_fin_ref = rest[0], rest[1], rest[2]
-        (hbm_post_ref, out_incr_ref, out_lse_ref, out_fmax_ref,
-         out_texp_ref, out_kexp_ref,
-         ring, evw, mprev, obuf, osem, ibuf, isem) = rest[3:]
-    else:
-        (hbm_fin_ref, hbm_post_ref, out_incr_ref, out_lse_ref,
-         out_fmax_ref, ring, evw, mprev, obuf, osem, ibuf, isem) = rest
+        cvecf_ref = rest[0]
+        rest = rest[1:]
+    if gauss_exp:
+        ivar_ref = rest[0]
+        rest = rest[1:]
+    hbm_fin_ref = rest[0]
+    rest = rest[1:]
+    if estream:
+        hbm_e_ref = rest[0]
+        rest = rest[1:]
+    (hbm_post_ref, out_incr_ref, out_lse_ref, out_fmax_ref) = rest[0:4]
+    rest = rest[4:]
+    if expect:
+        out_texp_ref = rest[0]
+        rest = rest[1:]
+    if gauss_exp:
+        out_kexp_ref = rest[0]
+        rest = rest[1:]
+    if fuse_compact:
+        out_slots_ref, out_cnt_ref = rest[0:2]
+        rest = rest[2:]
+    (ring, evw, mprev, obuf, osem, ibuf, isem) = rest[0:7]
+    if estream:
+        ering, esem3 = rest[7:9]
     g = pl.program_id(0)
     t = pl.program_id(1)
     base = SUBPAD + RB
@@ -837,6 +858,11 @@ def _bwd_kernel_log(geom_ref, refwin_ref, evinit_ref, evins_ref,
     if gauss_exp:
         out_kexp_ref[...] = jnp.zeros(out_kexp_ref.shape,
                                       out_kexp_ref.dtype)
+    if fuse_compact:
+        # the fmax output has no consumer on this path; blanket-write
+        # the block (Mosaic requires every output written)
+        out_fmax_ref[...] = jnp.zeros(out_fmax_ref.shape,
+                                      out_fmax_ref.dtype)
 
     @pl.when(t > 0)
     def _do_rebase():
@@ -1017,7 +1043,7 @@ def _bwd_kernel_log(geom_ref, refwin_ref, evinit_ref, evins_ref,
         ring[_bwd_x(slot), base:base + WB, :] = bx
         ring[_bwd_y(slot), base:base + WB, :] = by
 
-        if expect:
+        if expect or fuse_compact:
             # Bo(d+1) -> Bo(d) for the next (lower-d) step; compensated
             # (TwoSum) running sum - thousands of O(1) increments reach
             # ~1e4 where plain f32 accumulation would drift ~0.01 nats
@@ -1047,18 +1073,42 @@ def _bwd_kernel_log(geom_ref, refwin_ref, evinit_ref, evins_ref,
             fused = bm + ibuf[buf]
         else:
             fused = bm
-        # re-center the u16 quantization on the fused-row max (see the
-        # probability-space kernel)
-        m2raw = jnp.max(fused, axis=0, keepdims=True)
-        m2 = jnp.where(m2raw > NEG * 0.5, m2raw, 0.0)
+        if fuse_compact:
+            # in-sweep survivor extraction: absolute log posterior =
+            # fused + (Fo(d) - total) [cvecf stream] + Bo(d) [mprev,
+            # updated above], thresholded on f32 (membership matches
+            # the XLA extract), rank-compacted by iterative min over
+            # key = band offset << 12 | quantized -log p
+            norm = cvecf_ref[0, 0, pl.ds(row, 1), :] \
+                + (mprev[1:2, :] + mprev[2:3, :])
+            vabs = fused + norm
+            valid = vabs >= jnp.float32(log_thr)
+            qe = jnp.minimum(jnp.round(jnp.maximum(-vabs, 0.0)
+                                       * jnp.float32(QSCALE)),
+                             4095.0).astype(jnp.int32)
+            IMAXc = jnp.int32(0x7FFFFFFF)
+            key = jnp.where(valid, (sub << 12) | qe, IMAXc)
+            out_cnt_ref[0, pl.ds(row, 1), :] = jnp.sum(
+                valid.astype(jnp.int32), axis=0, keepdims=True)
+            prevk = jnp.full((1, S), -1, jnp.int32)
+            for r_ in range(rslot):
+                cur = jnp.where(key > prevk, key, IMAXc)
+                nxt = jnp.min(cur, axis=0, keepdims=True)
+                out_slots_ref[0, r_, pl.ds(row, 1), :] = nxt
+                prevk = nxt
+        if not fuse_compact:
+            # re-center the u16 quantization on the fused-row max (see
+            # the probability-space kernel)
+            m2raw = jnp.max(fused, axis=0, keepdims=True)
+            m2 = jnp.where(m2raw > NEG * 0.5, m2raw, 0.0)
 
-        @pl.when(i > 1)
-        def _wait_reuse():
-            out_dma(buf, d + 2).wait()
+            @pl.when(i > 1)
+            def _wait_reuse():
+                out_dma(buf, d + 2).wait()
 
-        obuf[buf] = _quant_rows(fused - m2)
-        out_dma(buf, d).start()
-        out_fmax_ref[0, pl.ds(row, 1), :] = m2
+            obuf[buf] = _quant_rows(fused - m2)
+            out_dma(buf, d).start()
+            out_fmax_ref[0, pl.ds(row, 1), :] = m2
 
         # the start-weighted logsumexp is consumed only at segment-start
         # diagonals (diagonal 0, plus each packed segment's d0 — the
@@ -1086,8 +1136,9 @@ def _bwd_kernel_log(geom_ref, refwin_ref, evinit_ref, evins_ref,
 
     m_final = jax.lax.fori_loop(0, T // 3, step3, mprev[0:1, :])
     mprev[0:1, :] = m_final
-    out_dma(0, d_start - T + 2).wait()
-    out_dma(1, d_start - T + 1).wait()
+    if not fuse_compact:
+        out_dma(0, d_start - T + 2).wait()
+        out_dma(1, d_start - T + 1).wait()
 
 
 def _specs(NT, T, WB, S, fwd: bool):
@@ -1192,13 +1243,16 @@ def pallas_forward_b(geom, refwin, evinit, evins, pack, lseflag, legf=None,
 @functools.partial(jax.jit,
                    static_argnames=("WB", "T", "S", "RB", "fuse_post",
                                     "interpret", "log_space", "PP",
-                                    "estream", "expect"))
+                                    "estream", "expect", "fuse_compact",
+                                    "rslot", "log_thr"))
 def pallas_backward_b(geom, refwin, evinit, evins, pack, fstack, legb=None,
                       estack=None, ebnd=None, cvecf=None, ivar=None,
                       *, WB: int, T: int, S: int, RB: int,
                       fuse_post: bool = True, interpret: bool = False,
                       log_space: bool = False, PP: int = 1,
-                      estream: bool = False, expect: bool = False):
+                      estream: bool = False, expect: bool = False,
+                      fuse_compact: bool = False, rslot: int = 5,
+                      log_thr: float = float(np.log(0.01))):
     G, NT, _, T_, S_ = geom.shape
     Dp1p = NT * T
     Dpad = Dp1p - 1
@@ -1218,7 +1272,7 @@ def pallas_backward_b(geom, refwin, evinit, evins, pack, fstack, legb=None,
                          lambda g, t: (g, t, 0, 0, 0),
                          memory_space=pltpu.VMEM)]
         args = args + (ebnd,)
-    if expect:
+    if expect or fuse_compact:
         # per-diagonal forward normalizer Fo(d) - total (fwd-tile order)
         # + per-lane 1/var for the emission moments (Gaussian only: HDP
         # expectation runs accumulate transitions, no kexp moments)
@@ -1226,7 +1280,7 @@ def pallas_backward_b(geom, refwin, evinit, evins, pack, fstack, legb=None,
             pl.BlockSpec((1, 1, T, S), lambda g, t: (g, NT - 1 - t, 0, 0),
                          memory_space=pltpu.VMEM)]
         args = args + (cvecf,)
-        if not estream:
+        if expect and not estream:
             in_specs = in_specs + [
                 pl.BlockSpec((1, 1, S), lambda g, t: (g, 0, 0),
                              memory_space=pltpu.VMEM)]
@@ -1240,8 +1294,10 @@ def pallas_backward_b(geom, refwin, evinit, evins, pack, fstack, legb=None,
     out_shapes = (
         # fused log-posterior rows re-centered per diagonal (see fmax):
         # survivors live within ~5 nats of the fused max, so u16@1/512
-        # is exact for every >=threshold cell
-        jax.ShapeDtypeStruct((G, Dp1p, WB, S), jnp.uint16),
+        # is exact for every >=threshold cell. fuse_compact never
+        # writes (or allocates) this stack — token-size dummy.
+        jax.ShapeDtypeStruct((G, 8, WB, S) if fuse_compact
+                             else (G, Dp1p, WB, S), jnp.uint16),
         jax.ShapeDtypeStruct((G, Dp1p, S), jnp.float32),
         jax.ShapeDtypeStruct((G, Dp1p, S), jnp.float32),
         # per-diagonal fused-row max: the quantization re-centering,
@@ -1254,12 +1310,20 @@ def pallas_backward_b(geom, refwin, evinit, evins, pack, fstack, legb=None,
         if not estream:
             out_shapes = out_shapes + (
                 jax.ShapeDtypeStruct((G, NT, 3, WB, S), jnp.float32),)
+    if fuse_compact:
+        out_shapes = out_shapes + (
+            jax.ShapeDtypeStruct((G, rslot, Dp1p, S), jnp.int32),
+            jax.ShapeDtypeStruct((G, Dp1p, S), jnp.int32),
+        )
     assert (PP == 1 and not estream and not expect) or log_space, \
         "P>1 / streams / expectations require the log-space kernels"
     assert not (expect and (PP > 1 or not fuse_post))
+    assert not (fuse_compact and (expect or not fuse_post or
+                                  not log_space))
     kern = _bwd_kernel_log if log_space else _bwd_kernel
-    kw = {"PP": PP, "estream": estream, "expect": expect} \
-        if log_space else {}
+    kw = {"PP": PP, "estream": estream, "expect": expect,
+          "fuse_compact": fuse_compact, "rslot": rslot,
+          "log_thr": log_thr} if log_space else {}
     scratch = [pltpu.VMEM((7, ring_h, S), jnp.float32),
                pltpu.VMEM((NEV, SUBPAD + WB + 2, S), jnp.float32),
                pltpu.VMEM((8, S), jnp.float32),
@@ -1282,6 +1346,14 @@ def pallas_backward_b(geom, refwin, evinit, evins, pack, fstack, legb=None,
                 pl.BlockSpec((1, 1, 3, WB, S),
                              lambda g, t: (g, NT - 1 - t, 0, 0, 0),
                              memory_space=pltpu.VMEM),)
+    if fuse_compact:
+        out_specs = out_specs + (
+            pl.BlockSpec((1, rslot, T, S),
+                         lambda g, t: (g, 0, NT - 1 - t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, T, S), lambda g, t: (g, NT - 1 - t, 0),
+                         memory_space=pltpu.VMEM),
+        )
     outs = pl.pallas_call(
         functools.partial(kern, T=T, WB=WB, S=S, RB=RB, Dpad=Dpad,
                           fuse_post=fuse_post, **kw),
@@ -1295,6 +1367,9 @@ def pallas_backward_b(geom, refwin, evinit, evins, pack, fstack, legb=None,
     )(*args)
     if expect:
         return outs          # (post, incr, lse, fmax, texp, kexp)
+    if fuse_compact:
+        _post, incr, lse, _fmax, slots, cnt = outs
+        return incr, lse, slots, cnt
     post, incr, lse, fmax = outs
     return post, incr, lse, fmax
 
@@ -1419,6 +1494,34 @@ def _compact_rank_pl(postlog, cvec, n_diag, *, K: int, R: int = 8,
     counts = jnp.minimum(jnp.sum(jnp.minimum(cntd, R), axis=2),
                          K).astype(jnp.int32)
     overflow = jnp.any(cntd > R, axis=2)
+    return buf, counts, overflow
+
+
+@functools.partial(jax.jit, static_argnames=("K", "R", "WB"))
+def _compact_from_slots(slots, cnt, *, K: int, R: int, WB: int):
+    """Global prefix-pack for IN-KERNEL compacted survivors
+    (_bwd_kernel_log fuse_compact): the backward sweep already emitted
+    per-diagonal rank slots + counts; one ascending u32 sort yields the
+    cell-ordered 4 B/pair buffer (same contract as _compact_rank_pl —
+    buf, counts, overflow). The u16 posterior stack never existed."""
+    G, R_, Dp1p, S = slots.shape
+    IMAX = jnp.int32(0x7FFFFFFF)
+    w = jnp.transpose(slots, (0, 3, 2, 1)).reshape(G, S, Dp1p * R)
+    d = (jnp.arange(Dp1p * R, dtype=jnp.uint32)
+         // jnp.uint32(R))[None, None, :]
+    wu = w.astype(jnp.uint32)
+    pos = wu >> jnp.uint32(12)
+    qe = (wu & jnp.uint32(4095)).astype(jnp.float32)
+    p8 = jnp.round(jnp.exp(qe * jnp.float32(-1.0 / QSCALE))
+                   * 255.0).astype(jnp.uint32)
+    cell = d * jnp.uint32(WB) + pos
+    key = jnp.where(w != IMAX, (cell << jnp.uint32(8)) | p8,
+                    jnp.uint32(0xFFFFFFFF))
+    key = jax.lax.sort(key, dimension=2)
+    buf = jax.lax.bitcast_convert_type(key[:, :, :K], jnp.uint8)
+    counts = jnp.minimum(jnp.sum(jnp.minimum(cnt, R), axis=1),
+                         K).astype(jnp.int32)
+    overflow = jnp.any(cnt > R, axis=1)
     return buf, counts, overflow
 
 
@@ -2415,31 +2518,63 @@ class PallasBatchAligner:
             self.lseflag, self.legf, estack, WB=WB, T=T, S=S, RB=RB,
             interpret=self.interpret,
             log_space=self.log_space, PP=self.PP, estream=self.estream)
-        postlog, b_incr, b_lse, fmax = pallas_backward_b(
-            self.geom, self.refwin, self.evinit_b, self.evins_b, self.pack,
-            fstack, self.legb, estack, ebnd, WB=WB, T=T, S=S, RB=RB,
-            fuse_post=True,
-            interpret=self.interpret, log_space=self.log_space,
-            PP=self.PP, estream=self.estream)
-
-        # normalization offsets + totals stay on device (compensated f32
-        # prefix at ~double precision); nothing but the packed prefix and
-        # the (G, S) totals/counts cross the host link. The per-diagonal
-        # fused-row max folds into the normalizer (the stack rows are
-        # quantized relative to it).
-        cvec, tf_hi, tf_lo, tb_hi, tb_lo = self._totals(f_incr, b_incr,
-                                                        f_lse, b_lse)
-        cvec = cvec + fmax
-        del fstack  # free the forward stack before compaction peaks
-        C = max(T, 1)
         # plain host float: a jnp scalar here cost a synchronous
         # ~45ms device fetch per dispatch when the rank path
         # re-read it as a static arg (float(log_thr))
         log_thr = float(np.log(max(threshold, 1e-300)))
-        buf, counts, overflow = _compact_chunked(
-            postlog, cvec, self.xoffs, self.widths, self.n_diag, log_thr,
-            K=compact_k, C=C, pack16=pack16, interpret=self.interpret,
-            R=5 if self.PP == 1 else 8)
+        R = 5 if self.PP == 1 else 8
+        # PP == 1 only: the paths-in-lanes posterior normalizer is the
+        # BLOCK-JOINT total (logsumexp over a read's path lanes), which
+        # the forward-only cvecf stream cannot express — P > 1 pair
+        # decode keeps the separate compaction pass (production P > 1
+        # calling runs the site-marginal path, not pair compaction)
+        fusec = (self.log_space and not pack16 and self.PP == 1
+                 and os.environ.get("SIGNALALIGN_TPU_NO_FUSE_COMPACT")
+                 != "1")
+        if fusec:
+            # in-sweep survivor compaction (fuse_compact): the u16
+            # posterior stack is never written or re-read — the
+            # backward kernel consumes the forward normalizer stream
+            # (the expectation path's) and emits rank slots directly
+            cvecf = (_cvecf_expect_seg(f_incr, f_lse, self.seg_start,
+                                       self.seg_end, self.seg_valid,
+                                       T=T, SEGMAX=self.SEGMAX)
+                     if self.packed else
+                     _cvecf_expect(f_incr, f_lse, self.n_diag, T=T))
+            b_incr, b_lse, slots, cnt = pallas_backward_b(
+                self.geom, self.refwin, self.evinit_b, self.evins_b,
+                self.pack, fstack, self.legb, estack, ebnd, cvecf,
+                WB=WB, T=T, S=S, RB=RB, fuse_post=True,
+                interpret=self.interpret, log_space=True,
+                PP=self.PP, estream=self.estream,
+                fuse_compact=True, rslot=R, log_thr=log_thr)
+            cvec, tf_hi, tf_lo, tb_hi, tb_lo = self._totals(
+                f_incr, b_incr, f_lse, b_lse)
+            del fstack
+            buf, counts, overflow = _compact_from_slots(
+                slots, cnt, K=compact_k, R=R, WB=WB)
+        else:
+            postlog, b_incr, b_lse, fmax = pallas_backward_b(
+                self.geom, self.refwin, self.evinit_b, self.evins_b,
+                self.pack, fstack, self.legb, estack, ebnd,
+                WB=WB, T=T, S=S, RB=RB, fuse_post=True,
+                interpret=self.interpret, log_space=self.log_space,
+                PP=self.PP, estream=self.estream)
+
+            # normalization offsets + totals stay on device (compensated
+            # f32 prefix at ~double precision); nothing but the packed
+            # prefix and the (G, S) totals/counts cross the host link.
+            # The per-diagonal fused-row max folds into the normalizer
+            # (the stack rows are quantized relative to it).
+            cvec, tf_hi, tf_lo, tb_hi, tb_lo = self._totals(
+                f_incr, b_incr, f_lse, b_lse)
+            cvec = cvec + fmax
+            del fstack  # free the forward stack before compaction peaks
+            C = max(T, 1)
+            buf, counts, overflow = _compact_chunked(
+                postlog, cvec, self.xoffs, self.widths, self.n_diag,
+                log_thr, K=compact_k, C=C, pack16=pack16,
+                interpret=self.interpret, R=R)
         nesc = None
         if delta_pairs and not pack16 and buf.shape[-1] == 4:
             bufA, bufB, nesc = _delta_encode_pairs(buf, counts)
@@ -2507,25 +2642,49 @@ class PallasBatchAligner:
             self.lseflag, self.legf, estack, WB=WB, T=T, S=S, RB=RB,
             interpret=self.interpret,
             log_space=self.log_space, PP=self.PP, estream=self.estream)
-        postlog, b_incr, b_lse, fmax = pallas_backward_b(
-            self.geom, self.refwin, self.evinit_b, self.evins_b, self.pack,
-            fstack, self.legb, estack, ebnd, WB=WB, T=T, S=S, RB=RB,
-            fuse_post=True,
-            interpret=self.interpret, log_space=self.log_space,
-            PP=self.PP, estream=self.estream)
-        cvec, tf_hi, tf_lo, tb_hi, tb_lo = self._totals(f_incr, b_incr,
-                                                        f_lse, b_lse)
-        cvec = cvec + fmax
-        del fstack
         # plain host float: a jnp scalar here cost a synchronous
         # ~45ms device fetch per dispatch when the rank path
         # re-read it as a static arg (float(log_thr))
         log_thr = float(np.log(max(threshold, 1e-300)))
-        _, counts, _ = _compact_chunked(postlog, cvec, self.xoffs,
-                                        self.widths, self.n_diag, log_thr,
-                                        K=compact_k, C=max(T, 1),
-                                        interpret=self.interpret,
-                                        R=5 if self.PP == 1 else 8)
+        R = 5 if self.PP == 1 else 8
+        fusec = (self.log_space and self.PP == 1
+                 and os.environ.get("SIGNALALIGN_TPU_NO_FUSE_COMPACT")
+                 != "1")
+        if fusec:
+            cvecf = (_cvecf_expect_seg(f_incr, f_lse, self.seg_start,
+                                       self.seg_end, self.seg_valid,
+                                       T=T, SEGMAX=self.SEGMAX)
+                     if self.packed else
+                     _cvecf_expect(f_incr, f_lse, self.n_diag, T=T))
+            b_incr, b_lse, slots, cnt = pallas_backward_b(
+                self.geom, self.refwin, self.evinit_b, self.evins_b,
+                self.pack, fstack, self.legb, estack, ebnd, cvecf,
+                WB=WB, T=T, S=S, RB=RB, fuse_post=True,
+                interpret=self.interpret, log_space=True,
+                PP=self.PP, estream=self.estream,
+                fuse_compact=True, rslot=R, log_thr=log_thr)
+            _, tf_hi, tf_lo, tb_hi, tb_lo = self._totals(
+                f_incr, b_incr, f_lse, b_lse)
+            del fstack
+            _, counts, _ = _compact_from_slots(slots, cnt, K=compact_k,
+                                               R=R, WB=WB)
+        else:
+            postlog, b_incr, b_lse, fmax = pallas_backward_b(
+                self.geom, self.refwin, self.evinit_b, self.evins_b,
+                self.pack, fstack, self.legb, estack, ebnd,
+                WB=WB, T=T, S=S, RB=RB, fuse_post=True,
+                interpret=self.interpret, log_space=self.log_space,
+                PP=self.PP, estream=self.estream)
+            cvec, tf_hi, tf_lo, tb_hi, tb_lo = self._totals(
+                f_incr, b_incr, f_lse, b_lse)
+            cvec = cvec + fmax
+            del fstack
+            _, counts, _ = _compact_chunked(postlog, cvec, self.xoffs,
+                                            self.widths, self.n_diag,
+                                            log_thr, K=compact_k,
+                                            C=max(T, 1),
+                                            interpret=self.interpret,
+                                            R=R)
         totals = jnp.stack([tf_hi, tf_lo])
 
         def finish():
@@ -2563,7 +2722,15 @@ class PallasBatchAligner:
             entries = [(pi, 0) for pi in range(B)]
         assert len(sites) == len(entries), \
             f"need one site list per result entry ({len(entries)})"
-        NS = max([len(s_) for s_ in sites] + [1])
+        # segments sharing a packed lane stack their sites at
+        # CUMULATIVE slot offsets (one slot row per site per lane; a
+        # per-entry [:len(xs)] write would clobber earlier segments)
+        lane_off = [0] * len(self.problems)
+        ent_lane = []
+        for ei, (pi, k_) in enumerate(entries):
+            ent_lane.append((pi * PP, lane_off[pi], len(sites[ei])))
+            lane_off[pi] += len(sites[ei])
+        NS = max(lane_off + [1])
         G, NT = self.G, self.NT
         bank = np.zeros((G, NT, S), dtype=np.int32)
         tb0 = self.bases_h[:, 0, :]
@@ -2572,18 +2739,17 @@ class PallasBatchAligner:
         span = int((self.bases_h[:, -1, :] - tb0).max()) if NT else 0
         XW = int(((span + WB + 127) // 128) * 128)
         site_slot = np.full((G, NS, S), -1, dtype=np.int32)
-        ent_lane = []
         for ei, (pi, k_) in enumerate(entries):
             p = self.problems[pi]
             ox = p.segments[k_][1] if self.packed else 0
             xs = np.asarray(sites[ei], dtype=np.int64)
+            base = ent_lane[ei][1]
             for j in range(PP):
                 idx = pi * PP + j
                 gi, si = divmod(idx, S)
                 if len(xs):
-                    site_slot[gi, :len(xs), si] = \
+                    site_slot[gi, base:base + len(xs), si] = \
                         (xs + ox - tb0[gi, si]).astype(np.int32)
-            ent_lane.append((pi * PP, len(xs)))
 
         estack = ebnd = None
         if self.estream:
@@ -2632,12 +2798,12 @@ class PallasBatchAligner:
             (total_f, total_b, _c, _o, _n) = self._fetch_totals(totals)
             mh = np.asarray(marg, dtype=np.float64)
             out = []
-            for ei, ((pi, k_), (lane0, nx)) in enumerate(
+            for ei, ((pi, k_), (lane0, base, nx)) in enumerate(
                     zip(entries, ent_lane)):
                 probs = np.zeros((PP, nx))
                 for j in range(PP):
                     gi, si = divmod(lane0 + j, S)
-                    probs[j] = mh[gi, :nx, si]
+                    probs[j] = mh[gi, base:base + nx, si]
                 if self.packed:
                     tf = total_f[divmod(lane0, S)[0], k_,
                                  divmod(lane0, S)[1]]

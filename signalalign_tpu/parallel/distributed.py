@@ -149,8 +149,8 @@ def _infer_shard_fn(args, W: int, P: int, mode: int):
     fo = _device_offsets(f_incr, reverse=False)
     bo = _device_offsets(b_incr, reverse=True)
     idx = n_diag[:, None]
-    total_f = jnp.take_along_axis(lse_f + fo, idx, axis=1)[:, 0]
-    total_b = (lse_b + bo)[:, 0]
+    total_f = lse_f + jnp.take_along_axis(fo, idx, axis=1)[:, 0]
+    total_b = lse_b + bo[:, 0]
     cvec = fo + bo - total_f[:, None]
     post = jax.vmap(partial(bfb._posterior_core, W=W, P=P))(
         fstack, bstack, cvec, x0, width, n_diag)

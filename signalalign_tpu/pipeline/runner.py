@@ -52,6 +52,10 @@ class SegmentTask:
     W: int
     Dpad: int
     P: int
+    # site-calling mode: 1-based segment cell x positions whose k-mer
+    # has a degenerate char at its LAST base (the cells that report in
+    # MarginalizeFullVariants, variantCaller.py:123-187)
+    cells: Optional[np.ndarray] = None
 
 
 @dataclasses.dataclass
@@ -180,8 +184,23 @@ def run_alignment_batch(
     pallas_interpret: bool = False,
     verbose: bool = False,
     strand_template: bool = True,
+    call_variants: Optional[str] = None,
 ) -> List[ReadAlignment]:
     """Align many reads: prep -> shape buckets -> batched device runs.
+
+    ``call_variants`` (a candidate-base string, e.g. "CE" for CpG
+    methylation) switches the batch into SITE-CALLING mode — the
+    production variant/methylation path: Pallas buckets compute
+    per-site posterior sums ON DEVICE (execute_site_marginals) so only
+    (sites, lanes) f16 tables cross the host link instead of the
+    per-pair stream; results carry ``variant_calls`` (the
+    MarginalizeFullVariants per-read table, variantCaller.py:123-187)
+    and EMPTY aligned_pairs. Segments with no degenerate-last-base
+    cells (always the case for P=1 segments) are skipped outright:
+    segment DPs are independent by construction (ragged anchors), so a
+    siteless segment contributes no calling rows — the TPU-native
+    answer to the reference computing full-read DP and discarding
+    non-ambiguous rows (signalAlignment.py:498-565).
 
     Observability: SIGNALALIGN_TPU_TIMING=1 prints a per-stage wall-time
     breakdown (prep / build+h2d / kernels+fetch / decode-drain /
@@ -189,6 +208,7 @@ def run_alignment_batch(
     trace of the device phase for xprof/tensorboard.
     """
     config = config or AlignmentConfig()
+    site_mode = call_variants is not None and not config.compute_expectations
     timing_on = bool(os.environ.get("SIGNALALIGN_TPU_TIMING"))
     profile_dir = os.environ.get("SIGNALALIGN_TPU_PROFILE")
     stage_s: Dict[str, float] = defaultdict(float)
@@ -223,6 +243,17 @@ def run_alignment_batch(
             seg_tasks.append(SegmentTask(ridx, off[0], off[1], problem,
                                          W, Dpad, P))
         prepped.append(pr)
+
+    if site_mode:
+        # site cells: x (1-based) where the segment k-mer's LAST base is
+        # a degenerate char — the only cells that report in
+        # MarginalizeFullVariants (variantCaller.py:123-187)
+        k_ = model.kmer_length
+        amb = np.frombuffer("".join(config.ambig_map).encode(), np.uint8)
+        for t in seg_tasks:
+            seq_b = np.frombuffer(t.problem.seq.encode(), np.uint8)
+            lastb = seq_b[k_ - 1:k_ - 1 + t.problem.lX]
+            t.cells = np.flatnonzero(np.isin(lastb, amb)) + 1
 
     mark("prep")
     if profile_dir:
@@ -275,6 +306,14 @@ def run_alignment_batch(
         stage_s["fetch+decode"] += time.perf_counter() - t0
 
     for (W, Dpad, P), idxs in buckets.items():
+        if site_mode and P == 1:
+            # a degenerate-last-base cell implies >=2 paths at that
+            # cell, so P=1 segments carry no site cells: they produce
+            # zero calling rows and (segment DPs being independent)
+            # their sweeps are pure discarded work — skip them
+            for i in idxs:
+                seg_results[i] = {"total_f": 0.0, "pairs": []}
+            continue
         probs = [seg_tasks[i].problem for i in idxs]
         # P > 1 (degenerate-base variant/methylation expansion) runs
         # paths-in-lanes on the lane-batched log kernels (P padded to a
@@ -382,6 +421,7 @@ def run_alignment_batch(
                     seg_cursor = 0
                     for c0 in range(0, len(packed), S_eff):
                         chunk = packed[c0:c0 + S_eff]
+                        n_chunk0 = len(chunk)
                         nseg = sum(seg_counts[c0:c0 + len(chunk)])
                         cidx = [idxs[seg_flat[j]] for j in
                                 range(seg_cursor, seg_cursor + nseg)]
@@ -431,6 +471,21 @@ def run_alignment_batch(
                         if expect:
                             fin = aligner.execute_expect(
                                 compact_k=K, threshold=config.threshold)
+                        elif site_mode:
+                            # production variant/methylation calling:
+                            # per-site posterior sums ON DEVICE — only
+                            # (sites, lanes) f16 cross the host link
+                            # (one site list per decoded segment, in
+                            # decode order; fill lanes repeat the last
+                            # packed problem's segments)
+                            ent_sites = []
+                            for j in range(len(chunk)):
+                                src = c0 + min(j, n_chunk0 - 1)
+                                ent_sites.extend(
+                                    seg_tasks[idxs[g]].cells
+                                    for g in groups[src])
+                            fin = aligner.execute_site_marginals(
+                                ent_sites, threshold=config.threshold)
                         else:
                             fin = aligner.execute_async(
                                 compact_k=K, threshold=config.threshold,
@@ -494,15 +549,30 @@ def run_alignment_batch(
         jax.profiler.stop_trace()
 
     # assemble per-read results
+    if site_mode:
+        from signalalign_tpu.io.guide import adjust_reference_coordinate
+        from signalalign_tpu.pipeline.variant_caller import (
+            marginals_from_pairs, marginals_from_site_probs,
+            variant_calls_dataframe)
     out: List[ReadAlignment] = []
     for ridx, pr in enumerate(prepped):
         if pr.failure is not None:
             continue
+        if strand_template:
+            fwd_out, ref_shift = pr.guide.output_frame(pr.read.rna)
+        else:
+            fwd_out = pr.guide.forward
+            ref_shift = pr.guide.window_end if pr.guide.forward \
+                else pr.guide.window_start
         all_pairs = []
         total_lp = 0.0
         texp = np.zeros((3, 3))
         kexp = np.zeros((3, model.alphabet.num_kmers))
         lik = 0.0
+        per_pos = {}                # site mode: (strand, genomic kmer
+        #                             start) -> {base: normalized p}
+        k1 = model.kmer_length - 1
+        s_lab = "t" if strand_template else "c"
         for si in pr.segments:
             t = seg_tasks[si]
             r = seg_results[si]
@@ -511,16 +581,33 @@ def run_alignment_batch(
                 texp += r["texp"]
                 kexp += r["kexp"]
                 lik += r["total_f"] * t.problem.n_diag
+            if site_mode:
+                if "site_probs" in r:
+                    segm = marginals_from_site_probs(
+                        t.cells, r["site_probs"], t.problem, call_variants)
+                else:       # XLA-fallback segments: fold the pair stream
+                    segm = marginals_from_pairs(
+                        r.get("pairs", []), t.cells, t.problem,
+                        call_variants)
+                for pos_seg, probs in segm.items():
+                    # segment k-mer-start cell -> genomic kmer start
+                    # (the reference_index key MarginalizeFullVariants
+                    # aggregates on, variantCaller.py:141-155)
+                    gpos = adjust_reference_coordinate(
+                        (pos_seg - k1) + t.x1, ref_shift, len(pr.target),
+                        model.kmer_length, strand_template, fwd_out)
+                    per_pos[(s_lab, gpos)] = probs
+                continue
             for prob, x, y, kmer in r["pairs"]:
                 all_pairs.append((prob, x + t.x1, y + t.y1, kmer))
         all_pairs.sort(key=lambda r: (r[1] + r[2], r[1]))
-        if strand_template:
-            fwd_out, ref_shift = pr.guide.output_frame(pr.read.rna)
-        else:
-            fwd_out = pr.guide.forward
-            ref_shift = pr.guide.window_end if pr.guide.forward \
-                else pr.guide.window_start
+        vcalls = None
+        if site_mode:
+            vcalls = variant_calls_dataframe(
+                per_pos, pr.read.read_label, pr.guide.contig, fwd_out,
+                call_variants)
         out.append(ReadAlignment(
+            variant_calls=vcalls,
             read_label=pr.read.read_label, contig=pr.guide.contig,
             forward=fwd_out, strand_template=strand_template,
             aligned_pairs=all_pairs, score=posterior_score(all_pairs),
@@ -562,8 +649,18 @@ def run_signal_align(
     force_kmer_event_alignment: bool = False,
     target_regions=None,
     distributed: bool = False,
+    variants: Optional[str] = None,
 ) -> List[str]:
     """Full CLI-equivalent run: filter reads -> align -> write TSVs.
+
+    ``output_format="variants"`` runs the production site-calling path
+    (run_alignment_batch call_variants): per-site marginals computed
+    from DEVICE posterior sums, written per read as
+    ``<label>.sm.variants.tsv`` (marginalize_full_variants schema)
+    plus an across-read ``variants_aggregate.tsv``
+    (AggregateOverReadsFull, reference variantCaller.py:385-408).
+    ``variants`` names the candidate bases (e.g. "CE"); derived from
+    the config's ambiguity map when omitted.
 
     reference: runSignalAlign.main (scripts/runSignalAlign.py:135-319);
     ``embed`` mirrors --embed (SignalAlignment.embed_file): alignment rows +
@@ -647,9 +744,20 @@ def run_signal_align(
             if verbose:
                 print(f"[runner] skipping {f5}: {exc}", file=sys.stderr)
 
+    call_variants = None
+    if output_format == "variants":
+        if variants is None:
+            opts = {v for v in config.ambig_map.values()}
+            if len(opts) != 1:
+                raise ValueError(
+                    "output_format='variants' needs an explicit "
+                    f"variants= candidate set (ambig_map offers {opts})")
+            variants = opts.pop()
+        call_variants = variants
     t0 = time.time()
     results = run_alignment_batch(rgs, reference, model, config, hdp=hdp,
-                                  verbose=verbose)
+                                  verbose=verbose,
+                                  call_variants=call_variants)
     dt = time.time() - t0
     n_events = sum(r.events.shape[0] for r in results)
     if verbose:
@@ -684,6 +792,20 @@ def run_signal_align(
                                   r.params, r.strand_template,
                                   r.event_offset, append=False)
             written.append(ap)
+        if output_format == "variants" and r.variant_calls is not None:
+            vp = os.path.join(output_dir,
+                              f"{r.read_label}.sm.variants.tsv")
+            r.variant_calls.to_csv(vp, sep="\t", index=False)
+            written.append(vp)
+    if output_format == "variants":
+        from signalalign_tpu.pipeline.variant_caller import \
+            aggregate_over_reads
+        frames = [r.variant_calls for r in results
+                  if r.variant_calls is not None]
+        agg = aggregate_over_reads(frames, variants)
+        ap = os.path.join(output_dir, "variants_aggregate.tsv")
+        agg.to_csv(ap, sep="\t", index=False)
+        written.append(ap)
     if embed:
         from signalalign_tpu.io.embed import embed_alignment
         from signalalign_tpu.io.fast5 import Fast5

@@ -79,6 +79,11 @@ class ReadAlignment:
     # (banded_fb._expectations_core; convert with
     # models.expectations.emission_slots_from_kexp)
     emission_expectations: Optional[np.ndarray] = None
+    # site-calling mode (runner call_variants): per-read variant-call
+    # marginals (marginalize_full_variants schema) computed from DEVICE
+    # per-site posterior sums; aligned_pairs stays empty on this path
+    # (only site tables cross the host link)
+    variant_calls: Optional[object] = None
 
     def full_rows(self, model: PoreModel):
         return build_full_rows(

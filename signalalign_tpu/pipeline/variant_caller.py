@@ -158,6 +158,69 @@ def generate_labels(predicted: pd.DataFrame, positions: pd.DataFrame,
     return out.loc[keep].reset_index(drop=True)
 
 
+def marginals_from_pairs(pairs, site_cells, problem, variants: str
+                         ) -> Dict[int, Dict[str, float]]:
+    """Host fold of a decoded pair stream onto per-site variant
+    marginals — the exact-equivalence fallback for segments that ran on
+    the XLA kernels (small/wide buckets) inside a site-calling batch.
+
+    Same aggregation as ``marginals_from_site_probs`` (and
+    MarginalizeFullVariants, variantCaller.py:123-187): pairs whose
+    cell x is a site cell contribute their posterior to the base their
+    path k-mer calls at the k-mer's last position; normalized per site.
+    Keys match ``marginals_from_site_probs``: (x-1)+k1 segment
+    positions (0-based ref index of the k-mer's LAST base).
+    """
+    k1 = problem.kmer_len - 1
+    vs = sorted(variants)
+    cellset = {int(c) for c in site_cells}
+    acc: Dict[int, Dict[str, float]] = {}
+    for prob, x, y, kmer in pairs:
+        if (x + 1) not in cellset:
+            continue
+        base = kmer[k1]
+        slot = acc.setdefault(x + k1, {v: 0.0 for v in vs})
+        if base in slot:
+            slot[base] += prob / 1e7
+    out = {}
+    for pos, probs in acc.items():
+        total = sum(probs.values())
+        if total > 0:
+            out[pos] = {v: p / total for v, p in probs.items()}
+    return out
+
+
+def variant_calls_dataframe(per_pos: Dict[Tuple[str, int], Dict[str, float]],
+                            read_name: str, contig: str,
+                            forward_mapped: bool, variants: str
+                            ) -> pd.DataFrame:
+    """Per-read calls table from {(strand, genomic position): {base: p}}.
+
+    Schema and row order mirror ``marginalize_full_variants``
+    (MarginalizeFullVariants.get_data, variantCaller.py:123-187):
+    template strand first, positions ascending on the '+' mapping
+    strand and descending on '-'.
+    """
+    vs = sorted(variants)
+    data = []
+    mapping_strands = ["+", "-"] if forward_mapped else ["-", "+"]
+    for si, strand in enumerate(("t", "c")):
+        positions = sorted(pos for (s, pos) in per_pos if s == strand)
+        if mapping_strands[si] == "-":
+            positions = positions[::-1]
+        for pos in positions:
+            probs = per_pos[(strand, pos)]
+            total = sum(probs.get(v, 0.0) for v in vs)
+            if total <= 0:
+                continue
+            data.append([read_name, contig, pos, strand,
+                         mapping_strands[si]]
+                        + [probs.get(v, 0.0) / total for v in vs])
+    cols = ["read_name", "contig", "position", "strand", "forward_mapped"] \
+        + list(vs)
+    return pd.DataFrame(data, columns=cols)
+
+
 def marginals_from_site_probs(site_cells, site_probs, problem,
                               variants: str, seg_x_offset: int = 0
                               ) -> Dict[int, Dict[str, float]]:
