@@ -965,17 +965,20 @@ void sa_minidx_free(void* handle) {
 long sa_minidx_map(void* handle, const char* query, const char* query_rc,
                    long lq, long max_occ,
                    long* out_rs, long* out_re, long* out_qs, long* out_qe,
-                   int* out_strand, double* out_score, long* out_band) {
+                   int* out_strand, double* out_score, long* out_band,
+                   double* out_score2) {
     auto* idx = static_cast<MinIdx*>(handle);
     if (!idx || lq < idx->k) return 0;
     double best_score = 0.0;
     long best_n = 0;
+    int64_t best_rs = 0, best_re = 0;
+    std::vector<Anchor> all_anchors[2];
     for (int strand = 0; strand < 2; ++strand) {
         const char* q = strand ? query_rc : query;
         std::vector<uint64_t> qh;
         std::vector<int64_t> qp;
         minimizers(q, lq, idx->k, idx->w, qh, qp);
-        std::vector<Anchor> anchors;
+        std::vector<Anchor>& anchors = all_anchors[strand];
         for (size_t i = 0; i < qh.size(); ++i) {
             auto lo = std::lower_bound(idx->hash.begin(), idx->hash.end(),
                                        qh[i]);
@@ -991,6 +994,7 @@ long sa_minidx_map(void* handle, const char* query, const char* query_rc,
         if (sc > best_score) {
             best_score = sc;
             best_n = (long)anchors.size();
+            best_rs = rs; best_re = re;
             // diagonal spread of the chain corridor
             int64_t dmin = rs - qs, dmax = re - qe;
             if (dmin > dmax) std::swap(dmin, dmax);
@@ -1004,6 +1008,29 @@ long sa_minidx_map(void* handle, const char* query, const char* query_rc,
             *out_strand = strand;
             *out_score = sc;
         }
+    }
+    // ambiguity evidence (bwa MAPQ analogue): best chain that lands
+    // OUTSIDE the winner's reference span — a repeat copy elsewhere
+    // scores close to best and the caller can flag the map as
+    // low-confidence (bwaWrapper.py maps inherit bwa's MAPQ; this is
+    // the built-in mapper's equivalent signal)
+    if (out_score2) {
+        double second = 0.0;
+        if (best_n > 0) {
+            const int64_t margin = 1000;
+            for (int strand = 0; strand < 2; ++strand) {
+                if (all_anchors[strand].empty()) continue;
+                std::vector<Anchor> filt;
+                for (const auto& an : all_anchors[strand])
+                    if (an.r < best_rs - margin || an.r > best_re + margin)
+                        filt.push_back(an);
+                if (filt.empty()) continue;
+                int64_t q1, q2, r1, r2;
+                double sc = chain(filt, idx->k, &q1, &q2, &r1, &r2);
+                if (sc > second) second = sc;
+            }
+        }
+        *out_score2 = second;
     }
     return best_n;
 }

@@ -46,6 +46,11 @@ class GuideAlignment:
     query_start: int             # original-read coordinates
     query_end: int
     ops: List[Tuple[int, str]]   # CIGAR in target orientation
+    # mapping confidence: BAM MAPQ for guide_from_sam_record, the
+    # best/second-chain separation for the built-in seeded aligner
+    # (bwa reports MAPQ~0 for repeat-ambiguous maps; callers can
+    # filter on it the same way)
+    mapq: int = 60
 
     @property
     def window_length(self) -> int:
@@ -146,7 +151,7 @@ def guide_from_sam_record(rec: SamRecord) -> Optional[GuideAlignment]:
         contig=rec.rname, forward=forward,
         window_start=window_start, window_end=window_end,
         query_start=query_start, query_end=query_end,
-        ops=aln_ops)
+        ops=aln_ops, mapq=rec.mapq)
 
 
 def find_guide_alignment(alignment_file: str, read_label: str) -> Optional[GuideAlignment]:

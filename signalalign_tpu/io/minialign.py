@@ -148,14 +148,20 @@ def _seeded_hit(read_seq: str, reference, name: str):
     strand = ctypes.c_int()
     score = ctypes.c_double()
     band = ctypes.c_long()
+    score2 = ctypes.c_double()
     n = lib.sa_minidx_map(
         ctypes.c_void_p(idx), read_seq.encode(), qrc.encode(),
         ctypes.c_long(lq), ctypes.c_long(500),
         ctypes.byref(rs), ctypes.byref(re_), ctypes.byref(qs),
         ctypes.byref(qe), ctypes.byref(strand), ctypes.byref(score),
-        ctypes.byref(band))
+        ctypes.byref(band), ctypes.byref(score2))
     if n == 0 or (qe.value - qs.value) < 50:
         return None
+    # bwa-style mapping confidence from best/second-chain separation:
+    # a repeat copy elsewhere chaining within ~10% of best => MAPQ~0
+    # (utils/bwaWrapper.py maps inherit bwa's MAPQ; same signal here)
+    ratio = score2.value / max(score.value, 1e-9)
+    mapq = 0 if ratio >= 0.9 else min(60, int(60.0 * (1.0 - ratio)))
     is_fwd = strand.value == 0
     # forward-strand reference window covering the chain + unaligned
     # read tails (which sit right of the window for rc maps)
@@ -213,7 +219,7 @@ def _seeded_hit(read_seq: str, reference, name: str):
         off = lref - we          # window start on the revcomp strand
         frs, fre = off + ors.value, off + ore.value
     return (sw_score.value, name, is_fwd, oqs.value, oqe.value, frs, fre,
-            cigar, lref)
+            cigar, lref, mapq)
 
 
 def generate_guide_alignment(read_seq: str, reference,
@@ -231,12 +237,18 @@ def generate_guide_alignment(read_seq: str, reference,
     """
     names = [contig] if contig else list(reference.forward.keys())
     best = None
+    second = 0.0          # runner-up across contigs/orientations
     for name in names:
         fwd = reference.forward[name]
         if len(fwd) > SEEDED_MIN_REF:
             hit = _seeded_hit(read_seq, reference, name)
-            if hit is not None and (best is None or hit[0] > best[0]):
-                best = hit
+            if hit is not None:
+                if best is None or hit[0] > best[0]:
+                    if best is not None:
+                        second = max(second, best[0])
+                    best = hit
+                else:
+                    second = max(second, hit[0])
             continue
         for is_fwd, target in ((True, fwd), (False, reverse_complement(fwd))):
             hit = _sw(read_seq, target)
@@ -244,11 +256,22 @@ def generate_guide_alignment(read_seq: str, reference,
                 continue
             score, qs, qe, rs, re_, cigar = hit
             if best is None or score > best[0]:
+                if best is not None:
+                    second = max(second, best[0])
                 best = (score, name, is_fwd, qs, qe, rs, re_, cigar,
-                        len(fwd))
+                        len(fwd), None)
+            else:
+                second = max(second, score)
     if best is None or best[0] < min_score:
         return None
-    score, name, is_fwd, qs, qe, rs, re_, cigar, lref = best
+    score, name, is_fwd, qs, qe, rs, re_, cigar, lref, mapq = best
+    if mapq is None:
+        # full-DP contigs: confidence from the best/runner-up
+        # separation across contigs + orientations (single-contig
+        # single-orientation maps keep full confidence — the full DP
+        # already searched the whole reference)
+        ratio = second / max(score, 1e-9)
+        mapq = 0 if ratio >= 0.9 else min(60, int(60.0 * (1.0 - ratio)))
     if is_fwd:
         window_start, window_end = rs, re_
     else:
@@ -257,4 +280,4 @@ def generate_guide_alignment(read_seq: str, reference,
     return GuideAlignment(
         contig=name, forward=is_fwd,
         window_start=window_start, window_end=window_end,
-        query_start=qs, query_end=qe, ops=cigar)
+        query_start=qs, query_end=qe, ops=cigar, mapq=mapq)
