@@ -431,6 +431,39 @@ def cmd_plot(args) -> int:
         print("use `signalalign_tpu compare --plot` for model "
               "comparison figures", file=sys.stderr)
         return 2
+    elif args.what == "kmer_overlay":
+        # multiple kmers x models on one axes, colormap family per
+        # model (compare_trained_models.py plot_kmer_distribution2)
+        if not (args.model and args.kmer):
+            print("plot kmer_overlay requires --model (repeatable) and "
+                  "--kmer (repeatable)", file=sys.stderr)
+            return 2
+        from signalalign_tpu.compare import ModelDistributions
+        from signalalign_tpu.models.hdp_model import load_nhdp
+        from signalalign_tpu.models.pore_model import PoreModel
+        hdps = list(args.hdp or [])
+        mds = []
+        for i, mp in enumerate(args.model):
+            hdp = load_nhdp(hdps[i]) if i < len(hdps) else None
+            mds.append(ModelDistributions(PoreModel.from_file(mp),
+                                          hdp=hdp, name=f"model{i}"))
+        os.makedirs(args.output_dir, exist_ok=True)
+        out = os.path.join(args.output_dir, "kmer_overlay.png")
+        viz.plot_kmer_distribution_overlay(mds, args.kmer, out)
+        print(f"[plot] wrote {out}")
+    elif args.what == "animate":
+        # EM-iteration animation of one kmer's distribution
+        # (compare_trained_models.py animate_kmer_distribution)
+        if not (args.model and args.kmer):
+            print("plot animate requires --model (repeatable, EM "
+                  "iteration order) and --kmer", file=sys.stderr)
+            return 2
+        os.makedirs(args.output_dir, exist_ok=True)
+        out = os.path.join(args.output_dir,
+                           f"em_{args.kmer[0]}.gif")
+        written = viz.animate_kmer_distribution(args.model, args.kmer[0],
+                                                out)
+        print(f"[plot] wrote {written}")
     elif args.what == "deviation":
         # per-site call accuracy vs distance from the guide alignment
         # (reference: visualization/plot_accuracy_vs_alignment_deviation
@@ -712,7 +745,10 @@ def main(argv=None) -> int:
                            "accuracy vs alignment deviation)")
     plotp.add_argument("what",
                        choices=["summary", "em_models", "compare_models",
-                                "deviation"])
+                                "deviation", "kmer_overlay", "animate"])
+    plotp.add_argument("--hdp", action="append",
+                       help=".nhdp file(s) paired with --model "
+                            "(kmer_overlay)")
     plotp.add_argument("--alignment_file")
     plotp.add_argument("--readdb")
     plotp.add_argument("--fast5_dir", action="append")

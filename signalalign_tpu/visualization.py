@@ -124,6 +124,108 @@ def plot_kmer_distributions(model_dists, kmer: str, out_path: str,
     return out_path
 
 
+def plot_kmer_distribution_overlay(model_dists, kmers, out_path: str,
+                                   strand: str = "t") -> str:
+    """SEVERAL kmers' distributions on one axes, one colormap shade
+    family per model so same-model curves read as a group
+    (compare_trained_models.py:244-330 plot_kmer_distribution2).
+    """
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    from matplotlib import cm
+
+    from signalalign_tpu.compare import gaussian_pdf
+
+    cmaps = [cm.Blues, cm.Oranges, cm.Greens, cm.Purples, cm.Reds,
+             cm.Greys]
+    fig, ax = plt.subplots(figsize=(12, 6))
+    for mi, md in enumerate(model_dists):
+        cmap = cmaps[mi % len(cmaps)]
+        for ki, kmer in enumerate(kmers):
+            shade = 0.45 + 0.5 * (ki + 1) / max(len(kmers), 1)
+            color = cmap(min(shade, 0.95))
+            try:
+                mean, sd = md.gaussian_params(kmer)
+                x = md.linspace
+                ax.plot(x, gaussian_pdf(x, mean, sd), "--", lw=1.1,
+                        color=color,
+                        label=f"{md.name} {kmer} ONT")
+            except (KeyError, ValueError):
+                pass
+            hdp_y = md.hdp_distribution(kmer)
+            if hdp_y is not None and len(hdp_y) and hdp_y.max() > 0:
+                ax.plot(md.hdp.grid, hdp_y, "-", lw=1.4, color=color,
+                        label=f"{md.name} {kmer} HDP")
+    ax.set_title(f"kmer distributions ({strand} strand)")
+    ax.set_xlabel("event mean (pA)")
+    ax.set_ylabel("density")
+    ax.legend(fontsize=7, ncol=2)
+    ax.grid(alpha=0.3)
+    fig.tight_layout()
+    fig.savefig(out_path, dpi=120)
+    plt.close(fig)
+    return out_path
+
+
+def animate_kmer_distribution(model_paths, kmer: str, out_path: str,
+                              assignments=None, fps: int = 2) -> str:
+    """EM-iteration animation of one kmer's emission distribution over
+    a training run's model checkpoints
+    (compare_trained_models.py:331-489 animate_kmer_distribution).
+    Writes an animated GIF when a matplotlib animation writer is
+    available, otherwise falls back to the static per-iteration overlay
+    (plot_em_model_distributions)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    from signalalign_tpu.models.pore_model import PoreModel
+
+    models = [PoreModel.from_file(p) for p in model_paths]
+    params = []
+    for m in models:
+        kid = m.alphabet.kmer_index(kmer)
+        params.append((float(m.level_mean[kid]), float(m.level_sd[kid])))
+    lo = min(mu - 4 * sd for mu, sd in params)
+    hi = max(mu + 4 * sd for mu, sd in params)
+    xs = np.linspace(lo, hi, 300)
+
+    try:
+        from matplotlib.animation import FuncAnimation, PillowWriter
+
+        fig, ax = plt.subplots(figsize=(8, 5))
+        line, = ax.plot([], [], lw=1.6)
+        title = ax.set_title("")
+        ax.set_xlim(lo, hi)
+        ymax = max(1.0 / (sd * np.sqrt(2 * np.pi)) for _, sd in params)
+        ax.set_ylim(0, 1.15 * ymax)
+        ax.set_xlabel("descaled current (pA)")
+        ax.set_ylabel("density")
+        if assignments is not None and len(assignments):
+            ax.hist(assignments, bins=30, density=True, color="0.85",
+                    zorder=0)
+
+        def frame(i):
+            mu, sd = params[i]
+            line.set_data(xs, np.exp(-0.5 * ((xs - mu) / sd) ** 2)
+                          / (sd * np.sqrt(2 * np.pi)))
+            title.set_text(f"{kmer} — EM iteration {i} "
+                           f"(mu={mu:.2f}, sd={sd:.2f})")
+            return line, title
+
+        anim = FuncAnimation(fig, frame, frames=len(params))
+        anim.save(out_path, writer=PillowWriter(fps=fps))
+        plt.close(fig)
+        return out_path
+    except Exception:
+        fallback = out_path.rsplit(".", 1)[0] + ".png"
+        return plot_em_model_distributions(model_paths, [kmer], fallback,
+                                           assignments={kmer: assignments}
+                                           if assignments is not None
+                                           else None)
+
+
 def plot_model_comparisons(kls, hels, deltas, out_path: str,
                            label: str = "model1 vs model2") -> str:
     """3-panel histogram of per-kmer KL / Hellinger / median-delta

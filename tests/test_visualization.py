@@ -18,6 +18,31 @@ def test_em_model_distributions(tmp_path):
     assert os.path.exists(out)
 
 
+def test_kmer_overlay_and_animation(tmp_path):
+    """plot_kmer_distribution2 + animate_kmer_distribution analogues
+    (compare_trained_models.py:244-489): multi-kmer overlay PNG and the
+    EM-iteration GIF (or its static fallback)."""
+    from signalalign_tpu.compare import ModelDistributions
+    from signalalign_tpu.models.hdp_model import load_nhdp
+    from signalalign_tpu.models.pore_model import PoreModel
+    from signalalign_tpu.visualization import (
+        animate_kmer_distribution, plot_kmer_distribution_overlay)
+
+    r73 = PoreModel.from_file(
+        "/root/reference/models/testModelR73_acegot_template.model")
+    hdp = load_nhdp(
+        "/root/reference/models/templateSingleLevelFixed.nhdp")
+    mds = [ModelDistributions(r73, name="gauss"),
+           ModelDistributions(r73, hdp=hdp, name="hdp")]
+    out = plot_kmer_distribution_overlay(
+        mds, ["ACCGTA", "TACGGA"], str(tmp_path / "overlay.png"))
+    assert os.path.exists(out) and os.path.getsize(out) > 5000
+    anim = animate_kmer_distribution(
+        [MODEL, MODEL, MODEL], "ACGTA", str(tmp_path / "anim.gif"),
+        assignments=list(np.random.default_rng(1).normal(85, 2, 60)))
+    assert os.path.exists(anim) and os.path.getsize(anim) > 2000
+
+
 def test_multiclass_variant_accuracy(tmp_path):
     from signalalign_tpu.visualization import \
         plot_multiclass_variant_accuracy
