@@ -2698,11 +2698,17 @@ class PallasBatchAligner:
         finish.device_arrays = (totals, counts)
         return finish
 
-    def execute_site_marginals(self, sites, threshold: float = 0.01):
+    def execute_site_marginals(self, sites, threshold: float = 0.01,
+                               fetch_u8: bool = False):
         """Variant/methylation fast path: per-site posterior sums
         computed ON DEVICE (_site_marginals) — only (n_sites, lanes)
-        f32 + totals cross the host link (< 1 B/event at CpG site
-        density), instead of the per-pair stream.
+        tables + totals cross the host link, instead of the per-pair
+        stream. ``fetch_u8`` (default) normalizes each read's site
+        across its path lanes ON DEVICE and ships u8 fractions
+        (1 B/site/path ~ 0.2-0.7 B/event at CpG density; the caller
+        renormalizes per site so only the 1/255 fraction quantization
+        remains, far inside calling tolerances); f16 raw sums
+        otherwise.
 
         ``sites``: per decode-result entry (per segment for packed
         lanes), a sequence of 1-based cell x positions whose k-mers
@@ -2777,9 +2783,19 @@ class PallasBatchAligner:
         marg = _site_marginals(
             postlog, cvec, self.n_diag, jnp.asarray(bank),
             jnp.asarray(site_slot), T=T, XW=XW, log_thr=log_thr)
-        # f16 halves the per-site fetch; sums are O(events/site) with
-        # ~5e-4 relative error — far inside calling tolerances
-        marg = marg.astype(jnp.float16)
+        if fetch_u8:
+            # normalize each site across its read's PP path lanes on
+            # device and fetch u8 fractions: the calling fold
+            # renormalizes per site, so only the 1/255 quantization
+            # remains (< 1 B/site/path on the link)
+            mb = marg.reshape(marg.shape[0], marg.shape[1], S // PP, PP)
+            tot = jnp.maximum(jnp.sum(mb, axis=3, keepdims=True), 1e-12)
+            marg = jnp.round(mb / tot * 255.0).astype(jnp.uint8).reshape(
+                marg.shape)
+        else:
+            # f16 raw sums: O(events/site) magnitudes with ~5e-4
+            # relative error — far inside calling tolerances
+            marg = marg.astype(jnp.float16)
         totals = self._totals_stack(tf_hi, tf_lo, tb_hi, tb_lo,
                                     jnp.zeros_like(tf_hi[..., 0, :]
                                                    if self.packed
