@@ -754,6 +754,18 @@ def main():
     expect_eps = methyl_eps = methyl_site_eps = vc_bpe = None
     em_iter_eps = methyl_runner_eps = synth_eps = None
     synth_desc = None
+    # free the main workload's device arrays before the flagship
+    # blocks: 9 buckets x 128 lanes of persistent inputs otherwise stay
+    # resident and starve the methyl/synthetic blocks of HBM (observed
+    # ResourceExhausted inside the full bench but not standalone)
+    try:
+        scaling = bench_scaling(workload, max(reps // 2, 2))
+    except Exception as exc:
+        scaling = {"error": str(exc)[:200]}
+        print(f"# scaling bench failed: {exc}", file=sys.stderr)
+    del aligners
+    import gc
+    gc.collect()
     if os.environ.get("BENCH_FLAGSHIP", "1") == "1":
         try:
             expect_eps, _ = bench_expect(max(reps // 2, 2))
@@ -778,11 +790,6 @@ def main():
             synth_eps, _, synth_desc = bench_synthetic(max(reps // 2, 2))
         except Exception as exc:
             print(f"# synthetic bench failed: {exc}", file=sys.stderr)
-    try:
-        scaling = bench_scaling(workload, max(reps // 2, 2))
-    except Exception as exc:
-        scaling = {"error": str(exc)[:200]}
-        print(f"# scaling bench failed: {exc}", file=sys.stderr)
 
     out = {
         "metric": "banded_fb_posterior_events_per_s_per_chip",

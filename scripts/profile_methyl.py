@@ -43,7 +43,7 @@ def main():
         def stage_es():
             return hdp_emission_stacks(
                 *al.stream_in, al.hdp_dens, al.hdp_slopes, al.hdp_grid,
-                T=T, WBe=al.WBe)
+                T=T, WBe=al.WBe, maxb=al.bank_maxb)
 
         def stage_fwd(es):
             estack, ebnd = es

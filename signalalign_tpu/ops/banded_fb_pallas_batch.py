@@ -2391,16 +2391,20 @@ class PallasBatchAligner:
                 host_stream_inputs
             WBe = WB + 8
             LEmax = max(p.ev_params.shape[1] for p in problems)
+            LXmax = max(p.kmer_ids.shape[1] for p in problems)
             kmerw = np.full((G, NT, WBe, S), -1, dtype=np.int32)
             aw = np.zeros((G, NT, WBe, S), dtype=np.float32)
             ivw = np.ones((G, NT, WBe, S), dtype=np.float32)
             evm = np.zeros((G, LEmax, S), dtype=np.float32)
             evv = np.zeros((G, LEmax, S), dtype=np.float32)
             j0d = np.zeros((G, Dp1p, S), dtype=np.int32)
+            kidx = np.zeros((G, LXmax, S), dtype=np.int32)
+            ivx = np.zeros((G, LXmax, S), dtype=np.float32)
+            basex = np.zeros((G, NT, S), dtype=np.int32)
             for idx, (pi, pp_) in enumerate(lane_list):
                 p = problems[pi]
                 gi, si = divmod(idx, S)
-                (kw, a_, iv_, em, ev_, j0) = \
+                (kw, a_, iv_, em, ev_, j0, kx, ivx_, tb) = \
                     host_stream_inputs(p, W, T, pp_, WBe, LEmax)
                 kmerw[gi, :, :, si] = kw
                 aw[gi, :, :, si] = a_
@@ -2408,8 +2412,39 @@ class PallasBatchAligner:
                 evm[gi, :, si] = em
                 evv[gi, :, si] = ev_
                 j0d[gi, :, si] = j0
+                kidx[gi, :len(kx), si] = kx
+                ivx[gi, :len(ivx_), si] = ivx_
+                basex[gi, :, si] = tb
+            # banked spline-table DMA: distinct 128-aligned frame bases
+            # per tile ("banks"); the eval kernel DMAs each bank's rows
+            # once and selects per lane (emission_stream). Tiles with
+            # more than 12 banks (pathological packs) fall back to the
+            # XLA window path (maxb=0).
+            MAXB = 1
+            per_tile = []
+            for gi in range(G):
+                for tt in range(NT):
+                    vals = np.unique(basex[gi, tt])
+                    per_tile.append((gi, tt, vals))
+                    MAXB = max(MAXB, len(vals))
+            if MAXB <= 12:
+                bmask = np.zeros((G, NT, MAXB, 8, S), dtype=np.float32)
+                bslot = np.zeros((G, NT, MAXB, 8, 128), dtype=np.int32)
+                bcnt = np.zeros((G, NT, 1, 8, 128), dtype=np.int32)
+                for gi, tt, vals in per_tile:
+                    bcnt[gi, tt] = len(vals)
+                    for b, v in enumerate(vals):
+                        bmask[gi, tt, b] = (basex[gi, tt] == v)[None, :]
+                        bslot[gi, tt, b] = v // 8
+                self.bank_maxb = MAXB
+            else:
+                bmask = np.zeros((G, NT, 1, 8, S), dtype=np.float32)
+                bslot = np.zeros((G, NT, 1, 8, 128), dtype=np.int32)
+                bcnt = np.zeros((G, NT, 1, 8, 128), dtype=np.int32)
+                self.bank_maxb = 0
             self.stream_in = tuple(_dev(a) for a in (
-                kmerw, aw, ivw, evm, evv, j0d))
+                kmerw, aw, ivw, evm, evv, j0d, kidx, ivx, basex,
+                bmask, bslot, bcnt))
             p0 = problems[0]
             self.hdp_dens = _dev(p0.hdp_dens)
             self.hdp_slopes = _dev(p0.hdp_slopes)
@@ -2511,7 +2546,7 @@ class PallasBatchAligner:
                 hdp_emission_stacks
             estack, ebnd = hdp_emission_stacks(
                 *self.stream_in, self.hdp_dens, self.hdp_slopes,
-                self.hdp_grid, T=T, WBe=self.WBe,
+                self.hdp_grid, T=T, WBe=self.WBe, maxb=self.bank_maxb,
                 interpret=self.interpret)
         fstack, f_incr, f_lse = pallas_forward_b(
             self.geom, self.refwin, self.evinit_f, self.evins_f, self.pack,
@@ -2635,7 +2670,7 @@ class PallasBatchAligner:
                 hdp_emission_stacks
             estack, ebnd = hdp_emission_stacks(
                 *self.stream_in, self.hdp_dens, self.hdp_slopes,
-                self.hdp_grid, T=T, WBe=self.WBe,
+                self.hdp_grid, T=T, WBe=self.WBe, maxb=self.bank_maxb,
                 interpret=self.interpret)
         fstack, f_incr, f_lse = pallas_forward_b(
             self.geom, self.refwin, self.evinit_f, self.evins_f, self.pack,
@@ -2763,7 +2798,7 @@ class PallasBatchAligner:
                 hdp_emission_stacks
             estack, ebnd = hdp_emission_stacks(
                 *self.stream_in, self.hdp_dens, self.hdp_slopes,
-                self.hdp_grid, T=T, WBe=self.WBe,
+                self.hdp_grid, T=T, WBe=self.WBe, maxb=self.bank_maxb,
                 interpret=self.interpret)
         fstack, f_incr, f_lse = pallas_forward_b(
             self.geom, self.refwin, self.evinit_f, self.evins_f, self.pack,
@@ -2939,7 +2974,7 @@ class PallasBatchAligner:
                 hdp_emission_stacks
             estack, ebnd = hdp_emission_stacks(
                 *self.stream_in, self.hdp_dens, self.hdp_slopes,
-                self.hdp_grid, T=T, WBe=self.WBe,
+                self.hdp_grid, T=T, WBe=self.WBe, maxb=self.bank_maxb,
                 interpret=self.interpret)
         fstack, f_incr, f_lse = pallas_forward_b(
             self.geom, self.refwin, self.evinit_f, self.evins_f, self.pack,

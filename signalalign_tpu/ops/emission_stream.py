@@ -36,6 +36,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 from signalalign_tpu.ops import banded_fb as bfb
 
@@ -67,58 +68,159 @@ def _spline_eval_fused_kernel(evw_ref, aw_ref, ivw_ref, rowd_ref,
         ev = evw_ref[0, pl.ds(TSHIFT - i + w8, 8), :]
         rows.append(aw + ivw * ev)
     txs = jnp.stack(rows, axis=0)                    # (TT, 8, S)
+    out_ref[0] = _spline_interp_core(txs, rowd_ref[0], rowsl_ref[0],
+                                     NG=NG)
+
+
+def _spline_eval_banked_kernel(evw_ref, aw_ref, ivw_ref, masks_ref,
+                               slotb_ref, cnt_ref, rowdx_ref, rowsx_ref,
+                               out_ref, scrd, scrs, sems, *, NG: int,
+                               TT: int, TSHIFT: int, MAXB: int):
+    """Banked-table variant of the fused spline kernel: the per-tile
+    density/slope windows are DMAd from the HBM x-form tables inside
+    the kernel instead of being gather-materialized by XLA (the window
+    materialization was ~80% of the whole methylation pipeline). Frame
+    bases are 128-aligned per lane, so each (tile, 8-sublane block)
+    touches only the few DISTINCT bases ("banks") across lanes: DMA
+    each bank's (NG, 8, S) block once, then select per lane with the
+    precomputed bank masks (sum-of-masked: masks partition lanes).
+
+    One launch covers every tile: grid (G, NT, WBe//8); per-tile
+    inputs ride block specs. rowdx/rowsx: (G, LXB8, NG, 8, S)
+    ANY-space x-form tables (block b8 covers absolute x =
+    8*b8 + [0..8)); masks: per-tile (MAXB, 8, S) lane masks per bank
+    slot (0 rows for unused slots); slotb/cnt: (MAXB|1, 8, 128) i32 —
+    bank block bases (tb // 8) and the used-slot count.
+    """
+    g = pl.program_id(0)
+    w8b = pl.program_id(2)
+    cnt = cnt_ref[0, 0, 0, 0, 0]
+    for b in range(MAXB):
+        @pl.when(b < cnt)
+        def _start(b=b):
+            blk = slotb_ref[0, 0, b, 0, 0] + w8b
+            pltpu.make_async_copy(rowdx_ref.at[g, blk], scrd.at[b],
+                                  sems.at[2 * b]).start()
+            pltpu.make_async_copy(rowsx_ref.at[g, blk], scrs.at[b],
+                                  sems.at[2 * b + 1]).start()
+    w8 = w8b * 8
+    aw = aw_ref[0, 0]
+    ivw = ivw_ref[0, 0]
+    rows = []
+    for i in range(TT):
+        ev = evw_ref[0, 0, pl.ds(TSHIFT - i + w8, 8), :]
+        rows.append(aw + ivw * ev)
+    txs = jnp.stack(rows, axis=0)                    # (TT, 8, S)
+    for b in range(MAXB):
+        @pl.when(b < cnt)
+        def _wait(b=b):
+            blk = slotb_ref[0, 0, b, 0, 0] + w8b
+            pltpu.make_async_copy(rowdx_ref.at[g, blk], scrd.at[b],
+                                  sems.at[2 * b]).wait()
+            pltpu.make_async_copy(rowsx_ref.at[g, blk], scrs.at[b],
+                                  sems.at[2 * b + 1]).wait()
+
+        @pl.when(b >= cnt)
+        def _zero(b=b):
+            scrd[b] = jnp.zeros(scrd.shape[1:], scrd.dtype)
+            scrs[b] = jnp.zeros(scrs.shape[1:], scrs.dtype)
+    # per-lane table select: masks partition lanes across bank slots
+    tabd = masks_ref[0, 0, 0][None] * scrd[0]
+    tabs = masks_ref[0, 0, 0][None] * scrs[0]
+    for b in range(1, MAXB):
+        m = masks_ref[0, 0, b][None]
+        tabd = tabd + m * scrd[b]
+        tabs = tabs + m * scrs[b]
+    out_ref[0, 0] = _spline_interp_core(txs, tabd, tabs, NG=NG)
+
+
+def _spline_interp_core(txs, tabd, tabs, *, NG: int):
+    """Shared Hermite interpolation over grouped table rows."""
     valid = txs < 1e29
     tc = jnp.clip(txs, -2.0, float(NG) + 2.0)
     il = jnp.clip(jnp.floor(tc), 0.0, float(NG - 2))
     zero = jnp.zeros(txs.shape, jnp.float32)
-
-    # quad-grouped 1-of-NG selection: one mask per 4-interval group
-    # gathers the group's 5 bracketing rows per table (vs one mask per
-    # interval) — ~NG*3 masked FMAs per cell instead of ~NG*6; a final
-    # 4-way select tree on the low bits picks the interval
-    il4 = jnp.floor(il * 0.25)
-    NJ = (NG - 2) // 4 + 1
-    accd = [zero] * 5
-    accs = [zero] * 5
+    GSEL = 8
+    il4 = jnp.floor(il * (1.0 / GSEL))
+    NJ = (NG - 2) // GSEL + 1
+    accd = [zero] * (GSEL + 1)
+    accs = [zero] * (GSEL + 1)
     for j in range(NJ):
         m = (il4 == float(j)).astype(jnp.float32)
-        for r in range(5):
-            g = min(4 * j + r, NG - 1)
-            accd[r] = accd[r] + m * rowd_ref[0, g]
-            accs[r] = accs[r] + m * rowsl_ref[0, g]
-    b = il - il4 * 4.0
-    m1 = b < 0.5
-    m2 = b < 1.5
-    m3 = b < 2.5
+        for r in range(GSEL + 1):
+            g = min(GSEL * j + r, NG - 1)
+            accd[r] = accd[r] + m * tabd[g]
+            accs[r] = accs[r] + m * tabs[g]
+    b = il - il4 * float(GSEL)
 
-    def pick(acc, lo):
-        return jnp.where(m2, jnp.where(m1, acc[lo], acc[lo + 1]),
-                         jnp.where(m3, acc[lo + 2], acc[lo + 3]))
+    def tree(acc, lo, hi):
+        if hi - lo == 1:
+            return acc[lo]
+        mid = (lo + hi) // 2
+        return jnp.where(b < float(mid) - 0.5,
+                         tree(acc, lo, mid), tree(acc, mid, hi))
 
-    yl = pick(accd, 0)
-    sl = pick(accs, 0)
-    # right neighbor = interval + 1
-    yr = jnp.where(m2, jnp.where(m1, accd[1], accd[2]),
-                   jnp.where(m3, accd[3], accd[4]))
-    sr = jnp.where(m2, jnp.where(m1, accs[1], accs[2]),
-                   jnp.where(m3, accs[3], accs[4]))
+    yl = tree(accd, 0, GSEL)
+    sl = tree(accs, 0, GSEL)
+    yr = tree(accd[1:], 0, GSEL)
+    sr = tree(accs[1:], 0, GSEL)
     dy = yr - yl
     a = sl - dy
-    b = dy - sr
+    bb = dy - sr
     tl = tc - il
     tr = 1.0 - tl
-    mid = tr * yl + tl * yr + tl * tr * (a * tr + b * tl)
-    y0 = rowd_ref[0, 0]
-    s0 = rowsl_ref[0, 0]
-    yN = rowd_ref[0, NG - 1]
-    sN = rowsl_ref[0, NG - 1]
+    mid = tr * yl + tl * yr + tl * tr * (a * tr + bb * tl)
+    y0 = tabd[0]
+    s0 = tabs[0]
+    yN = tabd[NG - 1]
+    sN = tabs[NG - 1]
     below = y0 + s0 * txs
     above = yN + sN * (txs - float(NG - 1))
     v = jnp.where(txs <= 0.0, below,
                   jnp.where(txs >= float(NG - 1), above, mid))
     v = jnp.maximum(v, 0.0)
-    out_ref[0] = jnp.where(valid & (v > 0.0),
-                           jnp.log(jnp.maximum(v, 1e-37)), NEG)
+    return jnp.where(valid & (v > 0.0),
+                     jnp.log(jnp.maximum(v, 1e-37)), NEG)
+
+
+def _spline_eval_banked(evw, aw, ivw, masks, slotb, cnt, rowdx, rowsx,
+                        *, TT: int, TSHIFT: int, MAXB: int,
+                        interpret: bool = False):
+    """ONE launch over every tile. evw (G, NT, WLp, S);
+    aw/ivw (G, NT, WBe, S); masks (G, NT, MAXB, 8, S);
+    slotb (G, NT, MAXB, 8, 128) i32; cnt (G, NT, 1, 8, 128) i32;
+    rowdx/rowsx (G, LXB8, NG, 8, S) -> (G, NT, TT, WBe, S)."""
+    G, NT, WLp, S = evw.shape
+    WBe = aw.shape[2]
+    NG = rowdx.shape[2]
+    WBu = 8
+    return pl.pallas_call(
+        functools.partial(_spline_eval_banked_kernel, NG=NG, TT=TT,
+                          TSHIFT=TSHIFT, MAXB=MAXB),
+        grid=(G, NT, WBe // WBu),
+        in_specs=[
+            pl.BlockSpec((1, 1, WLp, S), lambda g, t, w: (g, t, 0, 0)),
+            pl.BlockSpec((1, 1, WBu, S), lambda g, t, w: (g, t, w, 0)),
+            pl.BlockSpec((1, 1, WBu, S), lambda g, t, w: (g, t, w, 0)),
+            pl.BlockSpec((1, 1, MAXB, 8, S),
+                         lambda g, t, w: (g, t, 0, 0, 0)),
+            pl.BlockSpec((1, 1, MAXB, 8, 128),
+                         lambda g, t, w: (g, t, 0, 0, 0)),
+            pl.BlockSpec((1, 1, 1, 8, 128),
+                         lambda g, t, w: (g, t, 0, 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec((1, 1, TT, WBu, S),
+                               lambda g, t, w: (g, t, 0, w, 0)),
+        out_shape=jax.ShapeDtypeStruct((G, NT, TT, WBe, S), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((MAXB, NG, WBu, S), jnp.float32),
+            pltpu.VMEM((MAXB, NG, WBu, S), jnp.float32),
+            pltpu.SemaphoreType.DMA((2 * MAXB,)),
+        ],
+        interpret=interpret,
+    )(evw, aw, ivw, masks, slotb, cnt, rowdx, rowsx)
 
 
 def _spline_eval_fused(evw, aw, ivw, rowd, rowsl, *, TT: int,
@@ -146,10 +248,12 @@ def _spline_eval_fused(evw, aw, ivw, rowd, rowsl, *, TT: int,
     )(evw, aw, ivw, rowd, rowsl)
 
 
-@functools.partial(jax.jit, static_argnames=("T", "WBe", "interpret"))
-def hdp_emission_stacks(kmerw, aw, ivw, evm, evv, j0d, dens,
-                        slopes, grid,
-                        *, T: int, WBe: int, interpret: bool = False):
+@functools.partial(jax.jit,
+                   static_argnames=("T", "WBe", "maxb", "interpret"))
+def hdp_emission_stacks(kmerw, aw, ivw, evm, evv, j0d, kidx, ivx, basex,
+                        bmask, bslot, bcnt, dens, slopes, grid,
+                        *, T: int, WBe: int, maxb: int = 0,
+                        interpret: bool = False):
     """HDP log-emission stream + backward tile-boundary rows.
 
     kmerw/aw/ivw: (G, NT, WBe, S) per-tile kmer table rows and the
@@ -202,13 +306,79 @@ def hdp_emission_stacks(kmerw, aw, ivw, evm, evv, j0d, dens,
     padv = jnp.pad(evv, ((0, 0), (FP, BP), (0, 0)))
     TE = T + 2     # per-tile rows: T stream diagonals + 2 boundary rows
 
+    NG = dens.shape[1]
+    banked = maxb > 0
+    # one-shot x-form row gather: per-tile frames OVERLAP, so a
+    # per-tile take() would re-gather ~6x the unique (x, lane) rows.
+    # Gather each lane's kmer rows ONCE over its x range, prescale,
+    # and either (banked) hand the HBM tables to the kernel — which
+    # DMAs each (tile, block)'s few distinct 128-aligned frame-base
+    # "banks" and selects per lane — or (fallback, >12 banks/tile)
+    # materialize per-tile windows with vmapped dynamic slices.
+    G_, LXp, S_ = kidx.shape
+    rdx = jnp.take(dens, kidx, axis=0) * ivx[..., None]   # (G,LXp,S,NG)
+    rsx = jnp.take(slopes, kidx, axis=0) * (ivx * dx)[..., None]
+    if banked:
+        LXB = ((LXp + WBe + 8 + 127) // 128) * 128
+        rdxp = jnp.pad(rdx, ((0, 0), (0, LXB - LXp), (0, 0), (0, 0)))
+        rsxp = jnp.pad(rsx, ((0, 0), (0, LXB - LXp), (0, 0), (0, 0)))
+
+        def to_banked(a):
+            return jnp.transpose(
+                a.reshape(G_, LXB // 8, 8, S_, NG), (0, 1, 4, 2, 3))
+        rowdxb = to_banked(rdxp)            # (G, LXB8, NG, 8, S)
+        rowsxb = to_banked(rsxp)
+
+        # all-tile event windows + spline-arg params in ONE fused pass
+        # (the per-tile lax.map paid ~1.5ms of launch overhead per
+        # tile, ~half the whole stream)
+        WL = WBe + T + 1
+        WLp = ((WL + 7) // 8) * 8
+        A = j0d[:, ::T]                              # (G, NT, S)
+        start = A - (T + 1)
+
+        def lane_slice(e, s0):
+            return jax.lax.dynamic_slice(e, (s0,), (WL,))
+        sl3 = jax.vmap(jax.vmap(jax.vmap(lane_slice, in_axes=(1, 0),
+                                         out_axes=1),
+                                in_axes=(None, 0)),
+                       in_axes=(0, 0))
+        evwall = sl3(padded, start + FP)             # (G, NT, WL, S)
+        evvall = sl3(padv, start + FP)
+        jw = (start[:, :, None, :]
+              + jnp.arange(WL, dtype=jnp.int32)[None, None, :, None])
+        okw = (evvall > 0.5) & (jw >= 0) & (jw < LE)
+        evsall = jnp.where(okw, evwall, 1e35)
+        evsall = jnp.pad(evsall, ((0, 0), (0, 0), (0, WLp - WL), (0, 0)),
+                         constant_values=1e35)
+        validu = kmerw >= 0                          # (G, NT, WBe, S)
+        awg_all = jnp.where(validu, (aw - g0) / dx, 4e30)
+        ivg_all = jnp.where(validu, ivw / dx, 0.0)
+        est = _spline_eval_banked(
+            evsall, awg_all, ivg_all, bmask, bslot, bcnt,
+            rowdxb, rowsxb, TT=TE, TSHIFT=T + 1, MAXB=maxb,
+            interpret=interpret)                     # (G, NT, TE, WBe, S)
+        estack = est[:, :, :T].reshape(G, Dp1p, WBe, S)
+        ebnd = est[:, ::-1, T:]                      # (G, NT, 2, WBe, S)
+        return estack, ebnd
+    else:
+        rowdx = jnp.pad(jnp.moveaxis(rdx, -1, 1),
+                        ((0, 0), (0, 0), (0, WBe + 8), (0, 0)))
+        rowsx = jnp.pad(jnp.moveaxis(rsx, -1, 1),
+                        ((0, 0), (0, 0), (0, WBe + 8), (0, 0)))
+
+        def _win_lane(a, s0):           # a (NG, LXp+WBe+8) one (g, s)
+            return jax.lax.dynamic_slice(a, (0, s0), (NG, WBe))
+        _win = jax.vmap(jax.vmap(_win_lane, in_axes=(2, 0), out_axes=2),
+                        in_axes=(0, 0))
+
     def tile_fast(tt):
         kw = kmerw[:, tt]                                   # (G, WBe, S)
         a_ = aw[:, tt]
         iv = ivw[:, tt]
-        kc = jnp.maximum(kw, 0)
-        rowd = jnp.take(dens, kc, axis=0) * iv[..., None]   # (G, WBe, S, NG)
-        rowsl = jnp.take(slopes, kc, axis=0) * (iv * dx)[..., None]
+        if not banked:
+            rowd_t = _win(rowdx, basex[:, tt])       # (G, NG, WBe, S)
+            rowsl_t = _win(rowsx, basex[:, tt])
         # per-lane event window: j(i, u) = j0d[tt*T] - i + u spans
         # [A - (T+1), A + WBe - 1], one dynamic slice per lane; rows are
         # built in-kernel (dynamic sublane slices) by the fused kernel
@@ -234,8 +404,11 @@ def hdp_emission_stacks(kmerw, aw, ivw, evm, evv, j0d, dens,
         validu = kw >= 0
         awg = jnp.where(validu, (a_ - g0) / dx, 4e30)
         ivg = jnp.where(validu, iv / dx, 0.0)
-        rowd_t = jnp.moveaxis(rowd, -1, 1)                # (G, NG, WBe, S)
-        rowsl_t = jnp.moveaxis(rowsl, -1, 1)
+        if banked:
+            return _spline_eval_banked(
+                evs, awg, ivg, bmask[:, tt], bslot[:, tt], bcnt[:, tt],
+                rowdxb, rowsxb, TT=TE, TSHIFT=T + 1, MAXB=maxb,
+                interpret=interpret)
         return _spline_eval_fused(evs, awg, ivg, rowd_t, rowsl_t,
                                   TT=TE, TSHIFT=T + 1,
                                   interpret=interpret)
@@ -305,6 +478,15 @@ def host_stream_inputs(problem: bfb.BandedProblem, W: int, T: int,
 
     kmerw, aw, ivw = window(tb)
 
+    # x-form tables for the device-side one-shot row gather (the
+    # per-tile formulation re-gathered every overlapping frame window;
+    # see hdp_emission_stacks): kmer id per absolute x (invalid -> 0,
+    # masked later by the aw/ivw sentinels) + per-x 1/var + per-tile
+    # frame bases
+    kx = np.maximum(kids, 0).astype(np.int32)
+    kx[inv_m[:LX] <= 0.0] = 0
+    ivx = iv_x.astype(np.float32)
+
     d = np.arange(Dp1p)
     base_d = tb[d // T]
     j0d = (lY - d + fp + base_d).astype(np.int32)
@@ -319,4 +501,5 @@ def host_stream_inputs(problem: bfb.BandedProblem, W: int, T: int,
     LE = problem.ev_params.shape[1]
     evm[:LE] = problem.ev_params[0]
     evv[:LE] = problem.ev_params[3]
-    return (kmerw, aw, ivw, evm, evv, j0d)
+    return (kmerw, aw, ivw, evm, evv, j0d, kx, ivx,
+            tb.astype(np.int32))

@@ -358,10 +358,17 @@ def run_alignment_batch(
                 K = max(((3 * lYmax + 127) // 128) * 128, 1024)
                 S_lanes = _choose_lanes(max(p.n_diag for p in probs), W)
                 hdp_mode = config.emission_mode == bfb.MODE_HDP
+                small = len(probs) * PP < 16
                 if (P > 1 or hdp_mode or expect) \
-                        and (W > 1024 or len(probs) * PP < 16):
+                        and (W > 1024 or (small and not site_mode)):
                     # tiny buckets would pad to full 128-lane stripes
-                    # (up to 127/128 wasted); the XLA path right-sizes
+                    # (up to 127/128 wasted); the XLA path right-sizes.
+                    # SITE mode keeps even tiny buckets on the lane
+                    # kernels: the wasted stripe padding is compute
+                    # only, while the XLA fallback fetches each
+                    # segment's FULL posterior band (MBs) just to fold
+                    # a few hundred site sums (measured: the fetch
+                    # dominated the whole methylation run)
                     raise ValueError(
                         "P>1/HDP/expect bucket too small/wide for the "
                         "lane kernels")
