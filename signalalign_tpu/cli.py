@@ -521,6 +521,41 @@ def cmd_plot(args) -> int:
     return 0
 
 
+def cmd_call_methylation(args) -> int:
+    """reference: scripts/call_methylation.py — marginalize methylation
+    status per site from a directory of full-format .sm TSVs."""
+    import glob as _glob
+
+    from signalalign_tpu.pipeline.variant_caller import \
+        call_methylation_from_tsvs
+    paths = sorted(_glob.glob(os.path.join(args.input_dir, "*.sm.*.tsv")))
+    paths = [p for p in paths
+             if p.endswith(".sm.forward.tsv")
+             or p.endswith(".sm.backward.tsv")]
+    if not paths:
+        print(f"no .sm.forward/.backward.tsv files in {args.input_dir}",
+              file=sys.stderr)
+        return 2
+    out = call_methylation_from_tsvs(paths, args.variants, args.out,
+                                     threshold=args.threshold)
+    print(f"[call_methylation] {len(paths)} files -> {out} (+ .aggregate)")
+    return 0
+
+
+def cmd_kmer_hist(args) -> int:
+    """reference: scripts/generate_kmer_histograms.py."""
+    import glob as _glob
+
+    from signalalign_tpu.visualization import kmer_histograms_from_tsvs
+    paths = sorted(_glob.glob(os.path.join(args.input_dir, "*.sm.*.tsv")))
+    written = kmer_histograms_from_tsvs(
+        paths, args.kmer, args.output_dir, strand=args.strand,
+        threshold=args.threshold, max_assignments=args.max_assignments)
+    print(f"[kmer_hist] wrote {len(written)} histogram files to "
+          f"{args.output_dir}")
+    return 0
+
+
 def cmd_extract(args) -> int:
     """Pull fastqs (+ index readdb) from fast5 files — the reference's
     ``extract`` binary (impl/extract.c:23 + eventAligner.c
@@ -762,6 +797,30 @@ def main(argv=None) -> int:
     plotp.add_argument("--threshold", type=float, default=0.5)
     plotp.add_argument("--output_dir", default="plots")
     plotp.set_defaults(func=cmd_plot)
+
+    cmp_ = sub.add_parser(
+        "call_methylation",
+        help="per-site variant calls from full-format .sm TSVs "
+             "(scripts/call_methylation.py)")
+    cmp_.add_argument("--input_dir", required=True,
+                      help="directory of .sm.*.tsv full-format outputs")
+    cmp_.add_argument("--variants", default="CE",
+                      help="candidate bases (twoWay CE, threeWay CEO)")
+    cmp_.add_argument("--threshold", type=float, default=0.0)
+    cmp_.add_argument("--out", required=True)
+    cmp_.set_defaults(func=cmd_call_methylation)
+
+    khp = sub.add_parser(
+        "kmer_hist",
+        help="per-kmer descaled event-mean histograms from .sm TSVs "
+             "(scripts/generate_kmer_histograms.py)")
+    khp.add_argument("--input_dir", required=True)
+    khp.add_argument("--kmer", action="append", required=True)
+    khp.add_argument("--strand", default="t", choices=["t", "c"])
+    khp.add_argument("--threshold", type=float, default=0.0)
+    khp.add_argument("--max_assignments", type=int, default=10000)
+    khp.add_argument("--output_dir", default="kmer_hist")
+    khp.set_defaults(func=cmd_kmer_hist)
 
     extp = sub.add_parser("extract",
                           help="pull fastqs from fast5 files (extract)")

@@ -124,6 +124,78 @@ def call_methylation(aggregated: pd.DataFrame, canonical: str,
     return out
 
 
+FULL_TSV_COLS = ["contig", "reference_index", "reference_kmer", "read_file",
+                 "strand", "event_index", "event_mean", "event_noise",
+                 "event_duration", "aligned_kmer", "scaled_mean_current",
+                 "scaled_noise", "posterior_probability",
+                 "descaled_event_mean", "ont_model_mean", "path_kmer"]
+
+
+def full_rows_from_tsv(path: str, threshold: float = 0.0):
+    """Full-format output TSV -> FullRow list (the reference's
+    alignment-file consumers re-read .sm TSVs this way,
+    scripts/call_methylation.py / alignmentAnalysisLib.CallMethylation)."""
+    df = pd.read_csv(path, sep="\t", names=FULL_TSV_COLS,
+                     keep_default_na=False)
+    rows = []
+    for r in df.itertuples():
+        p = float(r.posterior_probability)
+        if p < threshold:
+            continue
+        rows.append(FullRow(
+            contig=str(r.contig), reference_index=int(r.reference_index),
+            reference_kmer=str(r.reference_kmer),
+            read_file=str(r.read_file), strand=str(r.strand),
+            event_index=int(r.event_index),
+            event_mean=float(r.event_mean),
+            event_noise=float(r.event_noise),
+            event_duration=float(r.event_duration),
+            aligned_kmer=str(r.aligned_kmer),
+            scaled_mean_current=float(r.scaled_mean_current),
+            scaled_noise=float(r.scaled_noise), posterior_probability=p,
+            descaled_event_mean=float(r.descaled_event_mean),
+            ont_model_mean=float(r.ont_model_mean),
+            path_kmer=str(r.path_kmer)))
+    return rows
+
+
+def call_methylation_from_tsvs(tsv_paths, variants: str, out_path: str,
+                               threshold: float = 0.0,
+                               ambig_char: Optional[str] = None,
+                               aggregate: bool = True) -> str:
+    """Methylation/variant calling from a directory of full-format
+    .sm TSVs: per-read per-site marginals concatenated to one table,
+    plus the across-read aggregate appended as a second section when
+    ``aggregate``.
+
+    reference: scripts/call_methylation.py (+ CallMethylation,
+    alignmentAnalysisLib.py) — per alignment file, rows whose aligned
+    k-mer carries the ambiguity code report, marginalized per site.
+    File orientation comes from the .sm.forward/.backward name.
+    """
+    frames = []
+    for path in tsv_paths:
+        rows = full_rows_from_tsv(path, threshold=threshold)
+        if not rows:
+            continue
+        import os as _os
+        name = _os.path.basename(path)
+        forward = ".backward" not in name
+        df = marginalize_full_variants(rows, variants, name, forward,
+                                       ambig_char=ambig_char)
+        if len(df):
+            frames.append(df)
+    allr = (pd.concat(frames, ignore_index=True) if frames
+            else pd.DataFrame(columns=["read_name", "contig", "position",
+                                       "strand", "forward_mapped"]
+                              + sorted(variants)))
+    allr.to_csv(out_path, sep="\t", index=False)
+    if aggregate and frames:
+        agg = aggregate_over_reads(frames, variants)
+        agg.to_csv(out_path + ".aggregate", sep="\t", index=False)
+    return out_path
+
+
 def write_variant_data(df: pd.DataFrame, out_path: str) -> str:
     """reference: AggregateOverReads.write_data (variantCaller.py:246-248)."""
     df.to_csv(out_path, sep="\t", index=False)

@@ -124,6 +124,51 @@ def plot_kmer_distributions(model_dists, kmer: str, out_path: str,
     return out_path
 
 
+def kmer_histograms_from_tsvs(tsv_paths, kmers, out_dir: str,
+                              strand: str = "t", threshold: float = 0.0,
+                              max_assignments: int = 10_000,
+                              plot: bool = True):
+    """Per-kmer histograms of descaled event means collected from
+    full-format .sm TSVs (reference:
+    scripts/generate_kmer_histograms.py + KmerHistogram,
+    alignmentAnalysisLib.py): writes ``<kmer>_hist.txt`` data files
+    (one mean per line) and, with ``plot``, a histogram PNG per kmer.
+    Returns the list of written data files."""
+    import os
+
+    from signalalign_tpu.pipeline.variant_caller import full_rows_from_tsv
+
+    os.makedirs(out_dir, exist_ok=True)
+    wanted = set(kmers)
+    per_kmer = {k: [] for k in wanted}
+    for path in tsv_paths:
+        for r in full_rows_from_tsv(path, threshold=threshold):
+            if r.strand != strand or r.path_kmer not in wanted:
+                continue
+            vals = per_kmer[r.path_kmer]
+            if len(vals) < max_assignments:
+                vals.append(r.descaled_event_mean)
+    written = []
+    for kmer, vals in sorted(per_kmer.items()):
+        dp = os.path.join(out_dir, f"{kmer}_hist.txt")
+        with open(dp, "w") as fh:
+            for v in vals:
+                fh.write(f"{v:f}\n")
+        written.append(dp)
+        if plot and vals:
+            import matplotlib
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+            fig, ax = plt.subplots(figsize=(6, 4))
+            ax.hist(vals, bins=40, color="0.4")
+            ax.set_title(f"{kmer} ({strand}) — {len(vals)} events")
+            ax.set_xlabel("descaled event mean (pA)")
+            fig.tight_layout()
+            fig.savefig(os.path.join(out_dir, f"{kmer}_hist.png"), dpi=110)
+            plt.close(fig)
+    return written
+
+
 def plot_kmer_distribution_overlay(model_dists, kmers, out_path: str,
                                    strand: str = "t") -> str:
     """SEVERAL kmers' distributions on one axes, one colormap shade

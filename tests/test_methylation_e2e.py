@@ -88,6 +88,56 @@ def test_marginalize_matches_reference_algorithm(dirname):
     assert checked >= 1
 
 
+def test_call_methylation_cli_on_goldens(tmp_path):
+    """scripts/call_methylation.py equivalent: the CLI consumes a
+    directory of full-format .sm TSVs and writes per-site calls +
+    aggregate; values must match the in-process marginalizer."""
+    from signalalign_tpu.cli import main as cli_main
+    out = tmp_path / "calls.tsv"
+    rc = cli_main(["call_methylation", "--input_dir", METHYL,
+                   "--variants", "CE", "--out", str(out)])
+    assert rc == 0
+    df = pd.read_csv(out, sep="\t")
+    assert len(df) > 10
+    assert np.allclose(df["C"] + df["E"], 1.0)
+    agg = pd.read_csv(str(out) + ".aggregate", sep="\t")
+    assert len(agg) == len(set(zip(df["contig"], df["position"],
+                                   df["strand"])))
+    # spot-check one file against the direct marginalizer
+    path = glob.glob(os.path.join(METHYL, "*.sm.forward.tsv"))[0]
+    _, rows = rows_from_tsv(path)
+    ref = marginalize_full_variants(rows, "CE",
+                                    os.path.basename(path), True)
+    sub = df[df["read_name"] == os.path.basename(path)]
+    got = {(r["strand"], int(r["position"])): r["E"]
+           for _, r in sub.iterrows()}
+    for _, r in ref.iterrows():
+        assert abs(got[(r["strand"], int(r["position"]))] - r["E"]) < 1e-9
+
+
+def test_kmer_hist_cli_on_goldens(tmp_path):
+    """scripts/generate_kmer_histograms.py equivalent."""
+    from signalalign_tpu.cli import main as cli_main
+    path = glob.glob(os.path.join(CANONICAL, "*.sm.*.tsv"))[0]
+    import pandas as _pd
+    gold = _pd.read_csv(path, sep="\t", names=GOLD_COLS,
+                        keep_default_na=False)
+    kmer = gold[gold.strand == "t"].pathkmer.iloc[13]
+    import shutil
+    one = tmp_path / "one"
+    one.mkdir()
+    shutil.copy(path, one / os.path.basename(path))
+    rc = cli_main(["kmer_hist", "--input_dir", str(one),
+                   "--kmer", kmer, "--output_dir",
+                   str(tmp_path / "hist")])
+    assert rc == 0
+    data = open(tmp_path / "hist" / f"{kmer}_hist.txt").read().split()
+    n_ref = sum(1 for _, r in gold.iterrows()
+                if r.pathkmer == kmer and r.strand == "t")
+    assert len(data) == n_ref > 0
+    assert os.path.exists(tmp_path / "hist" / f"{kmer}_hist.png")
+
+
 def test_aggregate_over_golden_reads():
     per_read = []
     for path in sorted(glob.glob(os.path.join(CANONICAL, "*.sm.*.tsv"))):
