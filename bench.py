@@ -735,14 +735,16 @@ def main():
 
     # ---- roofline accounting for the compute-only pipeline ----
     # cell-updates: every (diagonal, band-slot, lane) cell is touched by
-    # the forward sweep, the fused backward+posterior sweep, and the
-    # compaction scan; ~40 f32 VPU ops per DP cell-update (7 logaddexp
-    # of 2 + emission + rescale math, DESIGN.md §3). Stack DMA: f32
-    # match rows out+in plus the u16 posterior rows out+in.
+    # the forward sweep and the fused backward+posterior+extraction
+    # sweep (fuse_compact: the separate compaction pass and the u16
+    # posterior stack no longer exist); ~40 f32 VPU ops per DP
+    # cell-update (7 logaddexp of 2 + emission + rescale math,
+    # DESIGN.md §3) + ~12/cell for the in-sweep rank extraction.
+    # Stack DMA: f32 forward match rows out + in only.
     cells = sum(al.Dp1p * al.WB * al.S
                 for al, _, kind in aligners if kind == "v2")
-    sweep_ops = cells * (2 * 40 + 10)          # fwd + bwd/post + compact
-    stack_io = cells * (2 * 4 + 2 * 2)
+    sweep_ops = cells * (2 * 40 + 12)          # fwd + bwd/post/extract
+    stack_io = cells * (2 * 4)
     VPU_PEAK = 3.85e12                          # 8x128 lanes x 4 ALUs @.94G
     HBM_PEAK = 8.19e11                          # v5e ~819 GB/s
     vpu_util = sweep_ops * reps / comp_s / VPU_PEAK
