@@ -222,6 +222,11 @@ def run_alignment_batch(
     trace of the device phase for xprof/tensorboard.
     """
     config = config or AlignmentConfig()
+    if config.path_split is None:
+        # AUTO: measured threshold (see AlignmentConfig.path_split) —
+        # splitting pays once the extra shape buckets fill
+        config = dataclasses.replace(config,
+                                     path_split=len(reads_and_guides) >= 128)
     site_mode = call_variants is not None and not config.compute_expectations
     timing_on = bool(os.environ.get("SIGNALALIGN_TPU_TIMING"))
     profile_dir = os.environ.get("SIGNALALIGN_TPU_PROFILE")

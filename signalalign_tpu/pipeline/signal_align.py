@@ -51,11 +51,14 @@ class AlignmentConfig:
     assignment_threshold: float = 0.1  # signalMachine ASSIGNMENT_THRESHOLD
     # TPU-native: isolate sparse adjacent-degenerate (P>2) windows into
     # their own segments so the bulk runs at 2 path-lanes per read
-    # (band_geometry.split_segment_by_paths). Wins on large workloads
-    # where every shape bucket fills; on few-read batches the extra
-    # buckets' fixed stripe costs outweigh the lane savings, so off by
-    # default.
-    path_split: bool = False
+    # (band_geometry.split_segment_by_paths). MEASURED (round 5,
+    # scripts/measure_path_split.py): 2.5x on a 256-read sparse-CpG
+    # workload through the production runner (1.95k -> 4.9k ev/s e2e),
+    # but a regression on few-read batches where the extra shape
+    # buckets' fixed stripe costs outweigh the lane savings (r04:
+    # 226k -> 187k on the 64-problem bundled bench). None = AUTO: the
+    # batch runner enables it for batches of >= 128 reads.
+    path_split: Optional[bool] = None
 
 
 @dataclasses.dataclass
