@@ -154,14 +154,31 @@ def prepare_read(read: NanoporeReadData, guide: GuideAlignment,
             blocks = [(0, 0, sx2 - sx1, sy2 - sy1, sub_anchors)]
             if config.path_split and \
                     max_paths_per_kmer(w_chars, k, config.ambig_map) > 2:
+                # tiered isolation, measured round 5:
+                #  * P>2 isolation (the bulk runs 2 path-lanes) pays
+                #    only when blocks stay long — on CpG-dense
+                #    references it fragments segments ~5x into
+                #    ~150-cell blocks and runs 3x SLOWER (extra shape
+                #    buckets' stripe costs), so it is gated on the
+                #    resulting average block length;
+                #  * P>4 isolation ALWAYS pays when such windows exist:
+                #    a single adjacent-degenerate cluster otherwise
+                #    forces the whole segment onto the XLA fallback
+                #    (the lane kernels cap at 4 path-lanes) — isolating
+                #    them was the dominant share of the measured 2.5x
+                #    on the sparse-CpG synthetic workload
                 ppk = paths_per_kmer(w_chars, k, config.ambig_map)
-                hot = ppk > 2
-                # only worth fragmenting when the expensive class is a
-                # small minority (CpG-dense references with adjacent
-                # sites everywhere gain nothing from isolation)
-                if len(hot) and hot.mean() <= 0.25:
-                    blocks = split_segment_by_paths(
-                        sub_anchors, sx2 - sx1, sy2 - sy1, hot)
+                for thresh in (2, 4):
+                    hotv = ppk > thresh
+                    if not hotv.any() or hotv.mean() > 0.25:
+                        continue
+                    cand = split_segment_by_paths(
+                        sub_anchors, sx2 - sx1, sy2 - sy1, hotv)
+                    if thresh == 2 and \
+                            (sx2 - sx1) / max(len(cand), 1) < 400:
+                        continue    # too fragmented; isolate only P>4
+                    blocks = cand
+                    break
             for (px1, py1, px2, py2, p_anchors) in blocks:
                 ax1, ay1 = sx1 + px1, sy1 + py1
                 ax2, ay2 = sx1 + px2, sy1 + py2
@@ -242,20 +259,40 @@ def run_alignment_batch(
 
     seg_tasks: List[SegmentTask] = []
     prepped: List[Optional[PreparedRead]] = []
-    for ridx, (read, guide) in enumerate(reads_and_guides):
+
+    def _prep_one(rg):
+        read, guide = rg
         try:
-            target, params, events, ev_start, tasks = prepare_read(
+            return read, guide, prepare_read(
                 read, guide, reference, model, config, hdp,
-                strand_template=strand_template)
+                strand_template=strand_template), None
         except Exception as exc:  # per-read fault isolation
             # (reference: KEY:FAILED handling, signalAlignment.py:627-737)
+            return read, guide, None, str(exc)
+
+    # host prep is numpy-heavy (WLS scaling, banding, per-x tables) and
+    # embarrassingly per-read; thread it — the reference's analogue is
+    # its per-read worker pool (utils/multithread.py) doing the same
+    # prep in N processes. Order is preserved; fault isolation is
+    # per read as before.
+    if len(reads_and_guides) > 3:
+        import os as _os
+        from concurrent.futures import ThreadPoolExecutor
+        nw = min(8, max(2, (_os.cpu_count() or 4) - 2))
+        with ThreadPoolExecutor(max_workers=nw) as ex:
+            prep_out = list(ex.map(_prep_one, reads_and_guides))
+    else:
+        prep_out = [_prep_one(rg) for rg in reads_and_guides]
+    for ridx, (read, guide, out_, failure) in enumerate(prep_out):
+        if failure is not None:
             prepped.append(PreparedRead(read, guide, "", ScalingParams(),
                                         np.zeros((0, 4)), 0, [],
-                                        failure=str(exc)))
+                                        failure=failure))
             if verbose:
-                print(f"[runner] FAILED {read.read_label}: {exc}",
+                print(f"[runner] FAILED {read.read_label}: {failure}",
                       file=sys.stderr)
             continue
+        target, params, events, ev_start, tasks = out_
         pr = PreparedRead(read, guide, target, params, events, ev_start, [])
         for (off, problem, W, Dpad, P) in tasks:
             pr.segments.append(len(seg_tasks))
