@@ -258,7 +258,7 @@ def _zymo_read_guides():
     return rgs, zymo
 
 
-def bench_methyl_runner(reps, replicate: int = 12):
+def bench_methyl_runner(reps, replicate: int = 24):
     """Methylation calling END-TO-END through the PRODUCTION runner
     (VERDICT r4 item 1): run_alignment_batch(call_variants="CE") — prep,
     bucketing, device site-marginal kernels (execute_site_marginals),
