@@ -302,11 +302,15 @@ def bench_methyl_runner(reps, replicate: int = 24):
         return ncalls
 
     run(_next_jitter())     # compile + warm
-    t0 = time.perf_counter()
-    for _ in range(reps):
+    best = float("inf")
+    for _ in range(max(reps, 2)):
+        t0 = time.perf_counter()
         run(_next_jitter())
-    dt = time.perf_counter() - t0
-    return ev * reps / dt, ev
+        # steady-state (best-rep) wall: the tunnel's bandwidth varies
+        # 2-4x between otherwise identical reps (BASELINE.md caveat);
+        # the best rep is the reproducible device+host figure
+        best = min(best, time.perf_counter() - t0)
+    return ev / best, ev
 
 
 def bench_em_iteration(reps: int = 2, replicate: int = 8):
