@@ -870,14 +870,23 @@ def run_signal_align(
             r.variant_calls.to_csv(vp, sep="\t", index=False)
             written.append(vp)
     if output_format == "variants":
-        from signalalign_tpu.pipeline.variant_caller import \
-            aggregate_over_reads
+        from signalalign_tpu.pipeline.variant_caller import (
+            aggregate_over_reads, per_read_calls_dataframe)
         frames = [r.variant_calls for r in results
                   if r.variant_calls is not None]
         agg = aggregate_over_reads(frames, variants)
         ap = os.path.join(output_dir, "variants_aggregate.tsv")
         agg.to_csv(ap, sep="\t", index=False)
         written.append(ap)
+        # per-read per-strand summary calls (MarginalizeFullVariants
+        # per_read_calls, variantCaller.py:176-180)
+        import pandas as _pd
+        prc = per_read_calls_dataframe(
+            _pd.concat(frames, ignore_index=True) if frames
+            else _pd.DataFrame(), variants)
+        pp = os.path.join(output_dir, "variants_per_read.tsv")
+        prc.to_csv(pp, sep="\t", index=False)
+        written.append(pp)
     if embed:
         from signalalign_tpu.io.embed import embed_alignment
         from signalalign_tpu.io.fast5 import Fast5

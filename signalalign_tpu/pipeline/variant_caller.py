@@ -293,6 +293,28 @@ def variant_calls_dataframe(per_pos: Dict[Tuple[str, int], Dict[str, float]],
     return pd.DataFrame(data, columns=cols)
 
 
+def per_read_calls_dataframe(position_probs: pd.DataFrame,
+                             variants: str) -> pd.DataFrame:
+    """Per-read per-strand averages of the per-position calls.
+
+    reference: MarginalizeFullVariants.per_read_calls
+    (variantCaller.py:120-121, 176-180): mean of the normalized
+    per-position probabilities over a read's sites, with the site
+    count."""
+    vs = sorted(variants)
+    cols = ["read_name", "contig", "strand", "forward_mapped", "n_sites"] \
+        + list(vs)
+    if not len(position_probs):
+        return pd.DataFrame(columns=cols)
+    data = []
+    for (rn, contig, strand, fwd), grp in position_probs.groupby(
+            ["read_name", "contig", "strand", "forward_mapped"],
+            sort=False):
+        data.append([rn, contig, strand, fwd, len(grp)]
+                    + [float(grp[v].mean()) for v in vs])
+    return pd.DataFrame(data, columns=cols)
+
+
 def marginals_from_site_probs(site_cells, site_probs, problem,
                               variants: str, seg_x_offset: int = 0
                               ) -> Dict[int, Dict[str, float]]:

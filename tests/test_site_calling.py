@@ -151,6 +151,14 @@ def test_run_signal_align_variants_output(tmp_path, ecoli_fasta):
     per_read = [w for w in written if w.endswith(".sm.variants.tsv")]
     agg = [w for w in written if w.endswith("variants_aggregate.tsv")]
     assert len(per_read) == 1 and len(agg) == 1
+    # per-read per-strand summary (MarginalizeFullVariants
+    # per_read_calls): mean of per-position probs + site count
+    prc = pd.read_csv([w for w in written
+                       if w.endswith("variants_per_read.tsv")][0],
+                      sep="\t")
+    assert list(prc.columns) == ["read_name", "contig", "strand",
+                                 "forward_mapped", "n_sites", "C", "T"]
+    assert len(prc) >= 1 and int(prc["n_sites"].iloc[0]) > 10
     df = pd.read_csv(per_read[0], sep="\t")
     assert list(df.columns) == ["read_name", "contig", "position",
                                 "strand", "forward_mapped", "C", "T"]
